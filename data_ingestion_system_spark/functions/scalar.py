@@ -1,0 +1,86 @@
+"""Scalar column expressions — the engine's reusable function library.
+
+All pure Column expressions (JVM-side, codegen-friendly); no Python UDFs.
+Mirrors the reference's scalar surface (SURVEY.md §2.7) plus the
+determinism conventions from SURVEY.md §4.2:
+
+- `sentiment_bucket` / `length_bucket`: the CASE ladders of
+  reference src/database/schema.sql:219-232.
+- `safe_div`: division-safe ratio, reference src/analysis/deep_analysis.py:37-38.
+- `det_rank_key`: deterministic stand-in for ORDER BY RANDOM()
+  (reference src/labeling/sampler.py:142) — md5 of (seed, key) gives a
+  uniform, engine-portable pseudo-random ordering that a SQL oracle can
+  reproduce exactly (DuckDB md5 == Spark md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sentiment_bucket(rating: Column) -> Column:
+    """rating>=4 → positive, =3 → neutral, else negative (schema.sql:219-226)."""
+    return (
+        F.when(rating >= 4, F.lit("positive"))
+        .when(rating == 3, F.lit("neutral"))
+        .otherwise(F.lit("negative"))
+    )
+
+
+def length_bucket(n: Column) -> Column:
+    """≤10 very_short / ≤50 short / ≤200 medium / else long (schema.sql:227-232)."""
+    return (
+        F.when(n <= 10, F.lit("very_short"))
+        .when(n <= 50, F.lit("short"))
+        .when(n <= 200, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+
+
+def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:
+    """num/den, `default` when den is 0/NULL (deep_analysis.py:37-38)."""
+    return F.when(den.isNotNull() & (den != 0), num / den).otherwise(F.lit(default))
+
+
+def det_rank_key(key: Column, seed: int = 42) -> Column:
+    """Deterministic pseudo-random sort key: md5(seed || key).
+
+    Replaces ORDER BY RANDOM() / random.shuffle for sampling and splits so
+    both engines (Spark + DuckDB oracle) order rows identically. Uniformity
+    is as good as md5; determinism is exact.
+    """
+    return F.md5(F.concat(F.lit(str(seed) + ":"), key.cast("string")))
+
+
+def oracle_det_rank_key(key_sql: str, seed: int = 42) -> str:
+    """DuckDB-side rendering of `det_rank_key` for oracle strings."""
+    return f"md5(concat('{seed}:', CAST({key_sql} AS VARCHAR)))"
+
+
+def round_port(col: Column, scale: int) -> Column:
+    """Engine-portable rounding: round(x * 10^scale) / 10^scale.
+
+    Spark's round(x, n) decimal-string-rounds (HALF_UP on the shortest
+    repr) while DuckDB rounds the scaled double — at a half boundary like
+    avg=141428.955 they disagree (.96 vs .95). Scaling first makes both
+    engines round the *same* IEEE double to an integer, where their
+    semantics agree; the final division is bit-identical on both sides.
+    Oracle SQL must use `oracle_round(expr, scale)` for the same shape.
+    """
+    f = float(10**scale)
+    return F.round(col * f) / f
+
+
+def oracle_round(expr_sql: str, scale: int) -> str:
+    """DuckDB-side rendering of `round_port`."""
+    f = float(10**scale)
+    return f"ROUND(({expr_sql}) * {f}) / {f}"
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (deep_analysis.py:398)."""
+    punct_count = F.length(text) - F.length(
+        F.regexp_replace(text, r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "")
+    )
+    return safe_div(punct_count.cast("double"), F.length(text).cast("double"))

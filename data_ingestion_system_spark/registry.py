@@ -1,0 +1,85 @@
+"""Query registry — the driver-facing catalog of implemented operators.
+
+Every operator from SURVEY.md §2 lands here as a named query with:
+  * a Spark builder  (spark, sf_dir) -> DataFrame
+  * an equivalent ANSI-SQL oracle string for DuckDB (or None for ops whose
+    semantics aren't SQL-expressible — those get rows-only driver checks)
+
+Modules self-register via the @query decorator; `load_all()` imports every
+operator module so `REGISTRY` is complete.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkBuilder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: SparkBuilder
+    oracle: str | None
+    survey: str = ""  # SURVEY.md §2 operator ids this query covers, e.g. "A1"
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, survey: str = "", tags: tuple[str, ...] = ()):
+    """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: SparkBuilder) -> SparkBuilder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, survey=survey,
+            doc=(fn.__doc__ or "").strip(), tags=tuple(tags),
+        )
+        return fn
+
+    return deco
+
+
+_OPERATOR_MODULES = (
+    "data_ingestion_system_spark.operators.filters",
+    "data_ingestion_system_spark.operators.joins",
+    "data_ingestion_system_spark.operators.aggregates",
+    "data_ingestion_system_spark.operators.statistics",
+    "data_ingestion_system_spark.operators.windows",
+    "data_ingestion_system_spark.operators.setops",
+    "data_ingestion_system_spark.operators.sampling",
+    "data_ingestion_system_spark.operators.quality",
+    "data_ingestion_system_spark.operators.monitoring",
+    "data_ingestion_system_spark.operators.labeling",
+    "data_ingestion_system_spark.text.analysis",
+    "data_ingestion_system_spark.dedup.exact",
+    "data_ingestion_system_spark.dedup.minhash",
+    "data_ingestion_system_spark.dedup.simhash",
+    "data_ingestion_system_spark.similarity.ann",
+    "data_ingestion_system_spark.multimodal.columns",
+)
+
+_loaded = False
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (idempotent) and return the registry."""
+    global _loaded
+    if not _loaded:
+        for mod in _OPERATOR_MODULES:
+            try:
+                importlib.import_module(mod)
+            except ModuleNotFoundError as e:
+                # tolerate not-yet-written modules during incremental build
+                if mod.split(".")[-1] not in str(e):
+                    raise
+        _loaded = True
+    return REGISTRY

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates all execution to in-process SQLite
+(reference: src/database/db_manager.py:40); our engine's equivalent of its
+"connection setup" is a tuned SparkSession. Defaults are chosen for the
+100 TB design point and work unchanged on local[N]:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy) —
+  replaces hand-tuned shuffle sizing at scale.
+- UTC session timezone — the reference stores ISO-8601 strings and compares
+  lexicographically (reference: src/database/db_manager.py:165-170); we keep
+  native timestamps and pin the zone so results are environment-independent.
+- Arrow enabled for the (rare) pandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "data-ingestion-system-spark"
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return max(1, os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from the environment / spark-submit;
+    locally we default to ``local[N]`` with N from $SPARK_GRAFT_CPUS.
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as epoch-nanos long, converted in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffledHashJoinFactor", "3")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{n}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,55 @@
+"""Table loading + catalog registration for the driver's testdata.
+
+Loads are always schema-explicit (SURVEY.md §1.3) so column pruning and
+filter pushdown operate on a known shape; `.explain` on any downstream query
+should show PushedFilters/ReadSchema reaching the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from data_ingestion_system_spark.schemas import TESTDATA_SCHEMAS
+
+TABLE_NAMES = tuple(TESTDATA_SCHEMAS)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its explicit schema."""
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as an
+        # epoch-nanos long (legacy.parquet.nanosAsLong); truncate to micros
+        # with integer division (a double round-trip would lose precision at
+        # ~1.7e18) — matches DuckDB's nanos→micros truncation exactly.
+        from pyspark.sql import functions as F
+
+        raw_schema = StructType([
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ])
+        raw = spark.read.schema(raw_schema).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL entry point).
+
+    The reference exposes derived relations as SQLite views
+    (reference: src/database/schema.sql:209-404); temp views are the Spark
+    equivalent — named logical plans inlined by Catalyst.
+    """
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
