@@ -1,0 +1,275 @@
+"""Join operators — SURVEY.md §2.3 (J1–J10).
+
+All reference joins are equi-joins (one with an extra theta condition);
+they appear in SQLite views, in IN-list lookups chunked to 900 ids
+(reference: src/database/db_manager.py:466-486), and as N+1 per-row
+lookups (db_manager.py:674-691). Spark-first mapping:
+
+- dimension joins → explicit `broadcast()` (no shuffle of the fact side)
+- IN-list membership → left_semi join (no chunking, no variable limits)
+- LEFT JOIN ... IS NULL → left_anti join
+- N+1 loops → one set-based multi-join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+
+@query(
+    "join_enrich",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       c_name AS customer_name, c_mktsegment AS segment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+ORDER BY o_orderkey
+""",
+    survey="J1,P8",
+)
+def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join enriching facts with dimension attributes — the
+    `v_reviews_with_app` join (schema.sql:209-216). Customer is broadcast:
+    at 100 TB the fact side never shuffles for a dim lookup."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_4way",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_lineitems,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100.0) / 100.0 AS revenue,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+""",
+    survey="J2",
+)
+def join_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way inner equi-join with computed columns — the
+    `v_labeled_reviews` shape (schema.sql:375-404): fact ⋈ fact ⋈ dim ⋈ dim
+    plus a CASE-derived flag, aggregated.
+
+    Plan shape: lineitem⋈orders shuffles on orderkey (both large);
+    customer and nation broadcast onto the result — one shuffle total
+    before the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            round_port(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+@query(
+    "self_join_theta",
+    oracle="""
+SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b, COUNT(*) AS n_pairs
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+GROUP BY a.l_returnflag, b.l_returnflag
+ORDER BY flag_a, flag_b
+""",
+    survey="J3",
+)
+def self_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with an inequality pair-dedup condition — the
+    annotator-agreement pair join (db_manager.py:869-885):
+    equi key hash-joined, `<` applied as a post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(
+            F.col("a.l_returnflag").alias("flag_a"),
+            F.col("b.l_returnflag").alias("flag_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+@query(
+    "left_join_coverage",
+    oracle="""
+SELECT n_name,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(DISTINCT o_custkey) AS n_customers_with_orders
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    survey="J4",
+)
+def left_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + COUNT(DISTINCT) coverage ratio — per-app labeling
+    coverage (db_manager.py:833-842)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "anti_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+    survey="J5,J7",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the backfill LEFT-JOIN-NULL idiom (monitor.py:520-532)
+    and the pipeline's Python-set dedup (pipeline.py:201-207), both as
+    one `left_anti`."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_join",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 40)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    survey="J6",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join membership — `get_existing_review_ids` IN-list lookup
+    (db_manager.py:466-486). The reference chunks ids ×900 around SQLite's
+    variable limit; left_semi needs no chunking at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "run_scoped_join",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity) * 100.0) / 100.0 AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    survey="J8,J9",
+)
+def run_scoped_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-scoped subset join + group (monitor.py:216-229, :558-565):
+    facts joined to a filtered slice, then aggregated. The date filter is
+    pushed below the join (Catalyst), pruning the orders side first."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_port(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "context_multi_join",
+    oracle="""
+SELECT p_partkey, p_name, s_name AS supplier_name, n_name AS supplier_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100.0) / 100.0 AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY p_partkey, p_name, s_name, n_name
+ORDER BY revenue DESC, p_partkey ASC
+LIMIT 25
+""",
+    survey="J10,W2",
+)
+def context_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based replacement for the reference's N+1 one-row-at-a-time
+    context lookups (db_manager.py:674-691): a single plan joining the
+    fact to all its dimensions, aggregated, top-k by revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("p_partkey", "p_name", F.col("s_name").alias("supplier_name"), F.col("n_name").alias("supplier_nation"))
+        .agg(round_port(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(25)
+    )

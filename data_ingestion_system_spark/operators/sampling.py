@@ -1,0 +1,181 @@
+"""Sampling & ML-data-prep operators — SURVEY.md §2.9 (M1–M5, O7, A20).
+
+The reference's sampler pulls candidate rows per tier with SQL, excludes
+already-sampled ids in Python, and shuffles with ORDER BY RANDOM()
+(reference: src/labeling/sampler.py:46-222); its exporter splits
+train/val/test by class with random.shuffle (src/labeling/exporter.py:161-193).
+
+Engine policy (SURVEY §4.2.1): all "random" draws use the deterministic
+md5(seed||key) rank so results are reproducible and oracle-checkable;
+a seed change re-randomizes. At 100 TB each sampler is one window over a
+partitioned shuffle — no driver-side id sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import det_rank_key
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+# per-tier quotas, mirroring LABEL_QUEUE_TIER_ALLOCATION (settings.py:149-154)
+TIER_QUOTAS = {1: 800, 2: 700, 3: 500, 4: 400}
+
+
+def tier_column() -> F.Column:
+    """Stratification tier over (returnflag × quantity bucket) — the
+    sentiment×length tier matrix of sampler.py:109-143."""
+    return (
+        F.when((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 25), 1)
+        .when((F.col("l_returnflag") == "R") & (F.col("l_quantity") <= 25), 2)
+        .when(F.col("l_returnflag") == "A", 3)
+        .otherwise(4)
+    )
+
+
+TIER_SQL = """CASE WHEN l_returnflag = 'R' AND l_quantity > 25 THEN 1
+     WHEN l_returnflag = 'R' AND l_quantity <= 25 THEN 2
+     WHEN l_returnflag = 'A' THEN 3
+     ELSE 4 END"""
+
+
+@query(
+    "stratified_tiered_sample",
+    oracle=f"""
+WITH tiered AS (
+  SELECT l_orderkey, l_linenumber,
+         {TIER_SQL} AS tier
+  FROM lineitem
+), ranked AS (
+  SELECT tier, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (
+           PARTITION BY tier
+           ORDER BY md5(concat('42:', CAST(l_orderkey * 10 + l_linenumber AS VARCHAR))) ASC,
+                    l_orderkey ASC, l_linenumber ASC
+         ) AS rn
+  FROM tiered
+)
+SELECT tier, l_orderkey, l_linenumber
+FROM ranked
+WHERE (tier = 1 AND rn <= 800) OR (tier = 2 AND rn <= 700)
+   OR (tier = 3 AND rn <= 500) OR (tier = 4 AND rn <= 400)
+ORDER BY tier, l_orderkey, l_linenumber
+""",
+    survey="M1,W5",
+)
+def stratified_tiered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified tiered sampling with per-tier quotas {800,700,500,400}
+    (sampler.py:46-154; quotas settings.py:149-154): tier assignment is a
+    CASE ladder, the per-tier 'random' pick is a seeded md5 rank window."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    tiered = li.select("l_orderkey", "l_linenumber", tier_column().alias("tier"))
+    rank_key = det_rank_key(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    w = Window.partitionBy("tier").orderBy(rank_key.asc(), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    ranked = tiered.withColumn("rn", F.row_number().over(w))
+    quota = (
+        F.when(F.col("tier") == 1, TIER_QUOTAS[1])
+        .when(F.col("tier") == 2, TIER_QUOTAS[2])
+        .when(F.col("tier") == 3, TIER_QUOTAS[3])
+        .otherwise(TIER_QUOTAS[4])
+    )
+    return (
+        ranked.filter(F.col("rn") <= quota)
+        .select("tier", "l_orderkey", "l_linenumber")
+        .orderBy("tier", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "stratified_split",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))) ASC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_class
+  FROM documents
+), assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN rn <= CAST(FLOOR(n_class * 0.8) AS BIGINT) THEN 'train'
+              WHEN rn <= CAST(FLOOR(n_class * 0.9) AS BIGINT) THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT split, lang, COUNT(*) AS n
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+    survey="M3,O7,A20",
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 80/10/10 train/val/test split (exporter.py:161-193) +
+    split statistics (exporter.py:244-254). The reference shuffles each
+    class list in Python; here a seeded md5 rank per class and quantile
+    cut-offs give deterministic, engine-portable assignment."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(det_rank_key(F.col("doc_id")).asc(), F.asc("doc_id"))
+    wc = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_class"),
+    )
+    assigned = ranked.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") <= F.floor(F.col("n_class") * 0.8), "train")
+        .when(F.col("rn") <= F.floor(F.col("n_class") * 0.9), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(F.count("*").alias("n")).orderBy("split", "lang")
+
+
+def assign_split(df: DataFrame, class_col: str, key_col: str, ratios=(0.8, 0.1, 0.1), seed: int = 42) -> DataFrame:
+    """Library form of the stratified split: adds a `split` column.
+
+    Deterministic given (ratios, seed); per-class proportions match
+    exporter.py:161-193 slice semantics (floor cuts, remainder → test).
+    """
+    assert abs(sum(ratios) - 1.0) < 1e-9, "ratios must sum to 1"
+    w = Window.partitionBy(class_col).orderBy(det_rank_key(F.col(key_col), seed).asc(), F.asc(key_col))
+    wc = Window.partitionBy(class_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn("_n", F.count("*").over(wc))
+    train_cut = F.floor(F.col("_n") * ratios[0])
+    val_cut = F.floor(F.col("_n") * (ratios[0] + ratios[1]))
+    return (
+        ranked.withColumn(
+            "split",
+            F.when(F.col("_rn") <= train_cut, "train")
+            .when(F.col("_rn") <= val_cut, "val")
+            .otherwise("test"),
+        )
+        .drop("_rn", "_n")
+    )
+
+
+@query(
+    "overlap_assignment",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN md5(concat('7:', CAST(doc_id AS VARCHAR))) < '1a' THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       COUNT(*) AS n_total
+FROM documents
+""",
+    survey="M5",
+)
+def overlap_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator overlap flag — ~10% of the queue double-labeled
+    (settings.py:160). Hex-prefix threshold on the seeded md5 key gives a
+    deterministic ≈10.2% ('1a'/256) Bernoulli draw."""
+    docs = load_table(spark, sf_dir, "documents")
+    flag = det_rank_key(F.col("doc_id"), seed=7) < "1a"
+    return docs.agg(
+        F.sum(flag.cast("int")).alias("n_overlap"),
+        F.count("*").alias("n_total"),
+    )
