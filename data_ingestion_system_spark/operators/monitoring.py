@@ -1,0 +1,142 @@
+"""Monitoring analytics — SURVEY.md §2.8 T5–T7 and §2.4 A17 (batch side).
+
+The reference's IngestionMonitor loads run history into Python and loops
+to compute deltas, z-scores, and six anomaly rules
+(reference: src/ingestion/monitor.py:155-209, :276-389; thresholds :72-78).
+Here the run history is a (tiny) aggregate of the event stream and every
+rule is a window-function predicate — the same code runs over a metrics
+table with billions of run rows. The streaming half (per-batch audit
+rows) lives in data_ingestion_system_spark.streaming.ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+# thresholds mirroring monitor.py:72-78
+INSERT_DROP_FACTOR = 0.5  # alert if inserts < 50% of last-5 average
+DURATION_SPIKE_FACTOR = 2.0
+ZSCORE_ALERT = 2.0
+
+
+@query(
+    "anomaly_flags",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events
+  GROUP BY CAST(ts AS DATE)
+), windowed AS (
+  SELECT day, n_events, n_errors,
+    AVG(CAST(n_events AS DOUBLE)) OVER w5 AS avg5,
+    STDDEV_SAMP(CAST(n_events AS DOUBLE)) OVER w5 AS std5
+  FROM daily
+  WINDOW w5 AS (ORDER BY day ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_events, n_errors,
+  COALESCE(n_events < 0.5 * avg5, FALSE) AS flag_volume_drop,
+  COALESCE(std5 > 0 AND ABS((n_events - avg5) / std5) > 2.0, FALSE) AS flag_zscore,
+  n_errors > 0 AS flag_any_error,
+  ROUND(COALESCE((n_events - avg5) / NULLIF(std5, 0), 0.0) * 10000.0) / 10000.0 AS zscore
+FROM windowed
+ORDER BY day
+""",
+    survey="T6,A17,W6",
+)
+def anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six anomaly rules (monitor.py:276-389) re-expressed as window
+    predicates over the daily series: volume drop vs last-5 mean, z-score
+    breach, any-error flag. No Python loop — the whole rule battery is
+    one windowed projection."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    w5 = Window.orderBy("day").rowsBetween(-5, -1)
+    n = F.col("n_events").cast("double")
+    windowed = daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.avg(n).over(w5).alias("avg5"),
+        F.stddev_samp(n).over(w5).alias("std5"),
+    )
+    z = (F.col("n_events") - F.col("avg5")) / F.nullif(F.col("std5"), F.lit(0.0))
+    return windowed.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.coalesce(
+            F.col("n_events") < INSERT_DROP_FACTOR * F.col("avg5"), F.lit(False)
+        ).alias("flag_volume_drop"),
+        F.coalesce(
+            (F.col("std5") > 0) & (F.abs(z) > ZSCORE_ALERT), F.lit(False)
+        ).alias("flag_zscore"),
+        (F.col("n_errors") > 0).alias("flag_any_error"),
+        round_port(F.coalesce(z, F.lit(0.0)), 4).alias("zscore"),
+    ).orderBy("day")
+
+
+@query(
+    "backfill_missing_days",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders
+), calendar AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+), present AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+)
+SELECT COUNT(*) AS n_missing_days,
+       MIN(c.day) AS first_missing,
+       MAX(c.day) AS last_missing
+FROM calendar c
+LEFT JOIN present p ON c.day = p.day
+WHERE p.day IS NULL
+""",
+    survey="T7,J5",
+)
+def backfill_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill detection (monitor.py:510-611): construct the full
+    calendar, anti-join the days that have data — the set to reprocess.
+    Calendar generation is `sequence`+explode; no driver loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("d0"),
+        F.to_date(F.max("o_orderdate")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    present = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+    missing = calendar.join(present, "day", "left_anti")
+    return missing.agg(
+        F.count("*").alias("n_missing_days"),
+        F.min("day").alias("first_missing"),
+        F.max("day").alias("last_missing"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines — rows-only check;
+    # the exact twin `count_distinct` is the hash-matched one
+    survey="A5",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the 100 TB scale path next to the
+    exact A5. Checked rows-only (sketch values are engine-specific); the
+    accuracy assertion lives in tests/test_monitoring.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

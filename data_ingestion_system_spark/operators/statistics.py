@@ -1,0 +1,312 @@
+"""Statistics operators — SURVEY.md §2.4 (A8–A15).
+
+The reference computes all of these by collecting full column lists into
+Python and looping (reference: src/analysis/deep_analysis.py:84-176,
+src/analysis/data_quality_analyzer.py:83-135) — O(corpus) driver memory.
+Here each is one distributed aggregate. Estimator conventions follow the
+reference: *exact* interpolated percentiles (deep_analysis.py:24-34) and
+population (divide-by-n) skewness/kurtosis (deep_analysis.py:89-97) —
+written as explicit moment expressions because Spark's and DuckDB's
+built-in skewness/kurtosis use different estimators (SURVEY §7.4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+
+@query(
+    "descriptive_stats",
+    oracle="""
+SELECT
+  COUNT(*) AS n,
+  ROUND(AVG(l_quantity) * 1000000.0) / 1000000.0 AS mean_qty,
+  ROUND(quantile_cont(l_quantity, 0.5) * 1000000.0) / 1000000.0 AS median_qty,
+  ROUND(STDDEV_SAMP(l_quantity) * 1000000.0) / 1000000.0 AS stdev_qty,
+  ROUND(VAR_SAMP(l_quantity) * 1000000.0) / 1000000.0 AS var_qty,
+  ROUND(MIN(l_quantity) * 100.0) / 100.0 AS min_qty,
+  ROUND(MAX(l_quantity) * 100.0) / 100.0 AS max_qty
+FROM lineitem
+""",
+    survey="A8",
+)
+def descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive statistics (deep_analysis.py:84-88: statistics.mean/
+    median/stdev/variance over a collected list) as one aggregate; median
+    is the exact interpolated percentile, matching statistics.median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        F.count("*").alias("n"),
+        round_port(F.avg(q), 6).alias("mean_qty"),
+        round_port(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        round_port(F.stddev_samp(q), 6).alias("stdev_qty"),
+        round_port(F.var_samp(q), 6).alias("var_qty"),
+        round_port(F.min(q), 2).alias("min_qty"),
+        round_port(F.max(q), 2).alias("max_qty"),
+    )
+
+
+@query(
+    "mode_value",
+    oracle="""
+SELECT l_quantity AS mode_qty, COUNT(*) AS n_occurrences
+FROM lineitem
+GROUP BY l_quantity
+ORDER BY n_occurrences DESC, mode_qty ASC
+LIMIT 1
+""",
+    survey="A8",
+)
+def mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with deterministic tie-break (smallest value) — the reference
+    uses statistics.mode / Counter.most_common(1) (deep_analysis.py:303-306);
+    built-in `mode()` tie-breaks arbitrarily in both engines, so the engine
+    computes it as a ranked frequency."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_quantity").alias("mode_qty"))
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("mode_qty"))
+        .limit(1)
+    )
+
+
+@query(
+    "higher_moments",
+    oracle="""
+WITH m AS (
+  SELECT AVG(l_quantity) AS mu,
+         AVG(l_quantity * l_quantity) AS m2r,
+         AVG(l_quantity * l_quantity * l_quantity) AS m3r,
+         AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r,
+         COUNT(*) AS n
+  FROM lineitem
+)
+SELECT n,
+  ROUND(((m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+         / POW(m2r - mu * mu, 1.5)) * 1000000.0) / 1000000.0 AS skewness_pop,
+  ROUND(((m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu)
+         / POW(m2r - mu * mu, 2.0) - 3.0) * 1000000.0) / 1000000.0 AS kurtosis_excess_pop
+FROM m
+""",
+    survey="A9",
+)
+def higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher–Pearson skewness + excess kurtosis with population (n)
+    normalization — the reference's hand-rolled formulas
+    (deep_analysis.py:89-97). Explicit raw-moment algebra on both engines
+    because Spark/DuckDB built-ins use different estimator conventions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.agg(
+        F.avg(q).alias("mu"),
+        F.avg(q * q).alias("m2r"),
+        F.avg(q * q * q).alias("m3r"),
+        F.avg(q * q * q * q).alias("m4r"),
+        F.count("*").alias("n"),
+    )
+    mu, m2r, m3r, m4r = F.col("mu"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    m2 = m2r - mu * mu
+    skew = (m3r - 3 * mu * m2r + 2 * mu * mu * mu) / F.pow(m2, 1.5)
+    kurt = (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * mu * mu * mu * mu) / F.pow(m2, 2.0) - 3.0
+    return m.select(
+        "n",
+        round_port(skew, 6).alias("skewness_pop"),
+        round_port(kurt, 6).alias("kurtosis_excess_pop"),
+    )
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+SELECT
+  ROUND(quantile_cont(l_extendedprice, 0.05) * 1000000.0) / 1000000.0 AS p05,
+  ROUND(quantile_cont(l_extendedprice, 0.25) * 1000000.0) / 1000000.0 AS p25,
+  ROUND(quantile_cont(l_extendedprice, 0.50) * 1000000.0) / 1000000.0 AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.75) * 1000000.0) / 1000000.0 AS p75,
+  ROUND(quantile_cont(l_extendedprice, 0.95) * 1000000.0) / 1000000.0 AS p95,
+  ROUND(quantile_cont(l_extendedprice, 0.99) * 1000000.0) / 1000000.0 AS p99
+FROM lineitem
+""",
+    survey="A10",
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles P5..P99
+    (deep_analysis.py:24-34) — `percentile`, NOT `percentile_approx`,
+    because the oracle hash-matches values (SURVEY §2.4 A10). At 100 TB
+    the engine's scale path swaps in percentile_approx with documented
+    error bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = [
+        round_port(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
+        for p, name in [(0.05, "p05"), (0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95"), (0.99, "p99")]
+    ]
+    return li.agg(*sel)
+
+
+@query(
+    "histogram_fixed_buckets",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN '0-50k'
+            WHEN o_totalprice < 150000 THEN '50-150k'
+            WHEN o_totalprice < 300000 THEN '150-300k'
+            WHEN o_totalprice < 450000 THEN '300-450k'
+            ELSE '450k+' END AS bucket,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+    survey="A11",
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram over fixed bucket edges (deep_analysis.py:163-176)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p < 50000, "0-50k")
+        .when(p < 150000, "50-150k")
+        .when(p < 300000, "150-300k")
+        .when(p < 450000, "300-450k")
+        .otherwise("450k+")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n")).orderBy("bucket")
+
+
+@query(
+    "grouped_distribution",
+    oracle="""
+SELECT l_returnflag,
+  COUNT(*) AS n,
+  ROUND(AVG(l_quantity) * 1000000.0) / 1000000.0 AS mean_qty,
+  ROUND(quantile_cont(l_quantity, 0.5) * 1000000.0) / 1000000.0 AS median_qty,
+  ROUND(quantile_cont(l_quantity, 0.95) * 1000000.0) / 1000000.0 AS p95_qty,
+  ROUND((CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS pct_small
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    survey="A12",
+)
+def grouped_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution stats — per-rating length stats
+    (deep_analysis.py:180-187, :374-387)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            round_port(F.avg(q), 6).alias("mean_qty"),
+            round_port(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            round_port(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+            round_port(
+                F.sum(F.when(q <= 10, 1).otherwise(0)).cast("double") / F.count("*"), 6
+            ).alias("pct_small"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "two_level_agg",
+    oracle="""
+WITH per_nation AS (
+  SELECT c_nationkey, AVG(c_acctbal) AS mean_bal, COUNT(*) AS n_customers
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT COUNT(*) AS n_nations,
+  ROUND(AVG(mean_bal) * 1000000.0) / 1000000.0 AS avg_of_means,
+  ROUND(VAR_SAMP(mean_bal) * 1000000.0) / 1000000.0 AS var_of_means,
+  CAST(MIN(n_customers) AS BIGINT) AS min_group,
+  CAST(MAX(n_customers) AS BIGINT) AS max_group
+FROM per_nation
+""",
+    survey="A13",
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation — per-app means, then cross-app variance of
+    those means (deep_analysis.py:271-306)."""
+    customer = load_table(spark, sf_dir, "customer")
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("mean_bal"), F.count("*").alias("n_customers")
+    )
+    return per_nation.agg(
+        F.count("*").alias("n_nations"),
+        round_port(F.avg("mean_bal"), 6).alias("avg_of_means"),
+        round_port(F.var_samp("mean_bal"), 6).alias("var_of_means"),
+        F.min("n_customers").alias("min_group"),
+        F.max("n_customers").alias("max_group"),
+    )
+
+
+@query(
+    "null_profile",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN text   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+  CAST(SUM(CASE WHEN text   = ''    THEN 1 ELSE 0 END) AS BIGINT) AS text_empties,
+  CAST(SUM(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+  ROUND((1.0 - CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS text_fill_rate
+FROM documents
+""",
+    survey="A14",
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field null/empty profiling (data_quality_analyzer.py:83-115):
+    the reference loops fields × rows in Python; here one pass builds all
+    counters via SUM(CASE) columns generated from the schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    t, lang, src = F.col("text"), F.col("lang"), F.col("source")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(t.isNull().cast("int")).alias("text_nulls"),
+        F.sum((t == "").cast("int")).alias("text_empties"),
+        F.sum(lang.isNull().cast("int")).alias("lang_nulls"),
+        F.sum(src.isNull().cast("int")).alias("source_nulls"),
+        round_port(
+            1.0 - F.sum((t.isNull() | (t == "")).cast("int")).cast("double") / F.count("*"), 6
+        ).alias("text_fill_rate"),
+    )
+
+
+@query(
+    "duplicate_detection",
+    oracle="""
+WITH groups AS (
+  SELECT text, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+  FROM documents
+  GROUP BY text
+  HAVING COUNT(*) > 1
+)
+SELECT COUNT(*) AS n_dup_groups,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup_rows,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_group_size
+FROM groups
+""",
+    survey="A15",
+)
+def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-content detection (data_quality_analyzer.py:345-386,
+    deep_analysis.py:317-344): same text under different ids. The grouped
+    form is also the first stage of dedup.exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n") > 1)
+    )
+    return groups.agg(
+        F.count("*").alias("n_dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_dup_rows"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_group_size"),
+    )
