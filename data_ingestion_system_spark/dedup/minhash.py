@@ -1,0 +1,243 @@
+"""MinHash + LSH near-duplicate detection (SURVEY.md §7 Stage 6).
+
+The reference observes 35.3% shared-content duplicates but only detects
+*exact* matches (reference: src/analysis/deep_analysis.py:317-344). The
+scale path for near-dups is MinHash signatures + banded LSH:
+
+  tokens → H=8 deterministic min-hashes → 4 bands of 2 → bucket-join
+  candidates → exact Jaccard verification on candidates only.
+
+Everything is DataFrame algebra (explode / groupBy / self-join); hash
+functions are md5(i || token) so the DuckDB oracle reproduces the exact
+pipeline. At 100 TB the band join shuffles only (doc_id, band_key) pairs —
+candidate generation never compares documents pairwise; the quadratic
+step is confined to same-bucket members.
+
+Design follows the standard MinHash-LSH construction (Broder 1997;
+Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3) and mirrors
+pyspark.ml.feature.MinHashLSH's banding strategy with deterministic
+hashes instead of seeded random affine maps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+JACCARD_THRESHOLD = 0.5
+
+
+def token_sets(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the set representation."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+
+
+def minhash_signatures(tokens: DataFrame) -> DataFrame:
+    """One row per doc with m0..m{H-1} minhash columns."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return tokens.groupBy("doc_id").agg(*aggs)
+
+
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band_key) rows, 2 hashes per band."""
+    bands = [
+        F.concat(F.lit(f"b{b}:"), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+        for b in range(N_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct doc pairs sharing ≥1 band bucket (doc_a < doc_b)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_pairs(tokens: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidates only; keep pairs ≥ threshold."""
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tokens.alias("ta")
+    tb = tokens.alias("tb")
+    common = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+    return jac.filter(F.col("jac") >= threshold)
+
+
+_HASH_COLS = ",\n    ".join(
+    f"MIN(md5('{i}:' || token)) AS m{i}" for i in range(N_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, 'b{b}:' || m{2 * b} || m{2 * b + 1} AS band_key FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH tokens AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) t
+), sigs AS (
+  SELECT doc_id,
+    {_HASH_COLS}
+  FROM tokens GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id
+), common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tokens ta ON ta.doc_id = c.doc_a
+  JOIN tokens tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+), jacs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(jac * 1000000.0) / 1000000.0 AS jaccard
+FROM jacs
+WHERE jac >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("near_dup_minhash_lsh", oracle=_MINHASH_ORACLE, survey="EXT-dedup")
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline over documents; emits
+    verified pairs with exact Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = token_sets(docs).cache()
+    sigs = minhash_signatures(tokens)
+    cand = candidate_pairs(band_keys(sigs))
+    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD)
+    return pairs.select(
+        "doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+  FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jacs AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, ROUND(jac * 1000000.0) / 1000000.0 AS jaccard
+FROM jacs WHERE jac >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("near_dup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey="EXT-dedup")
+def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (shingle-exact variant).
+
+    Candidate generation is the inverted gram index itself (docs sharing a
+    gram); at 100 TB this is the *verification* stage fed by LSH above —
+    standalone it's for moderate corpora / high thresholds where the gram
+    join stays sparse."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 3),"
+                " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacs = (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+    return (
+        jacs.filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

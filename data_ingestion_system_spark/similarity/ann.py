@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (SURVEY.md §7 Stage 6).
+
+Two tiers, per the incremental top-k similarity literature (PAPERS.md —
+EDBT'20 incremental top-k; REPOSE ICDE'21 distributed top-k):
+
+1. `ann_topk_bruteforce` — exact cosine top-k: broadcast the (small) query
+   set against all candidates; one scan, no shuffle of the big side. The
+   correctness baseline.
+2. `ann_lsh_topk` — sign-random-projection LSH: 8 deterministic
+   hyperplanes (±1 entries from md5 parity) → 8-bit bucket; top-k is
+   computed only among same-bucket candidates. The 100 TB path: the
+   bucket join prunes ~256× of the candidate set per query.
+
+Dot products use double-precision sequential fold (zip_with + aggregate)
+— bit-identical to the DuckDB oracle's list arithmetic, so scores
+hash-match after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+N_QUERIES = 3  # vec_id < 3 are the query vectors
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a, b):
+    """Sequential-fold dot product over two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Exact top-k cosine: broadcast-crossjoin queries × candidates,
+    window-rank per query. Assumes |queries| small (the ANN query-batch
+    pattern); candidates stream through one stage."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, cand_id,
+    list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * cv[i]))
+      / (sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * qv[i])))
+         * sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> cv[i] * cv[i])))) AS cosine
+  FROM q, c
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, ROUND(cosine * 1000000.0) / 1000000.0 AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_topk_bruteforce", oracle=_BRUTE_ORACLE, survey="EXT-similarity")
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 3 query vectors against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    candidates = emb.filter(F.col("vec_id") >= N_QUERIES)
+    out = cosine_topk(queries, candidates, TOP_K)
+    return out.select(
+        "query_id",
+        "cand_id",
+        round_port(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _plane_sign_sql(p: int, j: int, instr_fn: str) -> str:
+    """Deterministic ±1 hyperplane entry: parity of the first hex digit of
+    md5('plane:p:j'). p and j are literals, so the md5 argument inlines
+    (Spark rejects CAST(... AS VARCHAR) without a length)."""
+    nib = f"({instr_fn}('0123456789abcdef', substr(md5('plane:{p}:{j}'), 1, 1)) - 1)"
+    return f"(CASE WHEN ({nib}) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+
+
+def lsh_bucket_expr(vec_col: str, instr_fn: str, intdiv: str) -> str:
+    """SQL expression: 8-bit sign-projection bucket of a double[] column.
+
+    bit p = sign(Σ_j v[j] · s_pj), s_pj ∈ {±1} from md5 parity. Shared
+    shape between Spark SQL and DuckDB (1-based element access in both:
+    Spark `element_at`, DuckDB `v[i]`)."""
+    del intdiv  # same construction for both dialects; kept for symmetry
+    elem = "element_at({v}, {j})" if instr_fn == "instr" else "{v}[{j}]"
+    bits = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"{elem.format(v=vec_col, j=j + 1)} * {_plane_sign_sql(p, j, instr_fn)}"
+            for j in range(DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), bucketed AS (
+  SELECT vec_id, ev, {lsh_bucket_expr("ev", "strpos", "//")} AS bucket FROM v
+), q AS (
+  SELECT vec_id AS query_id, ev AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS cand_id, ev AS cv, bucket FROM bucketed WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT query_id, cand_id,
+    list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * cv[i]))
+      / (sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> qv[i] * qv[i])))
+         * sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> cv[i] * cv[i])))) AS cosine
+  FROM q JOIN c USING (bucket)
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, ROUND(cosine * 1000000.0) / 1000000.0 AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE, survey="EXT-similarity")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: candidates restricted to the
+    query's sign-projection bucket. Same scoring as brute force; the
+    bucket equi-join replaces the cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    bucketed = v.withColumn(
+        "bucket", F.expr(lsh_bucket_expr("ev", "instr", "div"))
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "bucket"
+    )
+    c = bucketed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("ev").alias("cv"), "bucket"
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id",
+        "cand_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            round_port(F.col("cosine"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
