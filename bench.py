@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans the engine's main plan shapes: broadcast-join
+aggregation, large self-join, window analytics, stratified sampling,
+exact + MinHash-LSH + SimHash dedup, ANN top-k, and text profiling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from data_ingestion_system_spark.registry import load_all
+from data_ingestion_system_spark.session import get_spark
+
+HEADLINE = [
+    "app_stats",
+    "join_4way",
+    "dynamic_filter",
+    "self_join_theta",
+    "history_lag_zscore",
+    "stratified_split",
+    "dedup_exact_stats",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "ann_topk_bruteforce",
+    "token_counts",
+    "quality_flags",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    spark = get_spark(app_name="dis-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warm-up: JVM JIT + file-listing, not counted
+    registry["group_frequency"].spark(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].spark(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,26 @@ JACCARD_THRESHOLD = 0.5
 
 
 def token_sets(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, token) pairs — the set representation."""
-    return docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    """Distinct (doc_id, shingle) pairs — 3-word shingle sets.
+
+    Shingling (not unigrams) is what makes MinHash discriminative: the
+    testdata vocabulary is ~31 words, so unigram sets of long documents
+    are all nearly identical (Jaccard≈1 for most pairs → LSH degenerates
+    to all-pairs, measured 126 s at sf0.1); 3-gram shingle space is
+    ~27k, restoring locality. Documents shorter than 3 tokens use the
+    whole text as their single shingle."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(ts) - 3),"
+                    " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", F.col("ts"))))
+        ).alias("token"),
     ).distinct()
 
 
@@ -114,10 +131,15 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 )
 
 _MINHASH_ORACLE = f"""
-WITH tokens AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-  ) t
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tokens AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS token
+  FROM toklists, UNNEST(range(1, len(ts) - 1)) AS r(i)
+  WHERE len(ts) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ts, ' ') AS token
+  FROM toklists WHERE len(ts) < 3
 ), sigs AS (
   SELECT doc_id,
     {_HASH_COLS}
@@ -154,7 +176,10 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline over documents; emits
     verified pairs with exact Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = token_sets(docs).cache()
+    # localCheckpoint materializes the shingle sets once for the three
+    # consumers (signatures, verify join ×2) without leaving a lingering
+    # cache entry behind after the query returns
+    tokens = token_sets(docs).localCheckpoint(eager=False)
     sigs = minhash_signatures(tokens)
     cand = candidate_pairs(band_keys(sigs))
     pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD)

@@ -1,0 +1,170 @@
+"""Structured-Streaming ingestion — SURVEY.md §2.8 (T1–T5, T8) + §2.1 S8–S10.
+
+The reference hand-rolls micro-batch streaming: a sleep-loop scheduler
+(reference: src/ingestion/scheduler.py:53-100), per-batch dedup against
+the whole stored PK set (src/ingestion/pipeline.py:201-216), INSERT OR
+IGNORE sinks (src/database/db_manager.py:141-230), a run-audit row per
+batch (db_manager.py:266-314), and provenance rows
+(db_manager.py:488-506). Spark-first equivalents:
+
+- scheduler      → `trigger(processingTime=...)` / `Trigger.AvailableNow`
+- checkpoints    → `checkpointLocation` (exactly-once source progress,
+                   replacing file_storage.py:209-229 manual checkpoints)
+- dedup sink     → per-batch anti-join against the target on the key
+                   (INSERT OR IGNORE ≡ WHEN NOT MATCHED INSERT)
+- audit + provenance → writes inside the same foreachBatch
+- graceful stop  → `query.stop()` (scheduler.py:121-133 SIGINT path)
+
+Scale: the anti-join reads only the key column of the target (column
+pruning); with a Delta/Iceberg target this becomes MERGE with file-level
+pruning. State never lives in driver memory, unlike the reference's
+Python id-set.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class IngestPaths:
+    source_dir: str      # landing files (the "scraper output")
+    target_dir: str      # deduplicated store (reviews table equivalent)
+    audit_dir: str       # scrape_runs equivalent, one row per batch
+    provenance_dir: str  # review_scrape_log equivalent (key, batch_id)
+    checkpoint_dir: str
+
+
+def dedup_insert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    paths: IngestPaths,
+) -> None:
+    """The foreachBatch body: INSERT-OR-IGNORE semantics + audit trail.
+
+    Mirrors pipeline.run (pipeline.py:82-159): dedup within batch, dedup
+    against store, append survivors, record run + provenance. Counts are
+    computed from DataFrame aggregates, not driver loops.
+    """
+    batch_df = batch_df.dropDuplicates([key_col]).cache()
+    fetched = batch_df.count()
+
+    target_exists = os.path.isdir(paths.target_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(paths.target_dir)
+    )
+    if target_exists:
+        existing_keys = spark.read.parquet(paths.target_dir).select(key_col)
+        new_rows = batch_df.join(existing_keys, key_col, "left_anti").cache()
+    else:
+        new_rows = batch_df
+    inserted = new_rows.count()
+    skipped = fetched - inserted
+    status = "completed" if fetched else "empty"
+
+    new_rows.write.mode("append").parquet(paths.target_dir)
+    # provenance: every fetched key is logged for this run, including skips
+    # (review_scrape_log records re-fetches too, db_manager.py:488-506)
+    batch_df.select(
+        F.col(key_col), F.lit(batch_id).alias("batch_id")
+    ).write.mode("append").parquet(paths.provenance_dir)
+    audit = spark.createDataFrame(
+        [(int(batch_id), fetched, inserted, skipped,
+          float(skipped) / fetched if fetched else 0.0, status)],
+        "batch_id long, fetched long, inserted long, skipped long, dedup_rate double, status string",
+    )
+    audit.write.mode("append").parquet(paths.audit_dir)
+    batch_df.unpersist()
+
+
+def run_file_ingestion(
+    spark: SparkSession,
+    paths: IngestPaths,
+    schema: StructType,
+    key_col: str,
+    max_files_per_trigger: int | None = 1,
+    processing_time: str | None = None,
+    await_seconds: float | None = None,
+):
+    """Continuous (or one-shot) file-source ingestion.
+
+    `processing_time=None` → Trigger.AvailableNow: drain everything
+    pending and stop — the reference's `--once` mode (scheduler.py:65-86).
+    A processing-time trigger reproduces the 4-hour cadence
+    (settings.py:125) without a sleep loop.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(paths.source_dir)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_insert_batch(spark, batch_df, batch_id, key_col, paths)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", paths.checkpoint_dir
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if await_seconds is not None:
+        query.awaitTermination(await_seconds)
+        query.stop()  # graceful shutdown, T8
+    else:
+        query.awaitTermination()
+    return query
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed aggregation with a watermark — the streaming
+    twin of A2 daily stats. Late rows beyond `watermark_delay` are
+    dropped and their state reclaimed (the reference has no late-data
+    story at all; dedup-by-key was its only defense, SURVEY §2.8)."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    window_duration: str = "1 hour",
+):
+    """Drain a file-source stream through the watermarked window agg into
+    a parquet sink (append mode → only finalized windows emit)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_counts(stream, window_duration)
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

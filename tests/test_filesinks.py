@@ -1,0 +1,68 @@
+"""File source/sink roundtrips (SURVEY.md §2.1 S4-S7, S11-S13)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.operators.sampling import assign_split
+from data_ingestion_system_spark.schemas import TESTDATA_SCHEMAS
+from data_ingestion_system_spark.sources.filesinks import (
+    export_training_data,
+    load_json,
+    save_csv,
+    save_json,
+    save_multi_format,
+)
+from data_ingestion_system_spark.tables import load_table
+
+
+def test_json_roundtrip_with_dedup(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)  # duplicate every row
+    out = str(tmp_path / "docs_json")
+    save_json(doubled, out, key_col="doc_id")
+    back = load_json(spark, out, TESTDATA_SCHEMAS["documents"])
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_csv_sink_header(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_csv")
+    save_csv(docs, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    with open(os.path.join(out, files[0])) as f:
+        assert f.readline().strip() == "doc_id,lang,n_chars"
+
+
+def test_multi_format(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    base = str(tmp_path / "multi")
+    save_multi_format(docs, base, formats=("json", "csv", "parquet"))
+    assert spark.read.parquet(os.path.join(base, "parquet")).count() == 50
+
+
+def test_export_training_data(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    split_df = assign_split(docs, class_col="label", key_col="doc_id")
+    out = str(tmp_path / "export")
+    meta = export_training_data(split_df, out, label_col="label")
+    assert set(meta["splits"]) == {"train", "val", "test"}
+    assert meta["total"] == docs.count()
+    # splits are disjoint and ~80/10/10
+    train_n = meta["splits"]["train"]["count"]
+    assert abs(train_n / meta["total"] - 0.8) < 0.05
+    # sidecar exists and parses
+    with open(os.path.join(out, "export_metadata.json")) as f:
+        sidecar = json.load(f)
+    assert sidecar == meta
+    # JSONL readable back per split
+    train = spark.read.json(os.path.join(out, "train"))
+    assert train.count() == train_n
+    assert "split" not in train.columns

@@ -1,0 +1,122 @@
+"""Streaming ingestion tests — the Stage-3 correctness contract
+(SURVEY.md §7): replay overlapping batches, assert PK uniqueness,
+inserted+skipped == fetched per batch, and monotone dedup rates
+(FIXTURES.md §5 invariants).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.schemas import TESTDATA_SCHEMAS
+from data_ingestion_system_spark.streaming.ingest import (
+    IngestPaths,
+    run_file_ingestion,
+    run_windowed_stream,
+)
+from data_ingestion_system_spark.tables import load_table
+
+EVENTS_SCHEMA_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+@pytest.fixture()
+def overlap_batches(spark, sf_dir, tmp_path):
+    """Three landing files with ~40% id overlap between consecutive
+    batches (the re-fetch pattern, docs/summery_deck.md:194-203)."""
+    events = load_table(spark, sf_dir, "events").limit(1000).cache()
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    ranges = [(0, 400), (300, 700), (600, 1000)]
+    for i, (lo, hi) in enumerate(ranges):
+        (
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / f"staging{i}"))
+        )
+        # move the single part file into the landing dir with ordered names
+        staging = tmp_path / f"staging{i}"
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        os.rename(staging / part, tmp_path / "landing" / f"batch_{i}.parquet")
+    return src
+
+
+def test_overlapping_batches_dedup(spark, overlap_batches, tmp_path):
+    paths = IngestPaths(
+        source_dir=overlap_batches,
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    schema = TESTDATA_SCHEMAS["events"]
+    # events.ts is read as long in raw files? no — we wrote micro-converted
+    # timestamps, so use the logical schema
+    run_file_ingestion(spark, paths, schema, key_col="event_id", max_files_per_trigger=1)
+
+    target = spark.read.parquet(paths.target_dir)
+    # PK uniqueness invariant
+    assert target.count() == target.select("event_id").distinct().count() == 1000
+
+    audit = spark.read.parquet(paths.audit_dir).orderBy("batch_id").collect()
+    assert len(audit) == 3
+    for row in audit:
+        assert row.fetched == row.inserted + row.skipped
+    # batch 0 all-new; later batches carry the overlap as skips
+    assert audit[0].skipped == 0
+    assert audit[1].skipped == 100 and audit[1].inserted == 300
+    assert audit[2].skipped == 100 and audit[2].inserted == 300
+    assert audit[1].dedup_rate == pytest.approx(0.25)
+
+    prov = spark.read.parquet(paths.provenance_dir)
+    # provenance logs every fetch incl. re-fetches: 400+400+400
+    assert prov.count() == 1200
+    assert prov.select("batch_id").distinct().count() == 3
+
+
+def test_restart_is_idempotent(spark, overlap_batches, tmp_path):
+    """Re-running with the same checkpoint must not duplicate rows
+    (exactly-once file-source progress)."""
+    paths = IngestPaths(
+        source_dir=overlap_batches,
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    schema = TESTDATA_SCHEMAS["events"]
+    run_file_ingestion(spark, paths, schema, key_col="event_id")
+    run_file_ingestion(spark, paths, schema, key_col="event_id")  # no new files
+    assert spark.read.parquet(paths.target_dir).count() == 1000
+    assert spark.read.parquet(paths.audit_dir).count() == 3
+
+
+def test_windowed_stream_with_watermark(spark, sf_dir, tmp_path):
+    """Watermarked hourly windows over the events stream drain correctly
+    under availableNow and match the batch computation."""
+    events = load_table(spark, sf_dir, "events").limit(1000).cache()
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    run_windowed_stream(
+        spark, src, out, str(tmp_path / "ckpt"), TESTDATA_SCHEMAS["events"], "1 hour"
+    )
+    got = spark.read.parquet(out)
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    # append mode emits only windows closed by the final watermark; every
+    # emitted row must match its batch twin, and most windows must emit
+    joined = got.select("window_start", "event_type", "n").alias("g").join(
+        batch.alias("b"), ["window_start", "event_type"]
+    )
+    mismatches = joined.filter(F.col("g.n") != F.col("b.n")).count()
+    assert mismatches == 0
+    assert got.count() >= batch.count() * 0.5
