@@ -1,0 +1,120 @@
+"""The reference's five SQL views as DataFrame builders + temp views.
+
+Exact re-expressions of reference: src/database/schema.sql:209-404 on the
+review-domain schema (schemas.REVIEW_DOMAIN_SCHEMAS / fixtures.py). Each
+builder returns the view's DataFrame; `register_reference_views` exposes
+them to Spark SQL under the reference's names so every query the
+reference runs against SQLite runs verbatim against this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import (
+    length_bucket,
+    round_port,
+    sentiment_bucket,
+)
+
+
+def v_reviews_with_app(reviews: DataFrame, apps: DataFrame) -> DataFrame:
+    """schema.sql:209-216 — reviews enriched with app dim columns."""
+    return reviews.join(F.broadcast(apps), "app_id").select(
+        reviews["*"],
+        F.col("title").alias("app_title"),
+        F.col("developer").alias("app_developer"),
+        F.col("genre").alias("app_genre"),
+    )
+
+
+def v_reviews_sentiment(reviews: DataFrame) -> DataFrame:
+    """schema.sql:219-232 — sentiment + length buckets (P6/P7 ladders)."""
+    return reviews.select(
+        "*",
+        sentiment_bucket(F.col("rating")).alias("sentiment_bucket"),
+        length_bucket(F.length(F.col("content"))).alias("length_bucket"),
+    )
+
+
+def v_app_stats(reviews: DataFrame) -> DataFrame:
+    """schema.sql:236-249 — the flagship per-app multi-aggregate."""
+    return (
+        reviews.groupBy("app_id")
+        .agg(
+            F.count("*").alias("total_reviews"),
+            round_port(F.avg("rating"), 2).alias("avg_rating"),
+            F.sum(F.when(F.col("rating") >= 4, 1).otherwise(0)).alias("positive_reviews"),
+            F.sum(F.when(F.col("rating") <= 2, 1).otherwise(0)).alias("negative_reviews"),
+            F.sum(F.when(F.col("reply_content").isNotNull(), 1).otherwise(0)).alias("replied_reviews"),
+            round_port(F.avg(F.length("content")), 1).alias("avg_content_length"),
+            round_port(F.avg("thumbs_up"), 2).alias("avg_thumbs_up"),
+            F.min("review_timestamp").alias("first_review"),
+            F.max("review_timestamp").alias("last_review"),
+        )
+        .orderBy("app_id")
+    )
+
+
+def v_daily_stats(reviews: DataFrame) -> DataFrame:
+    """schema.sql:252-261 — per-day counts and star extremes."""
+    return (
+        reviews.groupBy(F.to_date("review_timestamp").alias("review_date"))
+        .agg(
+            F.count("*").alias("total_reviews"),
+            round_port(F.avg("rating"), 2).alias("avg_rating"),
+            F.sum(F.when(F.col("rating") == 5, 1).otherwise(0)).alias("five_star"),
+            F.sum(F.when(F.col("rating") == 1, 1).otherwise(0)).alias("one_star"),
+        )
+        .orderBy("review_date")
+    )
+
+
+def v_labeled_reviews(
+    labels: DataFrame, reviews: DataFrame, apps: DataFrame, annotators: DataFrame | None = None
+) -> DataFrame:
+    """schema.sql:375-404 — labels ⋈ reviews ⋈ apps (⋈ annotators) with
+    the star_label_mismatch flag: a positive human label on a ≤2★ review
+    (or negative label on a ≥4★ one)."""
+    out = (
+        labels.join(reviews, "review_id")
+        .join(F.broadcast(apps.select("app_id", "title")), "app_id")
+        .select(
+            "label_id",
+            "review_id",
+            "annotator_id",
+            "sentiment",
+            "confidence",
+            "rating",
+            "content",
+            F.col("title").alias("app_title"),
+            F.when(
+                (F.col("sentiment").isin("positive", "very_positive") & (F.col("rating") <= 2))
+                | (F.col("sentiment").isin("negative", "very_negative") & (F.col("rating") >= 4)),
+                1,
+            )
+            .otherwise(0)
+            .alias("star_label_mismatch"),
+        )
+    )
+    if annotators is not None:
+        out = out.join(
+            F.broadcast(annotators.select("annotator_id", F.col("name").alias("annotator_name"))),
+            "annotator_id",
+            "left",
+        )
+    return out
+
+
+def register_reference_views(spark: SparkSession, reviews: DataFrame, apps: DataFrame, labels: DataFrame | None = None) -> None:
+    """Publish the reference view names into the SQL catalog."""
+    reviews.createOrReplaceTempView("reviews")
+    apps.createOrReplaceTempView("apps")
+    v_reviews_with_app(reviews, apps).createOrReplaceTempView("v_reviews_with_app")
+    v_reviews_sentiment(reviews).createOrReplaceTempView("v_reviews_sentiment")
+    v_app_stats(reviews).createOrReplaceTempView("v_app_stats")
+    v_daily_stats(reviews).createOrReplaceTempView("v_daily_stats")
+    if labels is not None:
+        labels.createOrReplaceTempView("labels")
+        v_labeled_reviews(labels, reviews, apps).createOrReplaceTempView("v_labeled_reviews")

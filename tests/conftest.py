@@ -51,6 +51,10 @@ def _normalize(value):
     order-insensitive value compare, with float tolerance handled by caller)."""
     import datetime as _dt
 
+    import pandas as _pd
+
+    if value is None or value is _pd.NaT:
+        return None
     if hasattr(value, "to_pydatetime"):  # pandas.Timestamp
         value = value.to_pydatetime()
     if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):

@@ -1,0 +1,81 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale properties the
+engine promises must be visible in the executed plan, not just hoped for.
+A failure here is a performance regression even if results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.plans.inspect import (
+    audit,
+    count_broadcast_joins,
+    count_sort_merge_joins,
+    has_partial_aggregation,
+    has_pushed_filters,
+    has_whole_stage_codegen,
+    is_take_ordered,
+    read_schemas,
+)
+from data_ingestion_system_spark.registry import load_all
+from data_ingestion_system_spark.tables import load_table
+
+REGISTRY = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["dynamic_filter"].spark(spark, sf_dir)
+    assert has_pushed_filters(df), "predicates must push into the parquet scan"
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read the full 11-column lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schemas(li)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+    assert all("l_orderkey" in s for s in schemas)
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    df = REGISTRY["app_stats"].spark(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 2, "customer and nation must broadcast"
+    assert count_sort_merge_joins(df) == 0, "no sort-merge join for dim lookups"
+
+
+def test_4way_join_single_shuffle_join(spark, sf_dir):
+    df = REGISTRY["join_4way"].spark(spark, sf_dir)
+    a = audit(df)
+    assert a["broadcast_joins"] >= 2, "customer+nation broadcast"
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = REGISTRY["topk_by_sortkey"].spark(spark, sf_dir)
+    assert is_take_ordered(df), "ORDER BY+LIMIT must compile to TakeOrderedAndProject"
+
+
+def test_aggregate_is_partial_final(spark, sf_dir):
+    df = REGISTRY["group_frequency"].spark(spark, sf_dir)
+    assert has_partial_aggregation(df), "groupBy must map-side combine"
+
+
+def test_whole_stage_codegen_everywhere_core(spark, sf_dir):
+    # grouped_distribution is excluded: exact `percentile` is a
+    # TypedImperativeAggregate (ObjectHashAggregate) which cannot codegen —
+    # an accepted cost of hash-exact parity (SURVEY §2.4 A10)
+    for name in ["app_stats", "dynamic_filter", "quality_flags", "join_4way"]:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert has_whole_stage_codegen(df), f"{name}: expression must run in codegen"
+
+
+def test_anti_join_not_cartesian(spark, sf_dir):
+    df = REGISTRY["anti_join"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "AntiJoin" in plan or "LeftAnti" in plan
+
+
+def test_scan_filter_prunes_columns_in_quality(spark, sf_dir):
+    """quality_flags touches only `text` — the scan must not read doc_id."""
+    df = REGISTRY["quality_flags"].spark(spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all("doc_id" not in s for s in schemas)
