@@ -1,0 +1,79 @@
+"""Keyed MERGE / upsert library — SURVEY.md §2.1 S9–S10, §4.2.2.
+
+The reference's write protocols:
+- `INSERT OR IGNORE` for reviews (reference: src/database/db_manager.py:141-230)
+  with inserted/skipped counters from cursor.rowcount (:223-224)
+- `INSERT ... ON CONFLICT DO UPDATE` for app metadata (db_manager.py:98-139)
+
+On a lakehouse table (Delta/Iceberg) both are literal MERGE statements;
+this container has plain parquet, so the library implements the same
+semantics with the anti-join/union + atomic-directory-swap protocol and
+returns the same counters. The streaming path (streaming.ingest) reuses
+`insert_ignore`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MergeResult:
+    inserted: int
+    updated: int
+    skipped: int
+
+
+def _swap_write(df: DataFrame, target_dir: str) -> None:
+    """Write to a sibling temp dir then atomically swap — the parquet
+    stand-in for a transactional table commit."""
+    tmp = f"{target_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old)
+    os.rename(tmp, target_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def insert_ignore(
+    spark: SparkSession, new_rows: DataFrame, target_dir: str, key: str
+) -> MergeResult:
+    """INSERT OR IGNORE: append rows whose key is absent; collisions skip.
+    Equivalent MERGE: WHEN NOT MATCHED THEN INSERT."""
+    new_rows = new_rows.dropDuplicates([key])
+    fetched = new_rows.count()
+    if os.path.exists(target_dir):
+        existing = spark.read.parquet(target_dir).select(key)
+        to_insert = new_rows.join(existing, key, "left_anti")
+        inserted = to_insert.count()
+        to_insert.write.mode("append").parquet(target_dir)
+    else:
+        inserted = fetched
+        new_rows.write.mode("overwrite").parquet(target_dir)
+    return MergeResult(inserted=inserted, updated=0, skipped=fetched - inserted)
+
+
+def upsert(
+    spark: SparkSession, new_rows: DataFrame, target_dir: str, key: str
+) -> MergeResult:
+    """ON CONFLICT DO UPDATE: new key → insert, existing key → replace row.
+    Equivalent MERGE: WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT."""
+    new_rows = new_rows.dropDuplicates([key])
+    n_new = new_rows.count()
+    if not os.path.exists(target_dir):
+        new_rows.write.mode("overwrite").parquet(target_dir)
+        return MergeResult(inserted=n_new, updated=0, skipped=0)
+    existing = spark.read.parquet(target_dir)
+    updated = existing.join(new_rows.select(key), key, "left_semi").count()
+    kept = existing.join(new_rows.select(key), key, "left_anti")
+    merged = kept.unionByName(new_rows)
+    _swap_write(merged, target_dir)
+    return MergeResult(inserted=n_new - updated, updated=updated, skipped=0)

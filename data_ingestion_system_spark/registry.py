@@ -58,6 +58,8 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.sampling",
     "data_ingestion_system_spark.operators.quality",
     "data_ingestion_system_spark.operators.monitoring",
+    "data_ingestion_system_spark.operators.datetime_json",
+    "data_ingestion_system_spark.operators.reference_domain",
     "data_ingestion_system_spark.operators.labeling",
     "data_ingestion_system_spark.text.analysis",
     "data_ingestion_system_spark.dedup.exact",

@@ -1,0 +1,90 @@
+"""MERGE semantics + queue-state-machine tests (SURVEY §2.1 S9-S10, §7.4.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.operators.merge import insert_ignore, upsert
+from data_ingestion_system_spark.operators.statemachine import (
+    current_state,
+    invalid_transitions,
+    next_batch,
+    queue_statistics,
+)
+from data_ingestion_system_spark.tables import load_table
+
+
+def test_insert_ignore_counts(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    target = str(tmp_path / "target")
+    r1 = insert_ignore(spark, docs.filter("doc_id < 300"), target, "doc_id")
+    assert (r1.inserted, r1.skipped) == (300, 0)
+    # overlapping second batch: 100 collisions skip silently
+    r2 = insert_ignore(spark, docs.filter("doc_id >= 200 AND doc_id < 500"), target, "doc_id")
+    assert (r2.inserted, r2.skipped) == (200, 100)
+    stored = spark.read.parquet(target)
+    assert stored.count() == stored.select("doc_id").distinct().count() == 500
+
+
+def test_upsert_updates_and_inserts(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    target = str(tmp_path / "apps")
+    upsert(spark, docs.filter("doc_id < 100"), target, "doc_id")
+    # conflicting rows carry a changed attribute — must replace, not dup
+    changed = docs.filter("doc_id >= 50 AND doc_id < 150").withColumn("lang", F.lit("xx"))
+    r = upsert(spark, changed, target, "doc_id")
+    assert (r.inserted, r.updated) == (50, 50)
+    stored = spark.read.parquet(target)
+    assert stored.count() == 150
+    assert stored.filter("lang = 'xx'").count() == 100
+    assert stored.filter("doc_id < 50 AND lang = 'xx'").count() == 0
+
+
+def _events(spark):
+    rows = [
+        # queue_id, review_id, tier, status, actor, ts-ordinal, seq
+        (1, "r1", 1, "pending", None, 1, 1),
+        (1, "r1", 1, "assigned", 7, 2, 2),
+        (1, "r1", 1, "completed", 7, 3, 3),
+        (2, "r2", 2, "pending", None, 1, 4),
+        (2, "r2", 2, "assigned", 8, 2, 5),
+        (2, "r2", 2, "skipped", 8, 3, 6),
+        (2, "r2", 2, "pending", None, 4, 7),  # requeued
+        (3, "r3", 1, "pending", None, 1, 8),
+        (4, "r4", 3, "pending", None, 1, 9),
+        (5, "r5", 1, "pending", None, 1, 10),
+        (5, "r5", 1, "completed", 9, 2, 11),  # invalid: pending→completed
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "queue_id long, review_id string, priority_tier int, status string,"
+        " actor_id long, ord int, seq long",
+    )
+    return df.withColumn(
+        "event_ts",
+        F.to_timestamp(F.lit("2024-04-01 00:00:00")) + F.make_interval(mins=F.col("ord")),
+    ).drop("ord")
+
+
+def test_latest_state_and_next_batch(spark):
+    ev = _events(spark)
+    state = current_state(ev)
+    by_id = {r.queue_id: r.status for r in state.collect()}
+    assert by_id == {1: "completed", 2: "pending", 3: "pending", 4: "pending", 5: "completed"}
+    batch = next_batch(state, 2).collect()
+    # tier ASC, queue_id ASC: queue 3 (tier1) before queue 2 (tier2)
+    assert [r.queue_id for r in batch] == [3, 2]
+
+
+def test_invalid_transition_audit(spark):
+    ev = _events(spark)
+    bad = invalid_transitions(ev).collect()
+    assert len(bad) == 1
+    assert bad[0].queue_id == 5 and bad[0].prev_status == "pending" and bad[0].status == "completed"
+
+
+def test_queue_statistics_matrix(spark):
+    ev = _events(spark)
+    stats = queue_statistics(current_state(ev)).collect()
+    tier1 = next(r for r in stats if r.priority_tier == 1)
+    assert tier1.completed == 2 and tier1.pending == 1
