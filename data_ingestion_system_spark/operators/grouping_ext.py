@@ -1,0 +1,70 @@
+"""Grouping-set extensions — SURVEY.md §2.4 (cube/rollup).
+
+The reference computes its tier×status matrix with two independent
+GROUP BYs over the same table (reference: src/database/db_manager.py:716-748);
+SURVEY §2.4 notes the one-pass `cube` equivalent. Exposed here as
+first-class operators: one scan produces every marginal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+
+@query(
+    "cube_counts",
+    oracle="""
+SELECT event_type, user_id % 3 AS user_band, COUNT(*) AS n
+FROM events
+GROUP BY CUBE (event_type, user_id % 3)
+ORDER BY event_type NULLS FIRST, user_band NULLS FIRST
+""",
+    survey="A6-cube",
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user_band): the two independent GROUP BYs of
+    db_manager.py:721-731 plus the grand total, in one pass."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.cube("event_type", (F.col("user_id") % 3).alias("user_band"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("user_band").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "rollup_daily",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y') AS yr, strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice) * 100.0) / 100.0 AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY ROLLUP (strftime(o_orderdate, '%Y'), strftime(o_orderdate, '%Y-%m'))
+ORDER BY yr NULLS FIRST, month NULLS FIRST
+""",
+    survey="A2-rollup",
+)
+def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP year→month: the v_daily_stats hierarchy with subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        orders.rollup(
+            F.date_format("o_orderdate", "yyyy").alias("yr"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            round_port(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.col("yr").asc_nulls_first(), F.col("month").asc_nulls_first())
+    )

@@ -60,6 +60,9 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.monitoring",
     "data_ingestion_system_spark.operators.datetime_json",
     "data_ingestion_system_spark.operators.reference_domain",
+    "data_ingestion_system_spark.operators.grouping_ext",
+    "data_ingestion_system_spark.dedup.embedding",
+    "data_ingestion_system_spark.text.search",
     "data_ingestion_system_spark.operators.labeling",
     "data_ingestion_system_spark.text.analysis",
     "data_ingestion_system_spark.dedup.exact",
