@@ -146,6 +146,39 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    key_col: str,
+    ts_col: str = "ts",
+    watermark_delay: str = "1 day",
+):
+    """Pure-streaming dedup alternative to the foreachBatch anti-join:
+    `dropDuplicatesWithinWatermark` keys state on `key_col` and reclaims
+    it once the watermark passes — bounded state for unbounded streams
+    (SURVEY §7.4.5). Semantic difference vs INSERT-OR-IGNORE: duplicates
+    arriving later than `watermark_delay` after the first sighting are
+    NOT suppressed; the MERGE path has no such horizon. Use this when the
+    re-delivery window is bounded (the reference's 4-hourly re-fetch is)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def run_windowed_stream(
     spark: SparkSession,
     source_dir: str,

@@ -16,6 +16,7 @@ from data_ingestion_system_spark.streaming.ingest import (
     IngestPaths,
     run_file_ingestion,
     run_windowed_stream,
+    streaming_dedup_within_watermark,
 )
 from data_ingestion_system_spark.tables import load_table
 
@@ -94,6 +95,23 @@ def test_restart_is_idempotent(spark, overlap_batches, tmp_path):
     run_file_ingestion(spark, paths, schema, key_col="event_id")  # no new files
     assert spark.read.parquet(paths.target_dir).count() == 1000
     assert spark.read.parquet(paths.audit_dir).count() == 3
+
+
+def test_dedup_within_watermark(spark, overlap_batches, tmp_path):
+    """The pure-streaming dedup path: overlapping batches inside the
+    watermark horizon must come out key-unique."""
+    out = str(tmp_path / "dedup_out")
+    streaming_dedup_within_watermark(
+        spark,
+        overlap_batches,
+        out,
+        str(tmp_path / "ckpt2"),
+        TESTDATA_SCHEMAS["events"],
+        key_col="event_id",
+        watermark_delay="365 days",  # all test rows inside the horizon
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("event_id").distinct().count() == 1000
 
 
 def test_windowed_stream_with_watermark(spark, sf_dir, tmp_path):
