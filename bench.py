@@ -33,6 +33,9 @@ HEADLINE = [
     "near_dup_minhash_lsh",
     "near_dup_simhash",
     "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "near_dup_embedding_cosine",
+    "inverted_index_search",
     "token_counts",
     "quality_flags",
 ]

@@ -25,8 +25,10 @@ HAMMING_MAX = 3
 
 def _bit_expr(b: int, instr_fn: str, intdiv: str) -> str:
     """Bit b (msb-first) of the 16-bit token hash = hex-digit arithmetic
-    over substr(md5(token), 1, 4)."""
-    nib = f"({instr_fn}('0123456789abcdef', substr(md5(token), {1 + b // 4}, 1)) - 1)"
+    over the precomputed `h` column (= substr(md5(token), 1, 4)); hoisting
+    the md5 out of the 16 bit expressions cuts 64 hash evaluations per
+    token down to 1."""
+    nib = f"({instr_fn}('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
     shift = 2 ** (3 - b % 4)
     return f"((({nib}) {intdiv} {shift}) % 2)"
 
@@ -50,10 +52,12 @@ WITH tokens AS (
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
   ) t
+), hashed AS (
+  SELECT doc_id, substr(md5(token), 1, 4) AS h FROM tokens
 ), votes AS (
   SELECT doc_id,
     {_vote_sums("strpos", "//")}
-  FROM tokens GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), hashes AS (
   SELECT doc_id, CAST({_simhash_value()} AS BIGINT) AS simhash FROM votes
 ), pairs AS (
@@ -80,11 +84,12 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
+    hashed = tokens.select("doc_id", F.expr("substr(md5(token), 1, 4)").alias("h"))
     vote_exprs = [
         F.expr(f"SUM(2 * {_bit_expr(b, 'instr', 'div')} - 1)").alias(f"s{b}")
         for b in range(N_BITS)
     ]
-    votes = tokens.groupBy("doc_id").agg(*vote_exprs)
+    votes = hashed.groupBy("doc_id").agg(*vote_exprs)
     return votes.select("doc_id", F.expr(f"CAST({_simhash_value()} AS BIGINT)").alias("simhash"))
 
 

@@ -126,6 +126,27 @@ def backfill_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentiles",
+    oracle=None,  # t-digest/GK sketches are engine-specific — rows-only;
+    # the exact twin `exact_percentiles` is the hash-matched one
+    survey="A10",
+)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the 100 TB twin of `exact_percentiles`: the
+    exact version holds per-group value buffers (ObjectHashAggregate, no
+    codegen); the sketch version streams in bounded memory with a
+    documented accuracy knob. Accuracy asserted in tests/test_monitoring
+    against the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle=None,  # HLL sketches differ across engines — rows-only check;
     # the exact twin `count_distinct` is the hash-matched one
