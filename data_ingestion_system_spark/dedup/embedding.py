@@ -52,7 +52,10 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (number of planes) trades recall vs candidate volume."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    bucketed = v.withColumn("bucket", F.expr(lsh_bucket_expr("ev", "instr", "div")))
+    # materialized once — the sign expression is huge and feeds both join sides
+    bucketed = v.withColumn(
+        "bucket", F.expr(lsh_bucket_expr("ev", "instr", "div"))
+    ).localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(

@@ -143,11 +143,21 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's scale path swaps in percentile_approx with documented
     error bounds."""
     li = load_table(spark, sf_dir, "lineitem")
-    sel = [
-        round_port(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(name)
-        for p, name in [(0.05, "p05"), (0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95"), (0.99, "p99")]
-    ]
-    return li.agg(*sel)
+    # ONE percentile(col, array(...)) call: six scalar percentile() aggs
+    # would each buffer the full column (6× memory + sort, measured 10.6s
+    # vs 2s at sf0.1); the array form shares one buffer
+    pcts = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.05, 0.25, 0.50, 0.75, 0.95, 0.99))"
+        ).alias("ps")
+    )
+    names = ["p05", "p25", "p50", "p75", "p95", "p99"]
+    return pcts.select(
+        *[
+            round_port(F.element_at(F.col("ps"), i + 1), 6).alias(n)
+            for i, n in enumerate(names)
+        ]
+    )
 
 
 @query(
