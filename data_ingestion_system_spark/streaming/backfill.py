@@ -1,0 +1,57 @@
+"""Audit backfill — SURVEY.md §2.8 T7.
+
+The reference reconstructs RunResult rows for historical runs that are
+missing metrics (reference: src/ingestion/monitor.py:510-611): find runs
+without a metrics row (anti-join, :520-532), then rebuild counts from the
+provenance junction (:558-565). Same shape here: the provenance log is
+the source of truth; a key was *inserted* by the earliest batch that
+fetched it, so every batch's fetched/inserted/skipped is derivable after
+the fact — one groupBy over provenance, no replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.streaming.ingest import IngestPaths
+
+
+def reconstruct_audit(spark: SparkSession, paths: IngestPaths, key_col: str) -> DataFrame:
+    """Recompute per-batch audit rows purely from provenance."""
+    prov = spark.read.parquet(paths.provenance_dir)
+    first_batch = prov.groupBy(key_col).agg(F.min("batch_id").alias("first_batch"))
+    fetched = prov.groupBy("batch_id").agg(F.count("*").alias("fetched"))
+    inserted = first_batch.groupBy(F.col("first_batch").alias("batch_id")).agg(
+        F.count("*").alias("inserted")
+    )
+    return (
+        fetched.join(inserted, "batch_id", "left")
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "fetched",
+            F.coalesce("inserted", F.lit(0)).alias("inserted"),
+            (F.col("fetched") - F.coalesce("inserted", F.lit(0))).alias("skipped"),
+            F.when(
+                F.col("fetched") > 0,
+                (F.col("fetched") - F.coalesce("inserted", F.lit(0)))
+                / F.col("fetched").cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("dedup_rate"),
+            F.lit("backfilled").alias("status"),
+        )
+    )
+
+
+def backfill_missing_audit(spark: SparkSession, paths: IngestPaths, key_col: str) -> int:
+    """Append reconstructed audit rows for batches present in provenance
+    but absent from the audit table (the J5 anti-join). Returns the
+    number of backfilled batches."""
+    audit = spark.read.parquet(paths.audit_dir)
+    reconstructed = reconstruct_audit(spark, paths, key_col)
+    missing = reconstructed.join(audit.select("batch_id"), "batch_id", "left_anti")
+    n = missing.count()
+    if n:
+        missing.write.mode("append").parquet(paths.audit_dir)
+    return n

@@ -72,7 +72,7 @@ def dedup_insert_batch(
     # provenance: every fetched key is logged for this run, including skips
     # (review_scrape_log records re-fetches too, db_manager.py:488-506)
     batch_df.select(
-        F.col(key_col), F.lit(batch_id).alias("batch_id")
+        F.col(key_col), F.lit(batch_id).cast("long").alias("batch_id")
     ).write.mode("append").parquet(paths.provenance_dir)
     audit = spark.createDataFrame(
         [(int(batch_id), fetched, inserted, skipped,
