@@ -58,6 +58,61 @@ def fuzz_env(spark):
     return con, li
 
 
+GROUP_KEYS = {
+    "l_returnflag": "l_returnflag",
+    "l_linenumber": "l_linenumber",
+    "qty_bucket": "CASE WHEN l_quantity <= 25 THEN 'lo' ELSE 'hi' END",
+}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(sorted(GROUP_KEYS)),
+    min_q=st.one_of(st.none(), st.integers(1, 40)),
+    want_avg=st.booleans(),
+    want_minmax=st.booleans(),
+    cond_flag=st.sampled_from(["R", "A", "N"]),
+)
+def test_grouped_agg_family(fuzz_env, key, min_q, want_avg, want_minmax, cond_flag):
+    """Random grouped-aggregation plans (the A1/A12 family) vs generated SQL."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.functions.scalar import round_port
+
+    con, li = fuzz_env
+    df = li
+    conds = []
+    if min_q is not None:
+        df = df.filter(F.col("l_quantity") >= min_q)
+        conds.append(f"l_quantity >= {min_q}")
+    key_sql = GROUP_KEYS[key]
+    aggs = [F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == cond_flag, 1).otherwise(0)).alias("n_flag")]
+    sel = [f"{key_sql} AS grp", "COUNT(*) AS n",
+           f"CAST(SUM(CASE WHEN l_returnflag = '{cond_flag}' THEN 1 ELSE 0 END) AS BIGINT) AS n_flag"]
+    if want_avg:
+        aggs.append(round_port(F.avg("l_extendedprice"), 4).alias("avg_price"))
+        sel.append("ROUND(AVG(l_extendedprice) * 10000.0) / 10000.0 AS avg_price")
+    if want_minmax:
+        aggs.append(F.min("l_shipdate").alias("min_ship"))
+        aggs.append(F.max("l_shipdate").alias("max_ship"))
+        sel.append("MIN(l_shipdate) AS min_ship")
+        sel.append("MAX(l_shipdate) AS max_ship")
+    grp_col = (
+        F.col(key)
+        if key != "qty_bucket"
+        else F.when(F.col("l_quantity") <= 25, "lo").otherwise("hi")
+    )
+    df = df.groupBy(grp_col.alias("grp")).agg(*aggs).orderBy("grp")
+    where = ("WHERE " + " AND ".join(conds)) if conds else ""
+    oracle = f"SELECT {', '.join(sel)} FROM lineitem {where} GROUP BY {key_sql} ORDER BY grp"
+    assert_df_matches_oracle(df, con, oracle)
+
+
 @settings(
     max_examples=25,
     deadline=None,
