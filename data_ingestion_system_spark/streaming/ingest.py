@@ -38,6 +38,57 @@ class IngestPaths:
     audit_dir: str       # scrape_runs equivalent, one row per batch
     provenance_dir: str  # review_scrape_log equivalent (key, batch_id)
     checkpoint_dir: str
+    alerts_dir: str | None = None  # ingestion_metrics alerts (T5/T6)
+
+
+# thresholds mirroring monitor.py:72-78
+DEDUP_RATE_ALERT = 0.995
+INSERT_DROP_FACTOR = 0.5
+DURATION_SPIKE_FACTOR = 2.0
+
+
+def evaluate_batch_health(spark: SparkSession, paths: IngestPaths, batch_id: int) -> None:
+    """Post-batch health evaluation (T5, monitor.evaluate_run
+    monitor.py:96-121): compare this batch's audit row against the
+    previous ≤5 batches and append alert rows. Pure window predicates —
+    the same three rules as operators.monitoring.anomaly_flags, evaluated
+    incrementally at ingest time."""
+    from pyspark.sql import Window
+
+    audit = spark.read.parquet(paths.audit_dir)
+    w5 = Window.orderBy("batch_id").rowsBetween(-5, -1)
+    flagged = (
+        audit.select(
+            "batch_id",
+            "inserted",
+            "dedup_rate",
+            "duration_seconds",
+            F.avg(F.col("inserted").cast("double")).over(w5).alias("avg_inserted5"),
+            F.avg("duration_seconds").over(w5).alias("avg_duration5"),
+        )
+        .filter(F.col("batch_id") == batch_id)
+        .select(
+            "batch_id",
+            F.when(F.col("dedup_rate") > DEDUP_RATE_ALERT, "dedup_rate_ceiling").alias("a1"),
+            F.when(
+                F.col("avg_inserted5").isNotNull()
+                & (F.col("inserted") < INSERT_DROP_FACTOR * F.col("avg_inserted5")),
+                "insert_drop",
+            ).alias("a2"),
+            F.when(
+                F.col("avg_duration5").isNotNull()
+                & (F.col("duration_seconds") > DURATION_SPIKE_FACTOR * F.col("avg_duration5")),
+                "duration_spike",
+            ).alias("a3"),
+        )
+    )
+    alerts = flagged.select(
+        "batch_id",
+        F.explode(
+            F.array_compact(F.array("a1", "a2", "a3"))
+        ).alias("alert"),
+    )
+    alerts.write.mode("append").parquet(paths.alerts_dir)
 
 
 def dedup_insert_batch(
@@ -53,6 +104,9 @@ def dedup_insert_batch(
     against store, append survivors, record run + provenance. Counts are
     computed from DataFrame aggregates, not driver loops.
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     batch_df = batch_df.dropDuplicates([key_col]).cache()
     fetched = batch_df.count()
 
@@ -76,10 +130,14 @@ def dedup_insert_batch(
     ).write.mode("append").parquet(paths.provenance_dir)
     audit = spark.createDataFrame(
         [(int(batch_id), fetched, inserted, skipped,
-          float(skipped) / fetched if fetched else 0.0, status)],
-        "batch_id long, fetched long, inserted long, skipped long, dedup_rate double, status string",
+          float(skipped) / fetched if fetched else 0.0, status,
+          _time.perf_counter() - t0)],
+        "batch_id long, fetched long, inserted long, skipped long,"
+        " dedup_rate double, status string, duration_seconds double",
     )
     audit.write.mode("append").parquet(paths.audit_dir)
+    if paths.alerts_dir is not None:
+        evaluate_batch_health(spark, paths, int(batch_id))
     batch_df.unpersist()
 
 

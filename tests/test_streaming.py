@@ -97,6 +97,42 @@ def test_restart_is_idempotent(spark, overlap_batches, tmp_path):
     assert spark.read.parquet(paths.audit_dir).count() == 3
 
 
+def test_per_batch_health_alerts(spark, sf_dir, tmp_path):
+    """T5: a nearly-all-duplicate batch must raise the dedup-rate-ceiling
+    alert; a tiny batch after big ones must raise insert_drop."""
+    events = load_table(spark, sf_dir, "events").limit(1000).cache()
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    # batches 0-2: fresh 300 each; batch 3: 299/300 re-fetches (dedup
+    # ceiling + insert drop)
+    ranges = [(0, 300), (300, 600), (600, 900), (599, 901)]
+    for i, (lo, hi) in enumerate(ranges):
+        staging = tmp_path / f"s{i}"
+        (
+            events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        os.rename(staging / part, tmp_path / "landing" / f"batch_{i}.parquet")
+    paths = IngestPaths(
+        source_dir=src,
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        alerts_dir=str(tmp_path / "alerts"),
+    )
+    run_file_ingestion(spark, paths, TESTDATA_SCHEMAS["events"], key_col="event_id")
+    alerts = {
+        (r.batch_id, r.alert) for r in spark.read.parquet(paths.alerts_dir).collect()
+    }
+    assert (3, "dedup_rate_ceiling") in alerts
+    assert (3, "insert_drop") in alerts
+    assert not any(b < 3 for b, _ in alerts)
+
+
 def test_dedup_within_watermark(spark, overlap_batches, tmp_path):
     """The pure-streaming dedup path: overlapping batches inside the
     watermark horizon must come out key-unique."""
