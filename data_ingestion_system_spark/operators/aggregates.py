@@ -237,6 +237,34 @@ def top_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "examples_per_group",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n,
+       (list_sort(list(doc_id)))[1:3] AS example_ids
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    survey="A7",
+)
+def examples_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group example collection — deep_analysis keeps sample reviews
+    per quality bucket (reference: src/analysis/deep_analysis.py:391-406
+    stores examples alongside counts). Deterministic: sorted id list,
+    first 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("example_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "ratio_metrics",
     oracle="""
 WITH agg AS (

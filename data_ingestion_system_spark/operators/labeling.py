@@ -146,7 +146,9 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.item_id") == F.col("b.item_id"))
         & (F.col("a.annotator_id") < F.col("b.annotator_id")),
     ).select(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
-    pairs = pairs.cache()
+    # localCheckpoint: pairs feed three aggregations; a plain cache would
+    # linger in executor memory after the query returns
+    pairs = pairs.localCheckpoint(eager=False)
     po = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.avg(F.when(F.col("label_a") == F.col("label_b"), 1.0).otherwise(0.0)).alias("p_observed"),

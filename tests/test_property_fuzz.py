@@ -114,6 +114,54 @@ def test_grouped_agg_family(fuzz_env, key, min_q, want_avg, want_minmax, cond_fl
 
 
 @settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    partition=st.sampled_from(["l_returnflag", "l_linenumber"]),
+    order_col=st.sampled_from(["l_extendedprice", "l_quantity", "l_shipdate"]),
+    desc=st.booleans(),
+    k=st.integers(1, 4),
+    fn=st.sampled_from(["row_number", "rank", "dense_rank"]),
+)
+def test_window_rank_family(fuzz_env, partition, order_col, desc, k, fn):
+    """Random ranking-window plans (the W4/W7 family) vs generated SQL.
+    Ordering always carries (l_orderkey, l_linenumber) tiebreakers so
+    rank functions are deterministic (SURVEY §4.2.4)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    con, li = fuzz_env
+    direction = "DESC" if desc else "ASC"
+    order_sql = f"{order_col} {direction}, l_orderkey ASC, l_linenumber ASC"
+    spark_order = [
+        F.col(order_col).desc() if desc else F.col(order_col).asc(),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ]
+    w = Window.partitionBy(partition).orderBy(*spark_order)
+    fcol = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[fn]()
+    df = (
+        li.select(
+            F.col(partition).alias("grp"), "l_orderkey", "l_linenumber",
+            fcol.over(w).alias("r"),
+        )
+        .filter(F.col("r") <= k)
+        .orderBy("grp", "r", "l_orderkey", "l_linenumber")
+    )
+    oracle = f"""
+SELECT grp, l_orderkey, l_linenumber, r FROM (
+  SELECT {partition} AS grp, l_orderkey, l_linenumber,
+         CAST({fn}() OVER (PARTITION BY {partition} ORDER BY {order_sql}) AS INTEGER) AS r
+  FROM lineitem
+) t WHERE r <= {k}
+ORDER BY grp, r, l_orderkey, l_linenumber
+"""
+    assert_df_matches_oracle(df, con, oracle)
+
+
+@settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
