@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # size-based post-shuffle coalescing (not parallelism-preserving):
+        # the recommended production setting — AQE targets
+        # advisoryPartitionSizeInBytes instead of keeping N tiny partitions
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
