@@ -150,6 +150,47 @@ def test_dedup_within_watermark(spark, overlap_batches, tmp_path):
     assert got.count() == got.select("event_id").distinct().count() == 1000
 
 
+def test_stateful_user_profiles(spark, overlap_batches, tmp_path):
+    """applyInPandasWithState: per-user profiles must fold state across
+    micro-batches — final per-key row equals the batch ground truth."""
+    from data_ingestion_system_spark.streaming.stateful import run_profile_stream
+
+    out = str(tmp_path / "profiles")
+    run_profile_stream(
+        spark, overlap_batches, out, str(tmp_path / "ckpt3"), TESTDATA_SCHEMAS["events"]
+    )
+    prof = spark.read.parquet(out)
+    # one row per (key, touching batch); latest per key = live profile.
+    # NOTE the landing batches overlap on event_id (re-fetch simulation),
+    # so the stream sees ~1200 rows incl. 200 duplicates — state counts
+    # *observed* events (profile semantics), unlike the dedup ingest path.
+    from pyspark.sql import Window
+
+    latest = (
+        prof.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events"))),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    src = spark.read.parquet(overlap_batches)
+    truth = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    t = {r.user_id: r for r in truth.collect()}
+    got = {r.user_id: r for r in latest.collect()}
+    assert set(got) == set(t)
+    for uid, row in got.items():
+        assert row.n_events == t[uid].n_events
+        assert abs(row.total_value - t[uid].total_value) < 1e-6
+        assert row.first_seen == t[uid].first_seen
+        assert row.last_seen == t[uid].last_seen
+
+
 def test_windowed_stream_with_watermark(spark, sf_dir, tmp_path):
     """Watermarked hourly windows over the events stream drain correctly
     under availableNow and match the batch computation."""
