@@ -40,6 +40,36 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_matrix",
+    oracle="""
+SELECT user_id % 3 AS user_band,
+  CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id % 3
+ORDER BY user_band
+""",
+    survey="A6",
+)
+def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — the tier×status matrix form
+    (db_manager.py:716-748, SURVEY A6). Explicit pivot values keep the
+    plan one-pass (no distinct-values pre-query) and the output schema
+    stable for the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy((F.col("user_id") % 3).alias("user_band"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_band")
+    )
+
+
+@query(
     "rollup_daily",
     oracle="""
 SELECT strftime(o_orderdate, '%Y') AS yr, strftime(o_orderdate, '%Y-%m') AS month,

@@ -119,6 +119,51 @@ def test_grouped_agg_family(fuzz_env, key, min_q, want_avg, want_minmax, cond_fl
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    join_type=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    qty_cut=st.integers(1, 50),
+    price_cut=st.sampled_from([0, 30000, 80000]),
+)
+def test_join_family(fuzz_env, join_type, qty_cut, price_cut):
+    """Random join plans (J1/J5/J6 family): lineitem ⋈ a filtered slice of
+    itself on l_orderkey, across join types, vs generated SQL."""
+    from pyspark.sql import functions as F
+
+    con, li = fuzz_env
+    right = li.filter(
+        (F.col("l_quantity") >= qty_cut) & (F.col("l_extendedprice") >= price_cut)
+    ).select("l_orderkey").distinct()
+    left = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    right_sql = (
+        f"SELECT DISTINCT l_orderkey FROM lineitem"
+        f" WHERE l_quantity >= {qty_cut} AND l_extendedprice >= {price_cut}"
+    )
+    if join_type in ("left_semi", "left_anti"):
+        df = left.join(right, "l_orderkey", join_type).groupBy("l_returnflag").count()
+        op = "IN" if join_type == "left_semi" else "NOT IN"
+        oracle = f"""
+SELECT l_returnflag, COUNT(*) AS count FROM lineitem
+WHERE l_orderkey {op} ({right_sql})
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    else:
+        df = left.join(right, "l_orderkey", join_type).groupBy("l_returnflag").agg(
+            F.count("*").alias("count")
+        )
+        jt = "JOIN" if join_type == "inner" else "LEFT JOIN"
+        oracle = f"""
+SELECT l_returnflag, COUNT(*) AS count
+FROM lineitem l {jt} ({right_sql}) r ON l.l_orderkey = r.l_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    assert_df_matches_oracle(df.orderBy("l_returnflag"), con, oracle)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     partition=st.sampled_from(["l_returnflag", "l_linenumber"]),
     order_col=st.sampled_from(["l_extendedprice", "l_quantity", "l_shipdate"]),
     desc=st.booleans(),
