@@ -34,6 +34,7 @@ HEADLINE = [
     "near_dup_simhash",
     "ann_topk_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "near_dup_embedding_cosine",
     "inverted_index_search",
     "token_counts",

@@ -89,14 +89,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
+    # materialize the corpus×centroid scoring once — both the cell
+    # assignment and the query probes derive from it
     scored_cells = v.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "ev", "cell_id", cos_vc.alias("c")
-    )
+    ).localCheckpoint(eager=False)
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "ev", "cell_id")
-        .localCheckpoint(eager=False)
     )
     probes = (
         scored_cells.filter(F.col("vec_id") < N_QUERIES)
