@@ -124,6 +124,39 @@ def generate_reviews(spark: SparkSession, n: int = 2000) -> DataFrame:
     )
 
 
+def reviews_sql(n: int = 2000) -> str:
+    """DuckDB CTE body reproducing `generate_reviews(spark, n)` EXACTLY —
+    the generator is pure integer arithmetic on the row id, so the SQL
+    twin lets the driver's oracle hash-check queries over the review
+    domain even though its testdata has no reviews table."""
+    contents = ", ".join("'" + c.replace("'", "''") + "'" for c in _CONTENTS)
+    return f"""
+SELECT
+  md5('rev:' || CAST(id AS VARCHAR)) AS review_id,
+  printf('com.example.app%02d', CAST(FLOOR(SQRT(CAST((id * {_M["len"]}) % 160000 AS DOUBLE))) AS BIGINT) % {N_APPS} + 1) AS app_id,
+  printf('user_%d', (id * 31) % 997) AS author,
+  CAST(CASE WHEN (id * {_M["rating"]}) % 10000 < 5860 THEN 5
+            WHEN (id * {_M["rating"]}) % 10000 < 6590 THEN 4
+            WHEN (id * {_M["rating"]}) % 10000 < 7090 THEN 3
+            WHEN (id * {_M["rating"]}) % 10000 < 7520 THEN 2
+            ELSE 1 END AS INTEGER) AS rating,
+  ([{contents}])[CAST((id * {_M["dup"]}) % {len(_CONTENTS)} + 1 AS INTEGER)] AS content,
+  TIMESTAMP '{BASE_TS}' + ((id * 71) % {100 * 24 * 60}) * INTERVAL 1 MINUTE AS review_timestamp,
+  TIMESTAMP '{BASE_TS}' + ((id * 71) % {100 * 24 * 60}) * INTERVAL 1 MINUTE + INTERVAL 4 HOUR AS scraped_at,
+  CAST(CASE WHEN (id * {_M["thumbs"]}) % 10000 < 7000 THEN 0
+            ELSE (id * 13) % (CASE WHEN (id * {_M["rating"]}) % 10000 >= 7090 THEN 190 ELSE 10 END)
+       END AS INTEGER) AS thumbs_up,
+  CASE WHEN (id * {_M["null1"]}) % 10000 < 1400 THEN NULL
+       ELSE printf('5.%d.0', id % 9) END AS app_version,
+  CASE WHEN (id * {_M["null2"]}) % 10000 < (CASE WHEN (id * {_M["rating"]}) % 10000 >= 7090 THEN 3500 ELSE 500 END)
+       THEN 'Thanks for the feedback, we are looking into it.' ELSE NULL END AS reply_content,
+  CASE WHEN (id * {_M["null2"]}) % 10000 < (CASE WHEN (id * {_M["rating"]}) % 10000 >= 7090 THEN 3500 ELSE 500 END)
+       THEN TIMESTAMP '{BASE_TS}' + ((id * 71) % {100 * 24 * 60}) * INTERVAL 1 MINUTE + INTERVAL 1 DAY
+       ELSE NULL END AS reply_timestamp
+FROM range({n}) t(id)
+"""
+
+
 SENTIMENTS = ["very_negative", "negative", "neutral", "positive", "very_positive"]
 
 

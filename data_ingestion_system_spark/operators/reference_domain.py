@@ -1,11 +1,13 @@
 """Reference-domain queries surfaced in the driver catalog.
 
 These run the reference's own view shapes (views.py) over the generated
-review-domain fixtures (fixtures.py) — the driver's testdata has no
-reviews table, so these register as rows-only checks; their value-level
-parity is established in tests/test_reference_views.py, where the same
-generated rows are loaded into DuckDB and compared against the
-reference's literal view SQL (schema.sql:209-404).
+review-domain fixtures (fixtures.py). The driver's testdata has no
+reviews table — but the fixture generator is pure integer arithmetic on
+the row id, so `fixtures.reviews_sql()` reproduces it EXACTLY in DuckDB
+(verified column-for-column in tests/test_reference_views.py), letting
+the reference's literal view SQL (schema.sql:209-404) serve as a full
+value-hash oracle. Only the labeling view stays rows-only (its label
+generator uses crc32, which DuckDB lacks).
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ from data_ingestion_system_spark.fixtures import (
     generate_apps,
     generate_labels,
     generate_reviews,
+    reviews_sql,
 )
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.views import (
@@ -25,28 +28,81 @@ from data_ingestion_system_spark.views import (
 )
 
 FIXTURE_ROWS = 2000
+_REVIEWS_CTE = f"WITH reviews AS ({reviews_sql(FIXTURE_ROWS)})"
 
 
-@query("ref_v_app_stats", oracle=None, survey="A1,ref-views")
+@query(
+    "ref_v_app_stats",
+    oracle=f"""
+{_REVIEWS_CTE}
+SELECT app_id,
+  COUNT(*) AS total_reviews,
+  ROUND(AVG(rating) * 100.0) / 100.0 AS avg_rating,
+  CAST(SUM(CASE WHEN rating >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS positive_reviews,
+  CAST(SUM(CASE WHEN rating <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS negative_reviews,
+  CAST(SUM(CASE WHEN reply_content IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS replied_reviews,
+  ROUND(AVG(length(content)) * 10.0) / 10.0 AS avg_content_length,
+  ROUND(AVG(thumbs_up) * 100.0) / 100.0 AS avg_thumbs_up,
+  MIN(review_timestamp) AS first_review,
+  MAX(review_timestamp) AS last_review
+FROM reviews GROUP BY app_id ORDER BY app_id
+""",
+    survey="A1,ref-views",
+)
 def ref_v_app_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship `v_app_stats` (schema.sql:236-249) on the
-    review-domain fixture — per-app rating/reply/length aggregates."""
+    review-domain fixture — per-app rating/reply/length aggregates,
+    value-hash-checked against the reference's literal view SQL."""
     return v_app_stats(generate_reviews(spark, FIXTURE_ROWS))
 
 
-@query("ref_v_reviews_sentiment", oracle=None, survey="P6,P7,ref-views")
+@query(
+    "ref_v_reviews_sentiment",
+    oracle=f"""
+{_REVIEWS_CTE}
+SELECT review_id, rating,
+  CASE WHEN rating >= 4 THEN 'positive' WHEN rating = 3 THEN 'neutral' ELSE 'negative' END AS sentiment_bucket,
+  CASE WHEN length(content) <= 10 THEN 'very_short' WHEN length(content) <= 50 THEN 'short'
+       WHEN length(content) <= 200 THEN 'medium' ELSE 'long' END AS length_bucket
+FROM reviews ORDER BY review_id
+""",
+    survey="P6,P7,ref-views",
+)
 def ref_v_reviews_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`v_reviews_sentiment` (schema.sql:219-232): sentiment + length
-    buckets on real review semantics (rating 1-5, content length)."""
+    buckets on real review semantics, value-hash-checked."""
     return v_reviews_sentiment(generate_reviews(spark, FIXTURE_ROWS)).select(
         "review_id", "rating", "sentiment_bucket", "length_bucket"
     ).orderBy("review_id")
 
 
+@query(
+    "ref_v_daily_stats",
+    oracle=f"""
+{_REVIEWS_CTE}
+SELECT CAST(review_timestamp AS DATE) AS review_date,
+  COUNT(*) AS total_reviews,
+  ROUND(AVG(rating) * 100.0) / 100.0 AS avg_rating,
+  CAST(SUM(CASE WHEN rating = 5 THEN 1 ELSE 0 END) AS BIGINT) AS five_star,
+  CAST(SUM(CASE WHEN rating = 1 THEN 1 ELSE 0 END) AS BIGINT) AS one_star
+FROM reviews GROUP BY 1 ORDER BY review_date
+""",
+    survey="A2,ref-views",
+)
+def ref_v_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`v_daily_stats` (schema.sql:252-261) on the fixture,
+    value-hash-checked."""
+    from data_ingestion_system_spark.views import v_daily_stats
+
+    return v_daily_stats(generate_reviews(spark, FIXTURE_ROWS))
+
+
 @query("ref_v_labeled_reviews", oracle=None, survey="J2,ref-views")
 def ref_v_labeled_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`v_labeled_reviews` (schema.sql:375-404): the 4-way labeling join
-    with the star_label_mismatch flag."""
+    with the star_label_mismatch flag. Rows-only in the driver (the label
+    generator uses crc32, absent in DuckDB); value parity is covered in
+    tests/test_reference_views.py via registered fixture tables."""
     reviews = generate_reviews(spark, FIXTURE_ROWS)
     return v_labeled_reviews(
         generate_labels(spark), reviews, generate_apps(spark)

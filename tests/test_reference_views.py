@@ -41,6 +41,24 @@ def fixture_duck(spark):
     return con, reviews, apps, labels, runs
 
 
+def test_generator_sql_twin_is_exact(spark):
+    """fixtures.reviews_sql must reproduce generate_reviews bit-for-bit —
+    this equality is what licenses the ref_v_* oracle checks."""
+    import pandas as pd
+
+    from data_ingestion_system_spark.fixtures import reviews_sql
+
+    sdf = generate_reviews(spark, 500).orderBy("review_id").toPandas()
+    ddf = duckdb.connect().execute(reviews_sql(500) + " ORDER BY review_id").fetchdf()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    for c in sorted(sdf.columns):
+        a, b = sdf[c], ddf[c]
+        if a.dtype == object:
+            assert (a.fillna("__N__") == b.fillna("__N__")).all(), c
+        else:
+            assert ((a.isna() & b.isna()) | (a == b)).all(), c
+
+
 def test_fixture_distributions(fixture_duck):
     """The generator must honor the published corpus distributions
     (BASELINE.md) within tolerance."""
