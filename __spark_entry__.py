@@ -37,12 +37,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["app_stats"].spark(spark, SMOKE_SF_DIR)
 
 
+# The driver verifies the FIRST 50 catalog entries per round (registration
+# order).  Round 1 covered the relational core (49/50 green, see
+# CORRECTNESS_r01.json); these are the queries that had no driver row in
+# round 1 — every LLM-pipeline extension, the ref_v_* reference views,
+# labeling/kappa, grouping extensions, temporal, and JSON ops — plus the
+# one red row (examples_per_group, now fixed) and queries new this round.
+# Front-loading them gives every catalog query a driver CORRECTNESS row
+# across rounds 1+2; the relational core keeps its pytest oracle gate
+# (tests/test_oracle_parity.py parametrizes ALL registered queries).
+_DRIVER_PRIORITY = (
+    "examples_per_group",       # r01 red row — ArrayType fixed to CSV string
+    # reference compatibility views (full oracle twins)
+    "ref_v_app_stats",
+    "ref_v_reviews_sentiment",
+    "ref_v_daily_stats",
+    "ref_v_labeled_reviews",
+    # labeling analytics
+    "majority_vote",
+    "cohens_kappa",
+    "labeled_export_join",
+    # dedup family
+    "dedup_exact_stats",
+    "dedup_exact_keepers",
+    "near_dup_minhash_lsh",
+    "near_dup_ngram_jaccard",
+    "near_dup_simhash",
+    "near_dup_embedding_cosine",
+    # similarity search
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "inverted_index_search",
+    # text analysis
+    "token_counts",
+    "language_id_confusion",
+    "quality_scores",
+    "doc_fingerprints",
+    # multimodal
+    "multimodal_payload_stats",
+    "multimodal_features",
+    # temporal
+    "asof_join_events",
+    "sessionization",
+    # grouping extensions
+    "cube_counts",
+    "pivot_matrix",
+    "rollup_daily",
+    # datetime / JSON
+    "month_frequency",
+    "dow_hour_profile",
+    "json_props_extract",
+    "json_report_roundtrip",
+    # monitoring / sketch twins
+    "anomaly_flags",
+    "backfill_missing_days",
+    "approx_percentiles",
+    "approx_distinct_users",
+)
+
+
+def _ordered_specs():
+    registry = load_all()
+    front = [registry[n] for n in _DRIVER_PRIORITY if n in registry]
+    rest = [s for n, s in registry.items() if n not in _DRIVER_PRIORITY]
+    return front + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in load_all().items()}
+    """One entry per implemented operator from SURVEY.md §2, driver-priority
+    first (see _DRIVER_PRIORITY)."""
+    return {spec.name: spec.spark for spec in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent DuckDB SQL per query; omitted for non-SQL-expressible ops
     (seeded-random sampling internals, streaming state) → rows-only check."""
-    return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}
+    return {spec.name: spec.oracle for spec in _ordered_specs() if spec.oracle is not None}

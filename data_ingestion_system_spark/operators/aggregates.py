@@ -241,7 +241,7 @@ def top_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        COUNT(*) AS n,
-       (list_sort(list(doc_id)))[1:3] AS example_ids
+       array_to_string((list_sort(list(doc_id)))[1:3], ',') AS example_ids
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -252,13 +252,20 @@ def examples_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group example collection — deep_analysis keeps sample reviews
     per quality bucket (reference: src/analysis/deep_analysis.py:391-406
     stores examples alongside counts). Deterministic: sorted id list,
-    first 3."""
+    first 3, joined to a CSV string (the driver's canonicalizer hashes
+    scalar columns; an ArrayType column is unhashable there)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
             F.count("*").alias("n"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("example_ids"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("example_ids"),
         )
         .orderBy("lang")
     )
