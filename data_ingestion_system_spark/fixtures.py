@@ -158,13 +158,55 @@ FROM range({n}) t(id)
 
 
 SENTIMENTS = ["very_negative", "negative", "neutral", "positive", "very_positive"]
+N_ANNOTATORS = 3
+LABELS_TS = "2024-04-12 00:00:00"
+
+
+def generate_annotators(spark: SparkSession) -> DataFrame:
+    """Annotator dimension (schema.sql:275-280): id, name, active flag."""
+    return spark.range(N_ANNOTATORS).select(
+        F.col("id").alias("annotator_id"),
+        F.format_string("annotator_%d", F.col("id")).alias("name"),
+        F.lit(BASE_TS).cast("timestamp").alias("created_at"),
+        F.lit(1).cast("int").alias("is_active"),
+    )
+
+
+def annotators_sql() -> str:
+    """DuckDB twin of `generate_annotators` (attribution columns only)."""
+    return f"""
+SELECT id AS annotator_id,
+       printf('annotator_%d', id) AS name,
+       TIMESTAMP '{BASE_TS}' AS created_at,
+       CAST(1 AS INTEGER) AS is_active
+FROM range({N_ANNOTATORS}) t(id)
+"""
+
+
+def apps_sql() -> str:
+    """DuckDB twin of `generate_apps` (the columns views join on)."""
+    genres = ", ".join(
+        "'" + g + "'"
+        for g in ["Communication", "Music", "Games", "Social", "Tools",
+                  "Finance", "Shopping", "Productivity"]
+    )
+    return f"""
+SELECT printf('com.example.app%02d', id + 1) AS app_id,
+       printf('App %02d', id + 1) AS title,
+       printf('Dev %d', id % 7) AS developer,
+       ([{genres}])[CAST(id % 8 + 1 AS INTEGER)] AS genre
+FROM range({N_APPS}) t(id)
+"""
 
 
 def generate_labels(spark: SparkSession, n_reviews: int = 2000, n_labeled: int = 300) -> DataFrame:
     """Labels with ~10% double-annotation incl. disagreements + ties
     (schema.sql:286-307; overlap settings.py:160). label rows reference
     the first `n_labeled` review ids; every ~10th labeled review gets a
-    second annotator whose label sometimes disagrees."""
+    second annotator whose label sometimes disagrees.
+
+    Confidence derives from the review ordinal k via Weyl arithmetic (not
+    crc32) so `labels_sql()` can reproduce the table exactly in DuckDB."""
     base = spark.range(n_labeled).select(
         F.col("id").alias("k"),
         F.md5(F.concat(F.lit("rev:"), F.col("id"))).alias("review_id"),
@@ -190,22 +232,52 @@ def generate_labels(spark: SparkSession, n_reviews: int = 2000, n_labeled: int =
             ).otherwise(F.col("sentiment")).alias("sentiment"),
         )
     )
-    both = base.select("review_id", "annotator_id", "sentiment").unionByName(
-        second.select("review_id", "annotator_id", "sentiment")
+    both = base.select("k", "review_id", "annotator_id", "sentiment").unionByName(
+        second.select("k", "review_id", "annotator_id", "sentiment")
     )
     w = F.row_number().over(Window.orderBy("review_id", "annotator_id"))
+    conf_u = (F.col("k") * _M["null1"]) % 100
     return both.select(
         w.alias("label_id"),
         "review_id",
         "annotator_id",
         "sentiment",
-        F.when((F.crc32(F.col("review_id")) % 100) < 70, "high")
-        .when((F.crc32(F.col("review_id")) % 100) < 95, "medium")
-        .otherwise("low")
-        .alias("confidence"),
+        F.when(conf_u < 70, "high").when(conf_u < 95, "medium").otherwise("low").alias("confidence"),
         F.lit(None).cast("string").alias("notes"),
-        F.lit("2024-04-12 00:00:00").cast("timestamp").alias("created_at"),
+        F.lit(LABELS_TS).cast("timestamp").alias("created_at"),
     )
+
+
+def labels_sql(n_labeled: int = 300) -> str:
+    """DuckDB CTE body reproducing `generate_labels(spark, n_labeled=n)`
+    exactly — same Weyl draws, same row_number() tie order — licensing a
+    full value-hash oracle for the labeling view."""
+    sentiments = ", ".join("'" + s + "'" for s in SENTIMENTS)
+    return f"""
+WITH lbase AS (
+  SELECT id AS k,
+         md5('rev:' || CAST(id AS VARCHAR)) AS review_id,
+         id % 3 AS annotator_id,
+         ([{sentiments}])[CAST((id * 7) % 5 + 1 AS INTEGER)] AS sentiment
+  FROM range({n_labeled}) t(id)
+), lsecond AS (
+  SELECT k, review_id, (annotator_id + 1) % 3 AS annotator_id,
+         CASE WHEN k % 20 = 0
+              THEN ([{sentiments}])[CAST((k * 7 + 1) % 5 + 1 AS INTEGER)]
+              ELSE sentiment END AS sentiment
+  FROM lbase WHERE k % 10 = 0
+), lboth AS (
+  SELECT * FROM lbase UNION ALL SELECT * FROM lsecond
+)
+SELECT ROW_NUMBER() OVER (ORDER BY review_id, annotator_id) AS label_id,
+       review_id, annotator_id, sentiment,
+       CASE WHEN (k * {_M["null1"]}) % 100 < 70 THEN 'high'
+            WHEN (k * {_M["null1"]}) % 100 < 95 THEN 'medium'
+            ELSE 'low' END AS confidence,
+       CAST(NULL AS VARCHAR) AS notes,
+       TIMESTAMP '{LABELS_TS}' AS created_at
+FROM lboth
+"""
 
 
 def generate_scrape_runs(spark: SparkSession, n_runs: int = 12) -> DataFrame:

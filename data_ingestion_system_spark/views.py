@@ -39,30 +39,37 @@ def v_reviews_sentiment(reviews: DataFrame) -> DataFrame:
 
 
 def v_app_stats(reviews: DataFrame) -> DataFrame:
-    """schema.sql:236-249 — the flagship per-app multi-aggregate."""
+    """schema.sql:236-249 — the flagship per-app multi-aggregate.
+
+    Output column names match the reference's view EXACTLY
+    (review_count/positive_count/negative_count/replied_count/
+    earliest_review/latest_review) so reference-side SQL — e.g. the
+    sampler's `SELECT review_count FROM v_app_stats`
+    (src/labeling/sampler.py:168-182) — runs unchanged."""
     return (
         reviews.groupBy("app_id")
         .agg(
-            F.count("*").alias("total_reviews"),
+            F.count("*").alias("review_count"),
             round_port(F.avg("rating"), 2).alias("avg_rating"),
-            F.sum(F.when(F.col("rating") >= 4, 1).otherwise(0)).alias("positive_reviews"),
-            F.sum(F.when(F.col("rating") <= 2, 1).otherwise(0)).alias("negative_reviews"),
-            F.sum(F.when(F.col("reply_content").isNotNull(), 1).otherwise(0)).alias("replied_reviews"),
+            F.sum(F.when(F.col("rating") >= 4, 1).otherwise(0)).alias("positive_count"),
+            F.sum(F.when(F.col("rating") <= 2, 1).otherwise(0)).alias("negative_count"),
+            F.sum(F.when(F.col("reply_content").isNotNull(), 1).otherwise(0)).alias("replied_count"),
             round_port(F.avg(F.length("content")), 1).alias("avg_content_length"),
             round_port(F.avg("thumbs_up"), 2).alias("avg_thumbs_up"),
-            F.min("review_timestamp").alias("first_review"),
-            F.max("review_timestamp").alias("last_review"),
+            F.min("review_timestamp").alias("earliest_review"),
+            F.max("review_timestamp").alias("latest_review"),
         )
         .orderBy("app_id")
     )
 
 
 def v_daily_stats(reviews: DataFrame) -> DataFrame:
-    """schema.sql:252-261 — per-day counts and star extremes."""
+    """schema.sql:252-261 — per-day counts and star extremes
+    (review_count, per the reference's column name)."""
     return (
         reviews.groupBy(F.to_date("review_timestamp").alias("review_date"))
         .agg(
-            F.count("*").alias("total_reviews"),
+            F.count("*").alias("review_count"),
             round_port(F.avg("rating"), 2).alias("avg_rating"),
             F.sum(F.when(F.col("rating") == 5, 1).otherwise(0)).alias("five_star"),
             F.sum(F.when(F.col("rating") == 1, 1).otherwise(0)).alias("one_star"),
@@ -72,23 +79,35 @@ def v_daily_stats(reviews: DataFrame) -> DataFrame:
 
 
 def v_labeled_reviews(
-    labels: DataFrame, reviews: DataFrame, apps: DataFrame, annotators: DataFrame | None = None
+    labels: DataFrame, reviews: DataFrame, apps: DataFrame, annotators: DataFrame
 ) -> DataFrame:
-    """schema.sql:375-404 — labels ⋈ reviews ⋈ apps (⋈ annotators) with
+    """schema.sql:375-404 — labels ⋈ reviews ⋈ apps ⋈ annotators (all
+    inner, as in the reference) with the reference's full column list and
     the star_label_mismatch flag: a positive human label on a ≤2★ review
     (or negative label on a ≥4★ one)."""
-    out = (
+    return (
         labels.join(reviews, "review_id")
-        .join(F.broadcast(apps.select("app_id", "title")), "app_id")
+        .join(F.broadcast(apps.select("app_id", "title", "genre")), "app_id")
+        .join(
+            F.broadcast(annotators.select("annotator_id", F.col("name").alias("annotator_name"))),
+            "annotator_id",
+        )
         .select(
             "label_id",
-            "review_id",
-            "annotator_id",
             "sentiment",
             "confidence",
-            "rating",
+            "annotator_id",
+            "annotator_name",
+            "review_id",
             "content",
+            "rating",
+            "thumbs_up",
+            "review_timestamp",
+            "app_id",
             F.col("title").alias("app_title"),
+            F.col("genre").alias("app_genre"),
+            F.length("content").alias("content_length"),
+            sentiment_bucket(F.col("rating")).alias("star_sentiment_bucket"),
             F.when(
                 (F.col("sentiment").isin("positive", "very_positive") & (F.col("rating") <= 2))
                 | (F.col("sentiment").isin("negative", "very_negative") & (F.col("rating") >= 4)),
@@ -98,16 +117,15 @@ def v_labeled_reviews(
             .alias("star_label_mismatch"),
         )
     )
-    if annotators is not None:
-        out = out.join(
-            F.broadcast(annotators.select("annotator_id", F.col("name").alias("annotator_name"))),
-            "annotator_id",
-            "left",
-        )
-    return out
 
 
-def register_reference_views(spark: SparkSession, reviews: DataFrame, apps: DataFrame, labels: DataFrame | None = None) -> None:
+def register_reference_views(
+    spark: SparkSession,
+    reviews: DataFrame,
+    apps: DataFrame,
+    labels: DataFrame | None = None,
+    annotators: DataFrame | None = None,
+) -> None:
     """Publish the reference view names into the SQL catalog."""
     reviews.createOrReplaceTempView("reviews")
     apps.createOrReplaceTempView("apps")
@@ -115,6 +133,9 @@ def register_reference_views(spark: SparkSession, reviews: DataFrame, apps: Data
     v_reviews_sentiment(reviews).createOrReplaceTempView("v_reviews_sentiment")
     v_app_stats(reviews).createOrReplaceTempView("v_app_stats")
     v_daily_stats(reviews).createOrReplaceTempView("v_daily_stats")
-    if labels is not None:
+    if labels is not None and annotators is not None:
         labels.createOrReplaceTempView("labels")
-        v_labeled_reviews(labels, reviews, apps).createOrReplaceTempView("v_labeled_reviews")
+        annotators.createOrReplaceTempView("annotators")
+        v_labeled_reviews(labels, reviews, apps, annotators).createOrReplaceTempView(
+            "v_labeled_reviews"
+        )

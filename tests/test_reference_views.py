@@ -11,10 +11,14 @@ import pytest
 
 from conftest import assert_df_matches_oracle
 from data_ingestion_system_spark.fixtures import (
+    annotators_sql,
+    apps_sql,
+    generate_annotators,
     generate_apps,
     generate_labels,
     generate_reviews,
     generate_scrape_runs,
+    labels_sql,
 )
 from data_ingestion_system_spark.views import (
     v_app_stats,
@@ -33,12 +37,14 @@ def fixture_duck(spark):
     reviews = generate_reviews(spark, 2000)
     apps = generate_apps(spark)
     labels = generate_labels(spark)
+    annotators = generate_annotators(spark)
     runs = generate_scrape_runs(spark)
     con.register("reviews", reviews.toPandas())
     con.register("apps", apps.toPandas())
     con.register("labels", labels.toPandas())
+    con.register("annotators", annotators.toPandas())
     con.register("scrape_runs", runs.toPandas())
-    return con, reviews, apps, labels, runs
+    return con, reviews, apps, labels, annotators, runs
 
 
 def test_generator_sql_twin_is_exact(spark):
@@ -114,15 +120,15 @@ def test_v_app_stats(spark, fixture_duck):
     df = v_app_stats(reviews)
     oracle = """
 SELECT app_id,
-  COUNT(*) AS total_reviews,
+  COUNT(*) AS review_count,
   ROUND(AVG(rating) * 100.0) / 100.0 AS avg_rating,
-  CAST(SUM(CASE WHEN rating >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS positive_reviews,
-  CAST(SUM(CASE WHEN rating <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS negative_reviews,
-  CAST(SUM(CASE WHEN reply_content IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS replied_reviews,
+  CAST(SUM(CASE WHEN rating >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS positive_count,
+  CAST(SUM(CASE WHEN rating <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS negative_count,
+  CAST(SUM(CASE WHEN reply_content IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS replied_count,
   ROUND(AVG(length(content)) * 10.0) / 10.0 AS avg_content_length,
   ROUND(AVG(thumbs_up) * 100.0) / 100.0 AS avg_thumbs_up,
-  MIN(review_timestamp) AS first_review,
-  MAX(review_timestamp) AS last_review
+  MIN(review_timestamp) AS earliest_review,
+  MAX(review_timestamp) AS latest_review
 FROM reviews GROUP BY app_id ORDER BY app_id
 """
     assert_df_matches_oracle(df, con, oracle)
@@ -133,7 +139,7 @@ def test_v_daily_stats(spark, fixture_duck):
     df = v_daily_stats(reviews)
     oracle = """
 SELECT CAST(review_timestamp AS DATE) AS review_date,
-  COUNT(*) AS total_reviews,
+  COUNT(*) AS review_count,
   ROUND(AVG(rating) * 100.0) / 100.0 AS avg_rating,
   CAST(SUM(CASE WHEN rating = 5 THEN 1 ELSE 0 END) AS BIGINT) AS five_star,
   CAST(SUM(CASE WHEN rating = 1 THEN 1 ELSE 0 END) AS BIGINT) AS one_star
@@ -143,22 +149,65 @@ FROM reviews GROUP BY 1 ORDER BY review_date
 
 
 def test_v_labeled_reviews(spark, fixture_duck):
-    con, reviews, apps, labels, _ = fixture_duck
-    df = v_labeled_reviews(labels, reviews, apps).orderBy("label_id")
+    """The reference's literal v_labeled_reviews SQL (schema.sql:375-404)
+    vs the Spark builder — full column list, inner annotators join."""
+    con, reviews, apps, labels, annotators, _ = fixture_duck
+    df = v_labeled_reviews(labels, reviews, apps, annotators).orderBy("label_id")
     oracle = """
-SELECT l.label_id, l.review_id, l.annotator_id, l.sentiment, l.confidence,
-       r.rating, r.content, a.title AS app_title,
-       CAST(CASE WHEN (l.sentiment IN ('positive','very_positive') AND r.rating <= 2)
-              OR (l.sentiment IN ('negative','very_negative') AND r.rating >= 4)
-            THEN 1 ELSE 0 END AS INTEGER) AS star_label_mismatch
+SELECT
+    l.label_id,
+    l.sentiment,
+    l.confidence,
+    l.annotator_id,
+    a.name AS annotator_name,
+    r.review_id,
+    r.content,
+    r.rating,
+    r.thumbs_up,
+    r.review_timestamp,
+    app.app_id,
+    app.title AS app_title,
+    app.genre AS app_genre,
+    CAST(LENGTH(r.content) AS INTEGER) AS content_length,
+    CASE
+        WHEN r.rating >= 4 THEN 'positive'
+        WHEN r.rating = 3 THEN 'neutral'
+        ELSE 'negative'
+    END AS star_sentiment_bucket,
+    CAST(CASE
+        WHEN l.sentiment IN ('very_positive', 'positive') AND r.rating <= 2 THEN 1
+        WHEN l.sentiment IN ('very_negative', 'negative') AND r.rating >= 4 THEN 1
+        ELSE 0
+    END AS INTEGER) AS star_label_mismatch
 FROM labels l
 JOIN reviews r ON l.review_id = r.review_id
-JOIN apps a ON r.app_id = a.app_id
+JOIN apps app ON r.app_id = app.app_id
+JOIN annotators a ON l.annotator_id = a.annotator_id
 ORDER BY l.label_id
 """
     assert_df_matches_oracle(df, con, oracle)
     # fixture must contain actual mismatches for the flag to be exercised
     assert df.filter("star_label_mismatch = 1").count() > 0
+
+
+def test_labels_apps_annotators_sql_twins_are_exact(spark, fixture_duck):
+    """labels_sql/apps_sql/annotators_sql must reproduce their Spark
+    generators bit-for-bit — this licenses the full-oracle driver check
+    on ref_v_labeled_reviews."""
+    con = duckdb.connect()
+    for twin, df in (
+        (labels_sql(300), generate_labels(spark)),
+        (apps_sql(), generate_apps(spark).select("app_id", "title", "developer", "genre")),
+        (annotators_sql(), generate_annotators(spark)),
+    ):
+        sdf = df.toPandas()
+        key = sdf.columns[0]
+        sdf = sdf.sort_values(key).reset_index(drop=True)
+        ddf = con.execute(f"SELECT * FROM ({twin}) ORDER BY 1").fetchdf()
+        assert sorted(sdf.columns) == sorted(ddf.columns)
+        for c in sdf.columns:
+            a, b = sdf[c].astype(str), ddf[c].astype(str)
+            assert (a == b).all(), f"{key}: column {c} diverges"
 
 
 def test_anomaly_rules_on_run_history(spark, fixture_duck):
