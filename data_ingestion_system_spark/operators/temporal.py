@@ -111,7 +111,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle=f"""
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL {SESSION_GAP_MIN} MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -119,7 +119,7 @@ WITH ordered AS (
   FROM events
 ), sessions AS (
   SELECT user_id, ts,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM ordered
 ), per_session AS (
@@ -149,11 +149,11 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.isNull()
         | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > SESSION_GAP_MIN * 60)
     ).cast("int")
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = events.select(
-        "user_id", "ts", new_session.alias("new_session")
+        "user_id", "ts", "event_id", new_session.alias("new_session")
     ).withColumn("session_id", F.sum("new_session").over(wsum))
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),

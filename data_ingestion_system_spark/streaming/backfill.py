@@ -40,6 +40,11 @@ def reconstruct_audit(spark: SparkSession, paths: IngestPaths, key_col: str) -> 
             .otherwise(0.0)
             .alias("dedup_rate"),
             F.lit("backfilled").alias("status"),
+            # duration is unrecoverable from provenance, but the column must
+            # exist so backfilled files match the live audit schema exactly —
+            # a mixed-schema parquet dir would let a later read silently drop
+            # duration_seconds (footer-of-first-file wins with mergeSchema off)
+            F.lit(None).cast("double").alias("duration_seconds"),
         )
     )
 

@@ -103,11 +103,32 @@ def dedup_insert_batch(
     Mirrors pipeline.run (pipeline.py:82-159): dedup within batch, dedup
     against store, append survivors, record run + provenance. Counts are
     computed from DataFrame aggregates, not driver loops.
+
+    Replay-safe: the audit row is the commit marker — a replayed batch
+    whose audit row already exists is skipped outright, and provenance is
+    written as a dynamic overwrite of this batch's partition, so a crash
+    between the provenance and audit writes cannot double-log keys. (A
+    crash between the target append and the audit write replays with
+    inserted=0/skipped=fetched — honest INSERT-OR-IGNORE accounting; the
+    target itself stays exact via the anti-join.)
     """
     import time as _time
 
     t0 = _time.perf_counter()
-    batch_df = batch_df.dropDuplicates([key_col]).cache()
+    audit_exists = os.path.isdir(paths.audit_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(paths.audit_dir)
+    )
+    if audit_exists:
+        already_done = (
+            spark.read.parquet(paths.audit_dir)
+            .filter(F.col("batch_id") == int(batch_id))
+            .limit(1)
+            .count()
+        )
+        if already_done:
+            return
+
+    batch_df = batch_df.dropDuplicates([key_col]).localCheckpoint(eager=True)
     fetched = batch_df.count()
 
     target_exists = os.path.isdir(paths.target_dir) and any(
@@ -115,7 +136,11 @@ def dedup_insert_batch(
     )
     if target_exists:
         existing_keys = spark.read.parquet(paths.target_dir).select(key_col)
-        new_rows = batch_df.join(existing_keys, key_col, "left_anti").cache()
+        # eager localCheckpoint pins the anti-join result: the lineage must
+        # not recompute by re-reading target_dir mid-append (self-read-write)
+        new_rows = batch_df.join(existing_keys, key_col, "left_anti").localCheckpoint(
+            eager=True
+        )
     else:
         new_rows = batch_df
     inserted = new_rows.count()
@@ -124,10 +149,13 @@ def dedup_insert_batch(
 
     new_rows.write.mode("append").parquet(paths.target_dir)
     # provenance: every fetched key is logged for this run, including skips
-    # (review_scrape_log records re-fetches too, db_manager.py:488-506)
+    # (review_scrape_log records re-fetches too, db_manager.py:488-506);
+    # partitioned by batch_id + dynamic overwrite → idempotent under replay
     batch_df.select(
         F.col(key_col), F.lit(batch_id).cast("long").alias("batch_id")
-    ).write.mode("append").parquet(paths.provenance_dir)
+    ).write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(paths.provenance_dir)
     audit = spark.createDataFrame(
         [(int(batch_id), fetched, inserted, skipped,
           float(skipped) / fetched if fetched else 0.0, status,
@@ -138,7 +166,6 @@ def dedup_insert_batch(
     audit.write.mode("append").parquet(paths.audit_dir)
     if paths.alerts_dir is not None:
         evaluate_batch_health(spark, paths, int(batch_id))
-    batch_df.unpersist()
 
 
 def run_file_ingestion(

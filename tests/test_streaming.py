@@ -97,6 +97,40 @@ def test_restart_is_idempotent(spark, overlap_batches, tmp_path):
     assert spark.read.parquet(paths.audit_dir).count() == 3
 
 
+def test_batch_replay_does_not_duplicate_side_writes(spark, overlap_batches, tmp_path):
+    """Replaying a foreachBatch body (checkpoint recovery re-delivers the
+    same batch_id) must not duplicate audit or provenance rows: the audit
+    row is the commit marker, and provenance overwrites its batch
+    partition."""
+    from data_ingestion_system_spark.streaming.ingest import dedup_insert_batch
+
+    paths = IngestPaths(
+        source_dir=overlap_batches,
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = spark.read.parquet(f"{overlap_batches}/batch_0.parquet")
+    dedup_insert_batch(spark, batch, 0, "event_id", paths)
+    # full replay of a committed batch: a pure no-op
+    dedup_insert_batch(spark, batch, 0, "event_id", paths)
+    assert spark.read.parquet(paths.target_dir).count() == 400
+    assert spark.read.parquet(paths.audit_dir).count() == 1
+    assert spark.read.parquet(paths.provenance_dir).count() == 400
+
+    # partial replay: provenance written but the audit commit marker was
+    # lost (crash between the two writes) — simulate by deleting audit
+    import shutil
+
+    shutil.rmtree(paths.audit_dir)
+    dedup_insert_batch(spark, batch, 0, "event_id", paths)
+    assert spark.read.parquet(paths.target_dir).count() == 400  # anti-join holds
+    assert spark.read.parquet(paths.provenance_dir).count() == 400  # overwritten, not doubled
+    audit = spark.read.parquet(paths.audit_dir).collect()
+    assert len(audit) == 1 and audit[0].inserted == 0 and audit[0].skipped == 400
+
+
 def test_per_batch_health_alerts(spark, sf_dir, tmp_path):
     """T5: a nearly-all-duplicate batch must raise the dedup-rate-ceiling
     alert; a tiny batch after big ones must raise insert_drop."""
