@@ -21,7 +21,7 @@ hashes instead of seeded random affine maps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
@@ -215,54 +215,115 @@ ORDER BY doc_a, doc_b
 """
 
 
+NGRAM_JACCARD_THRESHOLD = 0.3
+
+
 @query("near_dup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey="EXT-dedup")
 def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (shingle-exact variant).
 
-    Candidate generation is the inverted gram index itself (docs sharing a
-    gram); at 100 TB this is the *verification* stage fed by LSH above —
-    standalone it's for moderate corpora / high thresholds where the gram
-    join stays sparse."""
+    Candidate generation uses prefix filtering (AllPairs/PPJoin, Bayardo
+    et al. WWW'07): grams are canonically ordered rarest-first by global
+    document frequency, each document indexes only its first
+    n - ceil(t*n) + 1 grams, and any pair with Jaccard >= t must share a
+    prefix gram — so the self-join runs prefix×prefix, not the full
+    inverted index. Hot grams land at the end of the ordering and almost
+    never enter a prefix, which removes the quadratic hot-bucket blowup
+    the raw gram join has at scale while keeping the result EXACT (the
+    oracle is the plain all-pairs formulation). Exact Jaccard is then
+    verified on candidates from the full gram sets."""
+    # t as an exact rational (3/10): every pruning filter below is integer
+    # arithmetic — float rounding at exact-threshold pairs (jac == 0.3)
+    # must never prune a qualifying pair
+    p, q = 3, 10
+    t = p / q
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
         F.size("ts") >= 3
     )
-    grams = toks.select(
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 3),"
+                    " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # 2 consumers: gram-id join + df counts
+    )
+    # integer gram ids: the prefix join and the verification intersects then
+    # run on longs, not 3-word strings (ids are internal — never in output)
+    gram_ids = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .select("gram", "df", F.monotonically_increasing_id().alias("gid"))
+    )
+    g2 = grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram").localCheckpoint(
+        eager=False
+    )
+    # per-doc gram set as one sorted id array — verification is an
+    # array_intersect projection over candidates, never an exploded re-join
+    gram_sets = g2.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gid")).alias("gset"),
+        F.count("*").alias("n"),
+    )
+    ranked = g2.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(ts) - 3),"
-                " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
-            )
-        ).alias("gram"),
-    ).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pairs = (
+        "gid",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")).alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    # prefix length = n - ceil(t*n) + 1, ceil via integer div
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 1
+    ).select("doc_id", "gid", "n", "rn")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # overlap threshold alpha = ceil(t/(1+t) * (na+nb)) = ceil(p*(na+nb)/(p+q))
+    alpha = F.expr(f"({p} * (a.n + b.n) + {p + q} - 1) DIV {p + q}")
+    cand = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.gid") == F.col("b.gid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # AllPairs length filter: jac >= t forces t <= |A|/|B| <= 1/t
+            & (q * F.col("a.n") >= p * F.col("b.n"))
+            & (q * F.col("b.n") >= p * F.col("a.n"))
+            # PPJoin positional filter: the first common gram (in canonical
+            # order) bounds the overlap by 1 + min(remaining positions)
+            & (1 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")) >= alpha),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    ga = gram_sets.alias("ga")
+    gb = gram_sets.alias("gb")
     jacs = (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        # no broadcast hint: gram_sets grows with the corpus, so the scale
+        # plan is a shuffle join on doc_id; AQE still broadcasts at small SF
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga.gset", "gb.gset")).alias("n_common"),
+            F.col("ga.n").alias("na"),
+            F.col("gb.n").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
             ).alias("jac"),
         )
     )
     return (
-        jacs.filter(F.col("jac") >= 0.3)
+        jacs.filter(F.col("jac") >= t)
         .select("doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
