@@ -23,19 +23,27 @@ N_BITS = 16
 HAMMING_MAX = 3
 
 
-def _bit_expr(b: int, instr_fn: str, intdiv: str) -> str:
-    """Bit b (msb-first) of the 16-bit token hash = hex-digit arithmetic
-    over the precomputed `h` column (= substr(md5(token), 1, 4)); hoisting
-    the md5 out of the 16 bit expressions cuts 64 hash evaluations per
-    token down to 1."""
-    nib = f"({instr_fn}('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
+def _nibble_projs(instr_fn: str) -> list[str]:
+    """The 4 hex-digit values of h (= substr(md5(token), 1, 4)) projected
+    ONCE per token as n0..n3 — md5 and the 16 instr lookups are both
+    hoisted out of the 16 vote SUMs (which then cost only a div+mod
+    each). One md5 + 4 instr per token instead of 64 + 16."""
+    return [
+        f"({instr_fn}('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) AS n{i}"
+        for i in range(4)
+    ]
+
+
+def _bit_expr(b: int, intdiv: str) -> str:
+    """Bit b (msb-first) of the 16-bit token hash, read from the hoisted
+    nibble column n{b // 4}."""
     shift = 2 ** (3 - b % 4)
-    return f"((({nib}) {intdiv} {shift}) % 2)"
+    return f"((n{b // 4} {intdiv} {shift}) % 2)"
 
 
-def _vote_sums(instr_fn: str, intdiv: str) -> str:
+def _vote_sums(intdiv: str) -> str:
     return ",\n    ".join(
-        f"SUM(2 * {_bit_expr(b, instr_fn, intdiv)} - 1) AS s{b}" for b in range(N_BITS)
+        f"SUM(2 * {_bit_expr(b, intdiv)} - 1) AS s{b}" for b in range(N_BITS)
     )
 
 
@@ -54,10 +62,12 @@ WITH tokens AS (
   ) t
 ), hashed AS (
   SELECT doc_id, substr(md5(token), 1, 4) AS h FROM tokens
+), nibbled AS (
+  SELECT doc_id, {", ".join(_nibble_projs("strpos"))} FROM hashed
 ), votes AS (
   SELECT doc_id,
-    {_vote_sums("strpos", "//")}
-  FROM hashed GROUP BY doc_id
+    {_vote_sums("//")}
+  FROM nibbled GROUP BY doc_id
 ), hashes AS (
   SELECT doc_id, CAST({_simhash_value()} AS BIGINT) AS simhash FROM votes
 ), pairs AS (
@@ -73,23 +83,17 @@ ORDER BY doc_a, doc_b
 """
 
 
-def simhash_column_sql() -> str:
-    """Spark-SQL expression set for per-doc simhash (shared shape with the
-    oracle; Spark spells int-division `div` and strpos `instr`)."""
-    return _vote_sums("instr", "div")
-
-
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """doc_id → 16-bit simhash fingerprint."""
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     hashed = tokens.select("doc_id", F.expr("substr(md5(token), 1, 4)").alias("h"))
+    nibbled = hashed.selectExpr("doc_id", *_nibble_projs("instr"))
     vote_exprs = [
-        F.expr(f"SUM(2 * {_bit_expr(b, 'instr', 'div')} - 1)").alias(f"s{b}")
-        for b in range(N_BITS)
+        F.expr(f"SUM(2 * {_bit_expr(b, 'div')} - 1)").alias(f"s{b}") for b in range(N_BITS)
     ]
-    votes = hashed.groupBy("doc_id").agg(*vote_exprs)
+    votes = nibbled.groupBy("doc_id").agg(*vote_exprs)
     return votes.select("doc_id", F.expr(f"CAST({_simhash_value()} AS BIGINT)").alias("simhash"))
 
 
