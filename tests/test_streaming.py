@@ -167,6 +167,68 @@ def test_per_batch_health_alerts(spark, sf_dir, tmp_path):
     assert not any(b < 3 for b, _ in alerts)
 
 
+def test_throttled_ingestion_paces_and_retries(spark, overlap_batches, tmp_path):
+    """T9: per-trigger intake stays capped, batch starts respect the min
+    interval, and an injected transient failure is absorbed by backoff."""
+    import time as _time
+
+    from data_ingestion_system_spark.streaming.ingest import dedup_insert_batch
+    from data_ingestion_system_spark.streaming.throttle import (
+        ThrottleConfig,
+        run_throttled_ingestion,
+    )
+
+    paths = IngestPaths(
+        source_dir=overlap_batches,
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    fails = {"left": 2}  # first two attempts of batch 0 die transiently
+
+    def flaky_body(df, bid):
+        if bid == 0 and fails["left"]:
+            fails["left"] -= 1
+            raise IOError("injected transient read failure")
+        dedup_insert_batch(spark, df, bid, "event_id", paths)
+
+    cfg = ThrottleConfig(
+        min_batch_interval_s=0.5, base_delay_s=0.05, max_delay_s=0.2, max_retries=3
+    )
+    t0 = _time.monotonic()
+    run_throttled_ingestion(
+        spark, paths, TESTDATA_SCHEMAS["events"], "event_id",
+        throttle=cfg, on_batch=flaky_body,
+    )
+    elapsed = _time.monotonic() - t0
+    assert fails["left"] == 0  # both injected failures were retried through
+    # 3 files, maxFilesPerTrigger=1 → 3 batches, each capped at 400 rows
+    audit = spark.read.parquet(paths.audit_dir)
+    assert audit.count() == 3
+    assert audit.agg(F.max("fetched")).first()[0] == 400
+    assert spark.read.parquet(paths.target_dir).count() == 1000
+    # 3 batch starts with a 0.5 s floor → >= 1.0 s between first and last
+    assert elapsed >= 1.0
+
+
+def test_backoff_exhausts_and_reraises():
+    from data_ingestion_system_spark.streaming.throttle import ThrottleConfig, with_backoff
+
+    calls = {"n": 0}
+
+    def always_fails():
+        calls["n"] += 1
+        raise IOError("permanent")
+
+    with pytest.raises(IOError):
+        with_backoff(
+            always_fails,
+            ThrottleConfig(base_delay_s=0.01, max_delay_s=0.02, max_retries=2),
+        )
+    assert calls["n"] == 3  # initial try + 2 retries
+
+
 def test_dedup_within_watermark(spark, overlap_batches, tmp_path):
     """The pure-streaming dedup path: overlapping batches inside the
     watermark horizon must come out key-unique."""
