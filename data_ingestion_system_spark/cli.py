@@ -61,6 +61,23 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("export", help="stratified training-data export (M3/S11-S13)")
     e.add_argument("--out", required=True)
 
+    lp = sub.add_parser(
+        "label-populate", help="seed the labeling queue from the review fixture (M6)"
+    )
+    lp.add_argument("--workdir", required=True)
+    lp.add_argument("--quota", type=int, default=10, help="per-tier quota")
+    lp.add_argument("--reviews", type=int, default=2000, help="fixture size")
+
+    ls = sub.add_parser(
+        "label-session",
+        help="interactive labeling session over the queue (session.py parity); "
+        "commands on stdin: '<sentiment> [confidence] [notes]' | skip | quit",
+    )
+    ls.add_argument("--workdir", required=True)
+    ls.add_argument("--annotator", required=True)
+    ls.add_argument("--batch-size", type=int, default=5)
+    ls.add_argument("--reviews", type=int, default=2000)
+
     args = p.parse_args(argv)
 
     from data_ingestion_system_spark.registry import load_all
@@ -126,6 +143,30 @@ def main(argv: list[str] | None = None) -> int:
             assign_split(docs, class_col="label", key_col="doc_id"), args.out, label_col="label"
         )
         print(json.dumps(meta, sort_keys=True))
+    elif args.cmd == "label-populate":
+        from data_ingestion_system_spark.fixtures import generate_reviews
+        from data_ingestion_system_spark.labeling_session import populate_queue
+
+        n = populate_queue(
+            spark,
+            generate_reviews(spark, args.reviews),
+            args.workdir,
+            {t: args.quota for t in (1, 2, 3, 4)},
+        )
+        print(json.dumps({"queued": n}))
+    elif args.cmd == "label-session":
+        from data_ingestion_system_spark.fixtures import generate_reviews
+        from data_ingestion_system_spark.labeling_session import run_session
+
+        summary = run_session(
+            spark,
+            args.workdir,
+            generate_reviews(spark, args.reviews),
+            args.annotator,
+            args.batch_size,
+            commands=sys.stdin,
+        )
+        print(json.dumps(summary, sort_keys=True))
     return 0
 
 

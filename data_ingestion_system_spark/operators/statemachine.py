@@ -22,6 +22,8 @@ VALID_TRANSITIONS = {
     ("pending", "assigned"),
     ("assigned", "completed"),
     ("assigned", "skipped"),
+    ("assigned", "pending"),  # quit-release / abandoned-assignment reset
+    #                           (session.py:104-116, db_manager reset_abandoned)
     ("skipped", "pending"),  # requeue
 }
 
