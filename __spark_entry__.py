@@ -94,6 +94,8 @@ _DRIVER_PRIORITY = (
     "backfill_missing_days",
     "approx_percentiles",
     "approx_distinct_users",
+    # new in round 2
+    "exact_percentiles_sketch_refine",
 )
 
 
