@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = (
     "approx_distinct_users",
     # new in round 2
     "exact_percentiles_sketch_refine",
+    "near_dup_simhash_multiblock",
 )
 
 
