@@ -207,6 +207,55 @@ ORDER BY grp, r, l_orderkey, l_linenumber
 
 
 @settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(
+        ["union_all", "union", "except", "except_all", "intersect", "intersect_all"]
+    ),
+    flag_b=st.sampled_from(["R", "A", "N"]),
+    qty_a=st.integers(1, 40),
+    qty_b=st.integers(1, 40),
+)
+def test_setops_family(fuzz_env, op, flag_b, qty_a, qty_b):
+    """Random set-operation plans (the O3-O6 family) over two filtered
+    low-cardinality projections (duplicates guaranteed, so ALL vs
+    DISTINCT semantics actually differ) vs generated SQL. The oracle
+    compare is a sorted-multiset hash, so duplicate multiplicity is part
+    of the property."""
+    con, li = fuzz_env
+    proj = ["l_returnflag", "l_linenumber"]
+    a = li.filter(li.l_quantity >= qty_a).select(*proj)
+    b = li.filter((li.l_quantity <= qty_b) & (li.l_returnflag == flag_b)).select(*proj)
+    sql_a = f"SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_quantity >= {qty_a}"
+    sql_b = (
+        "SELECT l_returnflag, l_linenumber FROM lineitem"
+        f" WHERE l_quantity <= {qty_b} AND l_returnflag = '{flag_b}'"
+    )
+    spark_ops = {
+        "union_all": lambda: a.union(b),
+        "union": lambda: a.union(b).distinct(),
+        "except": lambda: a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+    }
+    sql_ops = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "except": "EXCEPT",
+        "except_all": "EXCEPT ALL",
+        "intersect": "INTERSECT",
+        "intersect_all": "INTERSECT ALL",
+    }
+    df = spark_ops[op]().orderBy(*proj)
+    oracle = f"({sql_a}) {sql_ops[op]} ({sql_b}) ORDER BY l_returnflag, l_linenumber"
+    assert_df_matches_oracle(df, con, oracle)
+
+
+@settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
