@@ -61,6 +61,12 @@ def get_spark(
         # read natively; read as epoch-nanos long, converted in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffledHashJoinFactor", "3")
+        # bucketed tables (sources/bucketing.py) live in the session
+        # catalog; keep the warehouse out of the repo checkout
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/dis_spark_warehouse"),
+        )
     )
     if master is not None:
         builder = builder.master(master)
