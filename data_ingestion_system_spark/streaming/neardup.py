@@ -1,0 +1,169 @@
+"""Incremental near-duplicate dedup ingestion — MinHash-LSH across batches.
+
+The reference's pipeline dedups each batch against the stored corpus by
+exact key (reference: src/ingestion/pipeline.py:201-216). A training-data
+pipeline at 100 TB needs the *near*-dup version of the same loop: a new
+document is rejected when it is a near-duplicate (Jaccard >= threshold)
+of anything already accepted, not just byte-identical. This module runs
+the dedup/minhash.py pipeline incrementally inside foreachBatch:
+
+- state = two append-only parquet stores for ACCEPTED docs only:
+  (doc_id, band_key) — the LSH index — and (doc_id, token) — shingle
+  sets for exact Jaccard verification. Both are what a batch job would
+  recompute from the corpus; keeping them incremental makes each batch
+  cost O(batch x matched buckets), never O(corpus).
+- per batch: drop near-dups of the stored corpus (band-key join against
+  the index, exact Jaccard on candidates only), then near-dups within
+  the batch (keep the smallest doc_id of each verified pair), then
+  append survivors + their index rows + an audit row.
+- replay-safe like ingest.dedup_insert_batch: the audit row is the
+  commit marker — a replayed batch_id is skipped outright.
+
+At scale the band-key join shuffles only (doc_id, band_key) pairs and
+the token join only candidate docs' shingles; accepted-state appends are
+partitioned by batch via file layout. Nothing about the corpus ever
+sits in driver memory.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from data_ingestion_system_spark.dedup.minhash import (
+    JACCARD_THRESHOLD,
+    band_keys,
+    candidate_pairs,
+    minhash_signatures,
+    token_sets,
+    verified_pairs,
+)
+
+
+@dataclass
+class NearDupPaths:
+    source_dir: str      # landing files (document batches)
+    target_dir: str      # accepted documents
+    bands_dir: str       # LSH index of accepted docs: (doc_id, band_key)
+    tokens_dir: str      # shingle sets of accepted docs: (doc_id, token)
+    audit_dir: str       # one row per batch
+    checkpoint_dir: str
+
+
+def _dir_has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+def neardup_insert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    paths: NearDupPaths,
+    threshold: float = JACCARD_THRESHOLD,
+) -> None:
+    """foreachBatch body: reject near-dups vs the accepted corpus, then
+    within the batch (smallest doc_id of a verified pair wins), append
+    survivors and their index state, record the audit row."""
+    if _dir_has_parquet(paths.audit_dir):
+        already = (
+            spark.read.parquet(paths.audit_dir)
+            .filter(F.col("batch_id") == int(batch_id))
+            .limit(1)
+            .count()
+        )
+        if already:
+            return
+
+    batch = batch_df.dropDuplicates(["doc_id"]).localCheckpoint(eager=True)
+    fetched = batch.count()
+    toks = token_sets(batch).localCheckpoint(eager=True)
+    bands = band_keys(minhash_signatures(toks)).localCheckpoint(eager=True)
+
+    if _dir_has_parquet(paths.bands_dir):
+        store_bands = spark.read.parquet(paths.bands_dir)
+        cross = (
+            bands.alias("n")
+            .join(store_bands.alias("s"), F.col("n.band_key") == F.col("s.band_key"))
+            .select(
+                F.col("s.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        # exact Jaccard needs both sides' shingles: batch tokens plus the
+        # stored shingles of ONLY the candidate store docs (semi-join —
+        # the index, not the corpus, bounds what gets read)
+        store_toks = (
+            spark.read.parquet(paths.tokens_dir)
+            .join(cross.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi")
+        )
+        # distinct: a re-delivered doc_id appears in BOTH sides of the
+        # union with identical shingles; duplicates would double n_common
+        dup_vs_store_ids = (
+            verified_pairs(toks.unionByName(store_toks).distinct(), cross, threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        remaining = batch.join(dup_vs_store_ids, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        remaining = batch
+    after_store = remaining.count()
+
+    rtoks = toks.join(remaining.select("doc_id"), "doc_id", "left_semi")
+    rbands = bands.join(remaining.select("doc_id"), "doc_id", "left_semi")
+    within = verified_pairs(rtoks, candidate_pairs(rbands), threshold)
+    drop_ids = within.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = remaining.join(drop_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+    inserted = survivors.count()
+
+    survivors.write.mode("append").parquet(paths.target_dir)
+    keep = survivors.select("doc_id")
+    bands.join(keep, "doc_id", "left_semi").write.mode("append").parquet(paths.bands_dir)
+    toks.join(keep, "doc_id", "left_semi").write.mode("append").parquet(paths.tokens_dir)
+    audit = spark.createDataFrame(
+        [
+            (
+                int(batch_id),
+                fetched,
+                fetched - after_store,
+                after_store - inserted,
+                inserted,
+            )
+        ],
+        "batch_id long, fetched long, dup_vs_store long, dup_within_batch long,"
+        " inserted long",
+    )
+    audit.write.mode("append").parquet(paths.audit_dir)
+
+
+def run_neardup_ingestion(
+    spark: SparkSession,
+    paths: NearDupPaths,
+    schema: StructType,
+    threshold: float = JACCARD_THRESHOLD,
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain pending document files through the incremental near-dup
+    filter (Trigger.AvailableNow, one landing file per micro-batch by
+    default — the reference's --once drain loop shape)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(paths.source_dir)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_insert_batch(spark, batch_df, batch_id, paths, threshold)
+
+    query = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
