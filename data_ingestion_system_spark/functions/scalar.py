@@ -78,6 +78,24 @@ def oracle_round(expr_sql: str, scale: int) -> str:
     return f"ROUND(({expr_sql}) * {f}) / {f}"
 
 
+U52_DENOM = float(1 << 52)
+
+
+def u52_terms_sql(instr_fn: str) -> str:
+    """Expression (over a column named ``h`` holding an md5 hex digest)
+    for the first 13 hex digits as a 52-bit integer. 52 bits fit a
+    double exactly, and the digit-position sum uses only integer
+    arithmetic both engines evaluate identically — so
+    ``(u52 + 0.5) / 2^52`` is a bit-identical uniform in (0,1) on Spark
+    (``instr``) and DuckDB (``strpos``). The md5 itself comes from
+    `det_rank_key`, hoisted into ``h`` once per row."""
+    return " + ".join(
+        f"({instr_fn}('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (12 - i)} AS BIGINT)"
+        for i in range(13)
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation (deep_analysis.py:398)."""
     punct_count = F.length(text) - F.length(

@@ -179,3 +179,76 @@ def overlap_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(flag.cast("int")).alias("n_overlap"),
         F.count("*").alias("n_total"),
     )
+
+
+ES_SEED = 19
+ES_K = 10
+
+
+def _es_oracle() -> str:
+    from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         md5(concat('{ES_SEED}:', CAST(l_orderkey * 10 + l_linenumber AS VARCHAR))) AS h
+  FROM lineitem
+  WHERE l_quantity > 0
+), keyed AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         ln(({u52_terms_sql("strpos")} + 0.5) / {U52_DENOM}) / l_quantity AS es_key
+  FROM hashed
+), ranked AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY es_key DESC, l_orderkey ASC, l_linenumber ASC
+         ) AS rn
+  FROM keyed
+)
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+FROM ranked WHERE rn <= {ES_K}
+ORDER BY l_returnflag, l_orderkey, l_linenumber
+"""
+
+
+@query("weighted_sample", oracle=_es_oracle(), survey="M1-ext")
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement: k rows per stratum with
+    inclusion probability proportional to weight (l_quantity), via the
+    Efraimidis-Spirakis exponential-key trick — priority
+    ln(u) / w with u uniform in (0,1), top-k by priority per group
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"). Extends the reference's unweighted ORDER BY RANDOM()
+    draw (reference: src/labeling/sampler.py:142) to quality-weighted
+    training-data selection.
+
+    Determinism & oracle parity: u is the first 13 hex digits of the
+    seeded md5 rank key as a 52-bit integer (scalar.u52_terms_sql) —
+    bit-identical in both engines — so the only cross-engine surface is
+    ln(), whose last-ulp differences cannot realistically reorder
+    md5-separated keys. One shuffle (the per-stratum window); at scale
+    this is the same plan as any grouped top-k."""
+    from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    )
+    hashed = li.withColumn(
+        "h", det_rank_key(F.col("l_orderkey") * 10 + F.col("l_linenumber"), seed=ES_SEED)
+    )
+    keyed = hashed.withColumn(
+        "es_key",
+        F.expr(f"ln(({u52_terms_sql('instr')} + 0.5) / {U52_DENOM})") / F.col("l_quantity"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("es_key"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ES_K)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
