@@ -66,6 +66,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.text.search",
     "data_ingestion_system_spark.operators.labeling",
     "data_ingestion_system_spark.text.analysis",
+    "data_ingestion_system_spark.text.cleaning",
     "data_ingestion_system_spark.dedup.exact",
     "data_ingestion_system_spark.dedup.minhash",
     "data_ingestion_system_spark.dedup.simhash",
