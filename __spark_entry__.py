@@ -97,6 +97,8 @@ _DRIVER_PRIORITY = (
     # new in round 2
     "exact_percentiles_sketch_refine",
     "near_dup_simhash_multiblock",
+    "weighted_sample",
+    "clean_documents",
 )
 
 

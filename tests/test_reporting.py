@@ -1,0 +1,53 @@
+"""Golden-output tests for the run-report formatter (reporting.py)."""
+
+from __future__ import annotations
+
+from data_ingestion_system_spark.reporting import format_run_report, format_store_snapshot
+
+AUDIT_DDL = (
+    "batch_id long, fetched long, inserted long, skipped long,"
+    " dedup_rate double, status string, duration_seconds double"
+)
+
+
+def test_run_report_golden(spark):
+    audit = spark.createDataFrame(
+        [
+            (0, 400, 400, 0, 0.0, "completed", 1.25),
+            (1, 400, 300, 100, 0.25, "completed", 0.75),
+        ],
+        AUDIT_DDL,
+    )
+    alerts = spark.createDataFrame([(1, "insert_drop")], "batch_id long, alert string")
+    report = format_run_report(audit, alerts)
+    expected = "\n".join(
+        [
+            "=" * 64,
+            "  INGESTION RUN — 2 batch(es)",
+            "=" * 64,
+            "   batch  fetched    new  skipped  dedup%    secs  status",
+            "  " + "-" * 58,
+            "       0      400    400        0    0.0%   1.25s  completed",
+            "       1      400    300      100   25.0%   0.75s  completed",
+            "",
+            "  total fetched   : 800",
+            "  total inserted  : 700",
+            "  total skipped   : 100",
+            "  dedup rate      : 12.5%",
+            "  alerts          : 1",
+            "    batch 1: insert_drop",
+            "=" * 64,
+        ]
+    )
+    assert report == expected
+
+
+def test_store_snapshot(spark, tmp_path, sf_dir):
+    from data_ingestion_system_spark.tables import load_table
+
+    target = str(tmp_path / "store")
+    load_table(spark, sf_dir, "events").limit(100).write.parquet(target)
+    snap = format_store_snapshot(spark, target, "event_id")
+    assert "rows          : 100" in snap
+    assert "distinct keys : 100" in snap
+    assert "time range    : " in snap
