@@ -99,6 +99,8 @@ _DRIVER_PRIORITY = (
     "near_dup_simhash_multiblock",
     "weighted_sample",
     "clean_documents",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
 )
 
 

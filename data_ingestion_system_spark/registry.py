@@ -72,6 +72,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.dedup.simhash",
     "data_ingestion_system_spark.similarity.ann",
     "data_ingestion_system_spark.similarity.ivf",
+    "data_ingestion_system_spark.similarity.pq",
     "data_ingestion_system_spark.multimodal.columns",
 )
 
