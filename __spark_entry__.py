@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = (
     "clean_documents",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
 )
 
 

@@ -35,6 +35,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "near_dup_embedding_cosine",
     "inverted_index_search",
     "token_counts",

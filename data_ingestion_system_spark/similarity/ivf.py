@@ -178,22 +178,18 @@ ORDER BY query_id, rank
 """
 
 
-def ivf_topk(
+def assign_and_probes(
     v: DataFrame,
     centroids: DataFrame,
     nprobe: int = NPROBE,
-    top_k: int = TOP_K,
     n_queries: int = N_QUERIES,
-) -> DataFrame:
-    """IVF search against a given quantizer: assign corpus to cells via a
-    broadcast centroid join + argmax window, probe the `nprobe` nearest
-    cells per query, exact cosine within the probed cells only. Returns
-    (query_id, cand_id, cosine, rank), cosine unrounded."""
+) -> tuple[DataFrame, DataFrame]:
+    """Cell assignment for the corpus plus the `nprobe` nearest cells per
+    query, both derived from ONE materialized corpus×centroid scoring
+    (16 broadcast rows — the scan is the cost, not the join)."""
     vn = _with_norm(v, "ev", "nrm")
     cn = _with_norm(centroids, "cv", "cnrm")
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
-    # materialize the corpus×centroid scoring once — both the cell
-    # assignment and the query probes derive from it
     scored_cells = vn.crossJoin(F.broadcast(cn)).select(
         "vec_id",
         "ev",
@@ -212,6 +208,22 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
+    return assigned, probes
+
+
+def ivf_topk(
+    v: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF search against a given quantizer: assign corpus to cells via a
+    broadcast centroid join + argmax window, probe the `nprobe` nearest
+    cells per query, exact cosine within the probed cells only. Returns
+    (query_id, cand_id, cosine, rank), cosine unrounded."""
+    assigned, probes = assign_and_probes(v, centroids, nprobe, n_queries)
+    vn = _with_norm(v, "ev", "nrm")
     q = vn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("nrm").alias("qnrm")
     )

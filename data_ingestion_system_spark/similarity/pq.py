@@ -199,40 +199,49 @@ def _fcos_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _codebook_ctes() -> list[str]:
+    """The PQ training CTEs (sub → ptrain → pcb{N}), reusable by the
+    IVF-PQ composite oracle. Iteration CTEs carry a `p` prefix so they
+    can coexist with the IVF k-means CTEs in one statement."""
     sub = "\n  UNION ALL ".join(
         f"SELECT vec_id, {m} AS m, {_sv_sql(m)} AS sv FROM v" for m in range(M_SUB)
     )
     avgs = ", ".join(f"ROUND(AVG(sv[{j + 1}]) * 1000000.0) / 1000000.0" for j in range(SD))
     ctes = [
         f"sub AS (\n  {sub}\n)",
-        f"train AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
-        f"""cb0 AS (
+        f"ptrain AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
+        f"""pcb0 AS (
   SELECT m, vec_id - {PQ_CODE_BASE} AS code, sv AS cv FROM sub
   WHERE vec_id >= {PQ_CODE_BASE} AND vec_id < {PQ_CODE_BASE + K_CODES}
 )""",
     ]
     for it in range(1, PQ_ITERS + 1):
-        prev = f"cb{it - 1}"
+        prev = f"pcb{it - 1}"
         ctes.append(
-            f"""a{it} AS (
+            f"""pa{it} AS (
   SELECT vec_id, m, sv, code FROM (
     SELECT t.vec_id, t.m, t.sv, c.code,
            ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m
                               ORDER BY {_l2_sql("t.sv", "c.cv")} ASC, c.code ASC) AS rn
-    FROM train t JOIN {prev} c ON c.m = t.m
+    FROM ptrain t JOIN {prev} c ON c.m = t.m
   ) s WHERE rn = 1
 )"""
         )
-        ctes.append(f"g{it} AS (SELECT m, code, [{avgs}] AS mv FROM a{it} GROUP BY m, code)")
         ctes.append(
-            f"""cb{it} AS (
+            f"pg{it} AS (SELECT m, code, [{avgs}] AS mv FROM pa{it} GROUP BY m, code)"
+        )
+        ctes.append(
+            f"""pcb{it} AS (
   SELECT p.m, p.code, COALESCE(g.mv, p.cv) AS cv
-  FROM {prev} p LEFT JOIN g{it} g ON g.m = p.m AND g.code = p.code
+  FROM {prev} p LEFT JOIN pg{it} g ON g.m = p.m AND g.code = p.code
 )"""
         )
-    cb = f"cb{PQ_ITERS}"
-    joined_ctes = ",\n".join(ctes)
+    return ctes
+
+
+def _pq_oracle() -> str:
+    cb = f"pcb{PQ_ITERS}"
+    joined_ctes = ",\n".join(_codebook_ctes())
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
@@ -320,6 +329,144 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
     out = pq_topk(v, train_codebooks(v))
+    return out.select(
+        "query_id",
+        "cand_id",
+        round_port(F.col("adot"), 6).alias("adot"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_oracle() -> str:
+    from data_ingestion_system_spark.similarity.ivf import (
+        NPROBE,
+        N_ITERS,
+        _cos,
+        _kmeans_ctes,
+    )
+
+    cb = f"pcb{PQ_ITERS}"
+    ivf_ctes = _kmeans_ctes()
+    pq_ctes = ",\n".join(_codebook_ctes())
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+{ivf_ctes},
+centroids AS (
+  SELECT cell_id, cv FROM c{N_ITERS}
+), assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_cos("v.ev", "c.cv")} DESC, c.cell_id ASC) AS rn
+    FROM v, centroids c
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_cos("v.ev", "c.cv")} DESC, c.cell_id ASC) AS rn
+    FROM v, centroids c
+    WHERE v.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {NPROBE}
+),
+{pq_ctes},
+encoded AS (
+  SELECT vec_id AS cand_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_l2_sql("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+    FROM sub s JOIN {cb} c ON c.m = s.m
+    WHERE s.vec_id >= {N_QUERIES}
+  ) t WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code, {_dot_sql("q.sv", "c.cv")} AS pd
+  FROM sub q JOIN {cb} c ON c.m = q.m
+  WHERE q.vec_id < {N_QUERIES}
+), cands AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id >= {N_QUERIES}
+), approx AS (
+  SELECT cd.query_id, cd.cand_id, SUM(l.pd) AS adot
+  FROM cands cd
+  JOIN encoded e ON e.cand_id = cd.cand_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = e.m AND l.code = e.code
+  GROUP BY cd.query_id, cd.cand_id
+), ranked AS (
+  SELECT query_id, cand_id, adot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id ASC) AS rank
+  FROM approx
+)
+SELECT query_id, cand_id, ROUND(adot * 1000000.0) / 1000000.0 AS adot,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ivfpq_topk(
+    v: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    nprobe: int | None = None,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF-PQ search against given quantizers: coarse cells prune the
+    corpus to `nprobe` cells per query, PQ LUT scoring ranks candidates
+    inside the probed cells. Returns (query_id, cand_id, adot, rank),
+    adot unrounded."""
+    from data_ingestion_system_spark.similarity.ivf import NPROBE, assign_and_probes
+
+    assigned, probes = assign_and_probes(
+        v, centroids, NPROBE if nprobe is None else nprobe, n_queries
+    )
+    sv = subvectors(v)
+    encoded = _assign(sv.filter(F.col("vec_id") >= n_queries), codes).select(
+        F.col("vec_id").alias("cand_id"), "m", "code"
+    )
+    lut = (
+        sv.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(codes), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code",
+            _dot(F.col("sv"), F.col("cv")).alias("pd"),
+        )
+    )
+    cands = probes.join(
+        assigned.filter(F.col("vec_id") >= n_queries).select("vec_id", "cell_id"),
+        "cell_id",
+    ).select("query_id", F.col("vec_id").alias("cand_id"))
+    approx = (
+        cands.join(encoded, "cand_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pd").alias("adot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("cand_id"))
+    return approx.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle(), survey="EXT-similarity")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite: the k-means coarse quantizer prunes the corpus
+    to NPROBE cells per query (similarity/ivf.py), and candidates inside
+    the probed cells are scored through the PQ lookup table instead of
+    raw vectors — the FAISS IVFADC architecture (Jégou et al. 2011 §IV)
+    minus residual encoding, which is documented as the extension (the
+    codebooks here quantize raw vectors, shared with `ann_pq_topk`; at
+    100 TB both trainings reuse one sample pass).
+
+    Plan shape: two broadcast trainings over samples, one broadcast
+    centroid join to assign cells, a (cell_id) equi-join to generate
+    candidates (NPROBE/K of the corpus), and an 8-row LUT sum per
+    candidate. No raw-vector math on the corpus side at query time."""
+    from data_ingestion_system_spark.similarity.ivf import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    out = ivfpq_topk(v, train_centroids(v), train_codebooks(v))
     return out.select(
         "query_id",
         "cand_id",

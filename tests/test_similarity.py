@@ -97,6 +97,30 @@ def test_pq_rerank_recall_on_clustered_data(spark, clustered_v):
     assert rr_recall >= adc_recall
 
 
+def test_ivfpq_recall_on_clustered_data(spark, clustered_v):
+    """The IVF-PQ composite on clustered data: coarse pruning (2/16
+    cells) stacked on 4-byte PQ codes must still find most of the true
+    top-5 — the gate is looser than pure IVF (0.9) because PQ adds its
+    own quantization loss on top of cell pruning."""
+    from data_ingestion_system_spark.similarity.pq import ivfpq_topk, train_codebooks
+
+    emb = clustered_v.select("vec_id", F.col("ev").alias("embedding"))
+    brute = cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        TOP_K,
+    )
+    truth = {(r.query_id, r.cand_id) for r in brute.collect()}
+    centroids = train_centroids(clustered_v)
+    codes = train_codebooks(clustered_v)
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ivfpq_topk(clustered_v, centroids, codes, nprobe=2).collect()
+    }
+    rec = len(truth & got) / len(truth)
+    assert rec >= 0.5, f"ivfpq recall@5 {rec} < 0.5 on clustered data"
+
+
 def test_training_beats_untrained_seed_on_corpus(spark):
     # pinned to sf0.1: at sf0.01 the corpus is 200 vectors (12 per cell)
     # and quantizer quality on isotropic data is pure noise; at sf0.1
