@@ -1,0 +1,134 @@
+"""Transitive near-duplicate clusters via distributed connected components.
+
+Pairwise near-dup detection (dedup/minhash.py) is not enough to dedup a
+corpus: if A≈B and B≈C, all three are one duplicate group even when A and
+C never share an LSH band (the reference's exact-duplicate pass,
+src/analysis/deep_analysis.py:317-344, has the same gap one level down —
+it groups only literally-identical content). The standard fix is the
+connected components of the verified-pair graph, with one keeper per
+component.
+
+Components are computed with min-label propagation expressed as pure
+DataFrame algebra: every doc starts labeled with its own id, and each
+round replaces a doc's label with the minimum label among itself and its
+neighbors. The loop converges in graph-diameter rounds; near-dup
+components are band-overlap cliques with tiny diameters (≤ a few hops),
+so a small capped loop is the right trade against the
+log-diameter-but-heavier alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+2014) — which is the documented upgrade path if 100 TB corpora ever
+produce long duplicate chains. Each round is one (src)-keyed shuffle
+join + one groupBy; lineage is truncated per round with an eager local
+checkpoint so the plan does not grow with iterations.
+
+The DuckDB oracle runs the same MinHash pipeline (shared CTE body) and
+closes it transitively with a recursive CTE, so the differential test
+covers candidate generation, verification, AND the closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.dedup.minhash import (
+    JACCARD_THRESHOLD,
+    PAIR_CTES,
+    band_keys,
+    candidate_pairs,
+    minhash_signatures,
+    token_sets,
+    verified_pairs,
+)
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+MAX_ITERS = 20  # >> observed duplicate-chain diameter; convergence asserted
+
+
+def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id of the component.
+
+    Min-label propagation to fixpoint; convergence is detected by the
+    label sum (labels only ever decrease, so an unchanged sum is a
+    fixpoint — one cheap scalar agg per round instead of a join-diff).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {PAIR_CTES},
+pairs AS (
+  SELECT doc_a, doc_b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), walk(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+), comp AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+), csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_keeper
+FROM comp c JOIN csizes s USING (cluster_id)
+ORDER BY c.doc_id
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE, survey="EXT-dedup")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate groups: connected components of the verified
+    MinHash-LSH pair graph, min-doc_id as the canonical cluster id and
+    keeper. Emits every doc that has at least one near-duplicate, with
+    its cluster id, cluster size, and keeper flag — the `is_keeper =
+    false` rows are exactly the set a dedup job would drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    cand = candidate_pairs(band_keys(minhash_signatures(tokens)))
+    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD)
+    comp = connected_components(pairs)
+    csizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(csizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

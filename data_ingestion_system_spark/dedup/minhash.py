@@ -130,8 +130,11 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
     for b in range(N_BANDS)
 )
 
-_MINHASH_ORACLE = f"""
-WITH toklists AS (
+# The full shingle→signature→band→verify chain as a reusable CTE body:
+# the pair query appends a SELECT over `jacs`, and the cluster query
+# (dedup/clusters.py) builds its transitive closure on top of the same
+# chain so both oracles verify one shared pipeline definition.
+PAIR_CTES = f"""toklists AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 ), tokens AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS token
@@ -163,7 +166,10 @@ WITH toklists AS (
   FROM common c
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {PAIR_CTES}
 SELECT doc_a, doc_b, ROUND(jac * 1000000.0) / 1000000.0 AS jaccard
 FROM jacs
 WHERE jac >= {JACCARD_THRESHOLD}

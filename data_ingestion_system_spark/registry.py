@@ -64,11 +64,13 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.temporal",
     "data_ingestion_system_spark.dedup.embedding",
     "data_ingestion_system_spark.text.search",
+    "data_ingestion_system_spark.text.ranking",
     "data_ingestion_system_spark.operators.labeling",
     "data_ingestion_system_spark.text.analysis",
     "data_ingestion_system_spark.text.cleaning",
     "data_ingestion_system_spark.dedup.exact",
     "data_ingestion_system_spark.dedup.minhash",
+    "data_ingestion_system_spark.dedup.clusters",
     "data_ingestion_system_spark.dedup.simhash",
     "data_ingestion_system_spark.similarity.ann",
     "data_ingestion_system_spark.similarity.ivf",
