@@ -102,6 +102,12 @@ _DRIVER_PRIORITY = (
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "ann_ivfpq_topk",
+    "dedup_clusters",
+    "bm25_search",
+    "repetition_quality",
+    "contamination_overlap",
+    "doc_chunks",
+    "tfidf_top_terms",
 )
 
 

@@ -65,6 +65,10 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.dedup.embedding",
     "data_ingestion_system_spark.text.search",
     "data_ingestion_system_spark.text.ranking",
+    "data_ingestion_system_spark.text.repetition",
+    "data_ingestion_system_spark.text.contamination",
+    "data_ingestion_system_spark.text.chunking",
+    "data_ingestion_system_spark.text.tfidf",
     "data_ingestion_system_spark.operators.labeling",
     "data_ingestion_system_spark.text.analysis",
     "data_ingestion_system_spark.text.cleaning",

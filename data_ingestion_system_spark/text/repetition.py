@@ -1,0 +1,150 @@
+"""Repetition-based document quality signals (Gopher-style filters).
+
+Training-corpus pipelines drop documents dominated by repeated content;
+the canonical rule set is Rae et al. 2021 (Gopher, §A1.1): fraction of
+tokens in the most frequent word / 2-gram, and the fraction of
+duplicated n-grams. The reference has no analog (its quality signals
+are review-level, src/analysis/statistical_analysis.py); this is the
+documents-table extension of its quality-flag family (P9).
+
+All metrics are expression algebra over one token explode — counts per
+(doc, gram), a max and a sum per doc, no UDFs. The thresholds follow
+Gopher's published cut-offs where the corpus makes them meaningful.
+
+Repeated n-gram work shares one exploded token relation; at 100 TB this
+is a map-side explode feeding three partial aggregations on the same
+(doc_id)-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+TOP_WORD_MAX = 0.20     # Gopher: most frequent word ≤ 20% of tokens
+TOP_BIGRAM_MAX = 0.18   # Gopher: most frequent 2-gram ≤ 18%
+DUP_TRIGRAM_MAX = 0.60  # fraction of 3-gram occurrences that are repeats
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, top_word_frac, top_bigram_frac, dup_trigram_frac),
+    fractions unrounded; n-gram fractions NULL when the doc is too short
+    to form that gram."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    words = toks.select("doc_id", F.explode("ts").alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_w"), F.sum("c").alias("n_words"))
+    )
+    bigrams = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i + 1]))")
+        ).alias("g"),
+    )
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_b"), F.sum("c").alias("n_bi"))
+    )
+    trigrams = toks.filter(F.size("ts") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 3),"
+                " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    trigram_stats = (
+        trigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") - 1).alias("dup_tri"), F.sum("c").alias("n_tri"))
+    )
+    return (
+        word_stats.join(bigram_stats, "doc_id", "left")
+        .join(trigram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("top_w").cast("double") / F.col("n_words")).alias("top_word_frac"),
+            (F.col("top_b").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+            (F.col("dup_tri").cast("double") / F.col("n_tri")).alias("dup_trigram_frac"),
+        )
+    )
+
+
+_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), words AS (
+  SELECT doc_id, unnest(ts) AS w FROM toks
+), word_stats AS (
+  SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_words FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+  ) t GROUP BY doc_id
+), bigram_stats AS (
+  SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_bi FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+      FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+      WHERE len(ts) >= 2
+    ) b GROUP BY doc_id, g
+  ) t GROUP BY doc_id
+), trigram_stats AS (
+  SELECT doc_id, SUM(c - 1) AS dup_tri, SUM(c) AS n_tri FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+      WHERE len(ts) >= 3
+    ) b GROUP BY doc_id, g
+  ) t GROUP BY doc_id
+), metrics AS (
+  SELECT w.doc_id, w.n_words,
+         CAST(w.top_w AS DOUBLE) / w.n_words AS top_word_frac,
+         CAST(b.top_b AS DOUBLE) / b.n_bi AS top_bigram_frac,
+         CAST(t.dup_tri AS DOUBLE) / t.n_tri AS dup_trigram_frac
+  FROM word_stats w
+  LEFT JOIN bigram_stats b ON b.doc_id = w.doc_id
+  LEFT JOIN trigram_stats t ON t.doc_id = w.doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(top_word_frac * 1000000.0) / 1000000.0 AS top_word_frac,
+       ROUND(top_bigram_frac * 1000000.0) / 1000000.0 AS top_bigram_frac,
+       ROUND(dup_trigram_frac * 1000000.0) / 1000000.0 AS dup_trigram_frac,
+       (top_word_frac <= {TOP_WORD_MAX}
+        AND COALESCE(top_bigram_frac <= {TOP_BIGRAM_MAX}, TRUE)
+        AND COALESCE(dup_trigram_frac <= {DUP_TRIGRAM_MAX}, TRUE)) AS keep
+FROM metrics
+ORDER BY doc_id
+"""
+
+
+@query("repetition_quality", oracle=_ORACLE, survey="EXT-text")
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics plus the Gopher-style keep
+    verdict; too-short docs pass the n-gram rules vacuously (NULL
+    metric → rule treated as satisfied)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = repetition_metrics(docs)
+    keep = (
+        (F.col("top_word_frac") <= TOP_WORD_MAX)
+        & F.coalesce(F.col("top_bigram_frac") <= TOP_BIGRAM_MAX, F.lit(True))
+        & F.coalesce(F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX, F.lit(True))
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        round_port(F.col("top_word_frac"), 6).alias("top_word_frac"),
+        round_port(F.col("top_bigram_frac"), 6).alias("top_bigram_frac"),
+        round_port(F.col("dup_trigram_frac"), 6).alias("dup_trigram_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")

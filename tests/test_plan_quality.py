@@ -79,3 +79,39 @@ def test_scan_filter_prunes_columns_in_quality(spark, sf_dir):
     df = REGISTRY["quality_flags"].spark(spark, sf_dir)
     schemas = read_schemas(df)
     assert schemas and all("doc_id" not in s for s in schemas)
+
+
+def test_bm25_side_inputs_broadcast(spark, sf_dir):
+    """df/N/avgdl are tiny side aggregates — they must broadcast, and the
+    two scalar crossJoins must never become a CartesianProduct."""
+    df = REGISTRY["bm25_search"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert count_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_bench_set_broadcast(spark, sf_dir):
+    """The benchmark gram set is eval-suite-sized: the membership probe
+    must be a broadcast semi join, not a corpus-wide shuffle join."""
+    df = REGISTRY["contamination_overlap"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "LeftSemi" in plan and "Broadcast" in plan
+    ), plan
+
+
+def test_doc_chunks_is_narrow(spark, sf_dir):
+    """Chunking is embarrassingly parallel: no shuffle beyond the output
+    ordering's range partitioning."""
+    from data_ingestion_system_spark.plans.inspect import count_shuffles
+
+    df = REGISTRY["doc_chunks"].spark(spark, sf_dir)
+    assert count_shuffles(df) <= 1, "chunking itself must not shuffle"
+
+
+def test_tfidf_vocabulary_broadcast(spark, sf_dir):
+    """Document frequencies are vocabulary-sized — broadcast onto the
+    (doc, term) counts, never a sort-merge join."""
+    df = REGISTRY["tfidf_top_terms"].spark(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+    assert count_sort_merge_joins(df) == 0
