@@ -79,6 +79,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.similarity.ann",
     "data_ingestion_system_spark.similarity.ivf",
     "data_ingestion_system_spark.similarity.pq",
+    "data_ingestion_system_spark.similarity.classify",
     "data_ingestion_system_spark.multimodal.columns",
 )
 

@@ -71,10 +71,13 @@ def _assign(sv: DataFrame, codes: DataFrame) -> DataFrame:
     )
 
 
-def train_codebooks(v: DataFrame) -> DataFrame:
+def train_codebooks(v: DataFrame, sv: DataFrame | None = None) -> DataFrame:
     """PQ_ITERS Lloyd rounds per subspace over the sample. Returns the
-    (m, code, cv) codebook; empty codes keep their previous centroid."""
-    sv = subvectors(v).localCheckpoint(eager=True)
+    (m, code, cv) codebook; empty codes keep their previous centroid.
+    Pass an already-checkpointed `sv` (subvectors(v)) to share the
+    exploded relation with the caller's encode/LUT stages."""
+    if sv is None:
+        sv = subvectors(v).localCheckpoint(eager=True)
     train = sv.filter(F.pmod("vec_id", F.lit(PQ_TRAIN_MOD)) == 0).localCheckpoint(
         eager=True
     )
@@ -410,17 +413,20 @@ def ivfpq_topk(
     nprobe: int | None = None,
     top_k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    sv: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search against given quantizers: coarse cells prune the
     corpus to `nprobe` cells per query, PQ LUT scoring ranks candidates
     inside the probed cells. Returns (query_id, cand_id, adot, rank),
-    adot unrounded."""
+    adot unrounded. Pass a checkpointed `sv` to share the exploded
+    subvector relation with codebook training."""
     from data_ingestion_system_spark.similarity.ivf import NPROBE, assign_and_probes
 
     assigned, probes = assign_and_probes(
         v, centroids, NPROBE if nprobe is None else nprobe, n_queries
     )
-    sv = subvectors(v)
+    if sv is None:
+        sv = subvectors(v).localCheckpoint(eager=False)
     encoded = _assign(sv.filter(F.col("vec_id") >= n_queries), codes).select(
         F.col("vec_id").alias("cand_id"), "m", "code"
     )
@@ -466,7 +472,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    out = ivfpq_topk(v, train_centroids(v), train_codebooks(v))
+    sv = subvectors(v).localCheckpoint(eager=True)
+    out = ivfpq_topk(v, train_centroids(v), train_codebooks(v, sv=sv), sv=sv)
     return out.select(
         "query_id",
         "cand_id",
