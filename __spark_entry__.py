@@ -107,7 +107,7 @@ _DRIVER_PRIORITY = (
     "repetition_quality",
     "contamination_overlap",
     "doc_chunks",
-    "tfidf_top_terms",
+    "corpus_prep_pipeline",
 )
 
 

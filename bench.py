@@ -40,6 +40,7 @@ HEADLINE = [
     "inverted_index_search",
     "token_counts",
     "quality_flags",
+    "corpus_prep_pipeline",
 ]
 
 

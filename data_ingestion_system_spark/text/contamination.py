@@ -48,35 +48,43 @@ def doc_ngrams(docs: DataFrame, n: int = CONTAM_N) -> DataFrame:
     )
 
 
+# CTE body (distinct `c`-prefixed names) shared with the corpus-prep
+# pipeline oracle. `cflags` is the per-train-doc contamination relation.
+CONTAM_CTES = f"""ctoks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), cgrams AS (
+  SELECT DISTINCT doc_id,
+         {" || ' ' || ".join(f"ts[i + {j}]" for j in range(CONTAM_N))} AS gram
+  FROM ctoks, UNNEST(range(1, len(ts) - {CONTAM_N - 2})) AS r(i)
+  WHERE len(ts) >= {CONTAM_N}
+), cbench AS (
+  SELECT DISTINCT gram FROM cgrams WHERE doc_id % {BENCH_MOD} = 0
+), ctrain AS (
+  SELECT * FROM cgrams WHERE doc_id % {BENCH_MOD} <> 0
+), ctotals AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM ctrain GROUP BY doc_id
+), chits AS (
+  SELECT t.doc_id, COUNT(*) AS n_contaminated
+  FROM ctrain t JOIN cbench b ON b.gram = t.gram
+  GROUP BY t.doc_id
+), cflags AS (
+  SELECT tt.doc_id, tt.n_grams,
+         COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / tt.n_grams
+           AS contamination_frac
+  FROM ctotals tt LEFT JOIN chits h ON h.doc_id = tt.doc_id
+)"""
+
+
 @query(
     "contamination_overlap",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-), grams AS (
-  SELECT DISTINCT doc_id,
-         {" || ' ' || ".join(f"ts[i + {j}]" for j in range(CONTAM_N))} AS gram
-  FROM toks, UNNEST(range(1, len(ts) - {CONTAM_N - 2})) AS r(i)
-  WHERE len(ts) >= {CONTAM_N}
-), bench AS (
-  SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
-), train AS (
-  SELECT * FROM grams WHERE doc_id % {BENCH_MOD} <> 0
-), totals AS (
-  SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
-), hits AS (
-  SELECT t.doc_id, COUNT(*) AS n_contaminated
-  FROM train t JOIN bench b ON b.gram = t.gram
-  GROUP BY t.doc_id
-)
-SELECT tt.doc_id, tt.n_grams,
-       COALESCE(h.n_contaminated, 0) AS n_contaminated,
-       ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / tt.n_grams * 1000000.0)
-         / 1000000.0 AS contamination_frac,
-       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / tt.n_grams >= {FLAG_FRAC}
-         AS flagged
-FROM totals tt LEFT JOIN hits h ON h.doc_id = tt.doc_id
-ORDER BY tt.doc_id
+WITH {CONTAM_CTES}
+SELECT doc_id, n_grams, n_contaminated,
+       ROUND(contamination_frac * 1000000.0) / 1000000.0 AS contamination_frac,
+       contamination_frac >= {FLAG_FRAC} AS flagged
+FROM cflags
+ORDER BY doc_id
 """,
     survey="EXT-text",
 )

@@ -1,0 +1,188 @@
+"""End-to-end training-corpus preparation pipeline.
+
+The flagship composition of the LLM-data extension family — the job a
+training-data team actually runs, wired from the library's own stages:
+
+    1. quality  — Gopher-style repetition filters (text/repetition.py)
+    2. dedup    — MinHash-LSH pairs closed into clusters, keep one doc
+                  per duplicate group (dedup/clusters.py)
+    3. decontam — drop docs overlapping the held-out eval slice, and
+                  the eval slice itself (text/contamination.py)
+    4. chunk    — cut survivors into 64-token training windows
+                  (text/chunking.py)
+
+Output is the per-source yield report (candidates → kept → chunks →
+tokens), which is what a pipeline owner monitors per ingestion round.
+
+The DuckDB oracle composes the SAME stage definitions (shared CTE
+bodies from each module) into one statement, so the differential test
+verifies the composition — filter interaction included — not just each
+stage in isolation.
+
+At 100 TB each stage is one corpus pass over narrow relations, and the
+expensive intermediates (shingle sets, pair graph) are exactly the ones
+the standalone queries already bound; a production run would persist
+stage outputs between rounds (the incremental variant of the dedup
+stage exists in streaming/neardup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.dedup.clusters import connected_components
+from data_ingestion_system_spark.dedup.minhash import (
+    JACCARD_THRESHOLD,
+    PAIR_CTES,
+    band_keys,
+    candidate_pairs,
+    minhash_signatures,
+    token_sets,
+    verified_pairs,
+)
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.text.chunking import chunk_documents
+from data_ingestion_system_spark.text.contamination import (
+    BENCH_MOD,
+    CONTAM_CTES,
+    FLAG_FRAC,
+    doc_ngrams,
+)
+from data_ingestion_system_spark.text.repetition import (
+    DUP_TRIGRAM_MAX,
+    REPETITION_CTES,
+    REPETITION_KEEP_SQL,
+    TOP_BIGRAM_MAX,
+    TOP_WORD_MAX,
+    repetition_metrics,
+)
+
+_ORACLE = f"""
+WITH RECURSIVE {PAIR_CTES},
+dpairs AS (
+  SELECT doc_a, doc_b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+), dedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM dpairs
+), dnodes AS (
+  SELECT DISTINCT src AS doc_id FROM dedges
+), dwalk(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM dnodes
+  UNION
+  SELECT e.dst, w.label FROM dwalk w JOIN dedges e ON e.src = w.doc_id
+), dcomp AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM dwalk GROUP BY doc_id
+),
+{REPETITION_CTES},
+{CONTAM_CTES},
+kept AS (
+  SELECT d.doc_id, d.source, rt.ts
+  FROM documents d
+  JOIN rmetrics m ON m.doc_id = d.doc_id
+  JOIN rtoks rt ON rt.doc_id = d.doc_id
+  LEFT JOIN dcomp dc ON dc.doc_id = d.doc_id
+  LEFT JOIN cflags cf ON cf.doc_id = d.doc_id
+  WHERE d.doc_id % {BENCH_MOD} <> 0
+    AND {REPETITION_KEEP_SQL}
+    AND (dc.cluster_id IS NULL OR dc.cluster_id = d.doc_id)
+    AND COALESCE(cf.contamination_frac < {FLAG_FRAC}, TRUE)
+), chunkrows AS (
+  SELECT doc_id, source,
+         len(ts[CAST(s AS BIGINT) + 1 : CAST(s AS BIGINT) + 64]) AS n_toks
+  FROM kept, UNNEST(range(0, len(ts), 48)) AS r(s)
+), scand AS (
+  SELECT source, COUNT(*) AS n_candidates FROM documents
+  WHERE doc_id % {BENCH_MOD} <> 0 GROUP BY source
+), keptagg AS (
+  SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source
+), chunkagg AS (
+  SELECT source, COUNT(*) AS n_chunks, SUM(n_toks) AS n_tokens
+  FROM chunkrows GROUP BY source
+)
+SELECT c.source, c.n_candidates,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(g.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM scand c
+LEFT JOIN keptagg k ON k.source = c.source
+LEFT JOIN chunkagg g ON g.source = c.source
+ORDER BY c.source
+"""
+
+
+@query("corpus_prep_pipeline", oracle=_ORACLE, survey="EXT-pipeline")
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-corpus yield: candidate docs (outside the
+    eval slice) → docs surviving quality + dedup + decontamination →
+    chunks and tokens emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1: repetition quality
+    m = repetition_metrics(docs)
+    rep_keep = (
+        (F.col("top_word_frac") <= TOP_WORD_MAX)
+        & F.coalesce(F.col("top_bigram_frac") <= TOP_BIGRAM_MAX, F.lit(True))
+        & F.coalesce(F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX, F.lit(True))
+    )
+    quality_ids = m.filter(rep_keep).select("doc_id")
+
+    # stage 2: duplicate-cluster keepers (closure over the FULL corpus —
+    # a doc whose cluster canon is an eval doc is dropped, same as SQL)
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    pairs = verified_pairs(
+        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs)
+    dup_drop = comp.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+
+    # stage 3: decontamination (docs overlapping the eval slice ≥10%)
+    grams = doc_ngrams(docs).localCheckpoint(eager=False)
+    is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
+    bench_grams = grams.filter(is_bench).select("gram").distinct()
+    train_grams = grams.filter(~is_bench)
+    totals = train_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    contaminated = (
+        totals.join(hits, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_grams")
+            >= FLAG_FRAC
+        )
+        .select("doc_id")
+    )
+
+    candidates = docs.filter(~is_bench)
+    survivors = (
+        candidates.join(quality_ids, "doc_id", "left_semi")
+        .join(dup_drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # stage 4: chunk survivors, report yield per source
+    chunks = chunk_documents(survivors.select("doc_id", "text")).join(
+        survivors.select("doc_id", "source"), "doc_id"
+    )
+    cand_agg = candidates.groupBy("source").agg(F.count("*").alias("n_candidates"))
+    kept_agg = survivors.groupBy("source").agg(F.count("*").alias("n_kept"))
+    chunk_agg = chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_tokens")
+    )
+    return (
+        cand_agg.join(kept_agg, "source", "left")
+        .join(chunk_agg, "source", "left")
+        .select(
+            "source",
+            "n_candidates",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -82,48 +82,58 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
-_ORACLE = f"""
-WITH toks AS (
+# CTE body (distinct `r`-prefixed names) so the corpus-prep pipeline
+# oracle can compose it with the dedup-closure and contamination chains
+# in one statement. `rmetrics` is the per-doc metric relation; the keep
+# expression is REPETITION_KEEP_SQL over it.
+REPETITION_CTES = f"""rtoks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-), words AS (
-  SELECT doc_id, unnest(ts) AS w FROM toks
-), word_stats AS (
+), rwords AS (
+  SELECT doc_id, unnest(ts) AS w FROM rtoks
+), rword_stats AS (
   SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_words FROM (
-    SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    SELECT doc_id, w, COUNT(*) AS c FROM rwords GROUP BY doc_id, w
   ) t GROUP BY doc_id
-), bigram_stats AS (
+), rbigram_stats AS (
   SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_bi FROM (
     SELECT doc_id, g, COUNT(*) AS c FROM (
       SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
-      FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+      FROM rtoks, UNNEST(range(1, len(ts))) AS r(i)
       WHERE len(ts) >= 2
     ) b GROUP BY doc_id, g
   ) t GROUP BY doc_id
-), trigram_stats AS (
+), rtrigram_stats AS (
   SELECT doc_id, SUM(c - 1) AS dup_tri, SUM(c) AS n_tri FROM (
     SELECT doc_id, g, COUNT(*) AS c FROM (
       SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
-      FROM toks, UNNEST(range(1, len(ts) - 1)) AS r(i)
+      FROM rtoks, UNNEST(range(1, len(ts) - 1)) AS r(i)
       WHERE len(ts) >= 3
     ) b GROUP BY doc_id, g
   ) t GROUP BY doc_id
-), metrics AS (
+), rmetrics AS (
   SELECT w.doc_id, w.n_words,
          CAST(w.top_w AS DOUBLE) / w.n_words AS top_word_frac,
          CAST(b.top_b AS DOUBLE) / b.n_bi AS top_bigram_frac,
          CAST(t.dup_tri AS DOUBLE) / t.n_tri AS dup_trigram_frac
-  FROM word_stats w
-  LEFT JOIN bigram_stats b ON b.doc_id = w.doc_id
-  LEFT JOIN trigram_stats t ON t.doc_id = w.doc_id
+  FROM rword_stats w
+  LEFT JOIN rbigram_stats b ON b.doc_id = w.doc_id
+  LEFT JOIN rtrigram_stats t ON t.doc_id = w.doc_id
+)"""
+
+REPETITION_KEEP_SQL = (
+    f"(top_word_frac <= {TOP_WORD_MAX}"
+    f" AND COALESCE(top_bigram_frac <= {TOP_BIGRAM_MAX}, TRUE)"
+    f" AND COALESCE(dup_trigram_frac <= {DUP_TRIGRAM_MAX}, TRUE))"
 )
+
+_ORACLE = f"""
+WITH {REPETITION_CTES}
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        ROUND(top_word_frac * 1000000.0) / 1000000.0 AS top_word_frac,
        ROUND(top_bigram_frac * 1000000.0) / 1000000.0 AS top_bigram_frac,
        ROUND(dup_trigram_frac * 1000000.0) / 1000000.0 AS dup_trigram_frac,
-       (top_word_frac <= {TOP_WORD_MAX}
-        AND COALESCE(top_bigram_frac <= {TOP_BIGRAM_MAX}, TRUE)
-        AND COALESCE(dup_trigram_frac <= {DUP_TRIGRAM_MAX}, TRUE)) AS keep
-FROM metrics
+       {REPETITION_KEEP_SQL} AS keep
+FROM rmetrics
 ORDER BY doc_id
 """
 
