@@ -109,6 +109,17 @@ def test_doc_chunks_is_narrow(spark, sf_dir):
     assert count_shuffles(df) <= 1, "chunking itself must not shuffle"
 
 
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bucketed range join must compile to a hash/sort-merge
+    equi-join on (key, bucket) — never the nested-loop/cartesian plan a
+    raw interval predicate produces."""
+    df = REGISTRY["range_join_events"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_tfidf_vocabulary_broadcast(spark, sf_dir):
     """Document frequencies are vocabulary-sized — broadcast onto the
     (doc, term) counts, never a sort-merge join."""
