@@ -64,6 +64,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.temporal",
     "data_ingestion_system_spark.operators.rangejoin",
     "data_ingestion_system_spark.operators.drift",
+    "data_ingestion_system_spark.operators.multires",
     "data_ingestion_system_spark.dedup.embedding",
     "data_ingestion_system_spark.text.search",
     "data_ingestion_system_spark.text.ranking",
