@@ -212,6 +212,61 @@ ORDER BY grp, r, l_orderkey, l_linenumber
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    partition=st.sampled_from(["l_returnflag", "l_linenumber"]),
+    order_col=st.sampled_from(["l_shipdate", "l_quantity", "l_extendedprice"]),
+    width=st.integers(1, 8),
+    closed=st.booleans(),
+    fn=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+)
+def test_window_frame_family(fuzz_env, partition, order_col, width, closed, fn):
+    """Random ROWS-frame aggregate windows (the W6/W8 running/trailing
+    family): trailing frames of random width, open (excluding current
+    row, the history-z-score shape) or closed (running-total shape),
+    over a total order so frame contents are engine-independent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.functions.scalar import round_port
+
+    con, li = fuzz_env
+    hi = 0 if closed else -1
+    frame_sql = f"ROWS BETWEEN {width} PRECEDING AND {'CURRENT ROW' if closed else '1 PRECEDING'}"
+    order_sql = f"{order_col} ASC, l_orderkey ASC, l_linenumber ASC"
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(F.asc(order_col), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(-width, hi)
+    )
+    fcol = {
+        "sum": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+    }[fn](F.col("l_quantity"))
+    agg_sql = f"{fn}(l_quantity)"
+    df = li.select(
+        F.col(partition).alias("grp"),
+        "l_orderkey",
+        "l_linenumber",
+        round_port(fcol.over(w).cast("double"), 6).alias("v"),
+    ).orderBy("grp", "l_orderkey", "l_linenumber")
+    oracle = f"""
+SELECT {partition} AS grp, l_orderkey, l_linenumber,
+       ROUND(CAST({agg_sql} OVER (PARTITION BY {partition} ORDER BY {order_sql}
+             {frame_sql}) AS DOUBLE) * 1000000.0) / 1000000.0 AS v
+FROM lineitem
+ORDER BY grp, l_orderkey, l_linenumber
+"""
+    assert_df_matches_oracle(df, con, oracle)
+
+
+@settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     op=st.sampled_from(
         ["union_all", "union", "except", "except_all", "intersect", "intersect_all"]
     ),
