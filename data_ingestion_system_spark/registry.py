@@ -73,6 +73,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.text.chunking",
     "data_ingestion_system_spark.text.tfidf",
     "data_ingestion_system_spark.text.pipeline",
+    "data_ingestion_system_spark.text.vocab",
     "data_ingestion_system_spark.operators.labeling",
     "data_ingestion_system_spark.text.analysis",
     "data_ingestion_system_spark.text.cleaning",

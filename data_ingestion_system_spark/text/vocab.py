@@ -1,0 +1,96 @@
+"""Corpus vocabulary profile: Zipf fit and head concentration.
+
+Corpus health checks before tokenizer training: vocabulary size, total
+token mass, how much of the corpus the head of the distribution
+captures, and the log-log OLS slope of frequency vs rank (natural text
+tracks Zipf's law with slope ≈ −1; synthetic or degenerate corpora
+show up immediately as a flat or cliff-shaped curve).
+
+One (token) count aggregation, a vocabulary-sized rank window, and an
+explicit-sum OLS — the slope is assembled from Σx, Σy, Σxy, Σx² so
+both engines compute the same four commutative sums instead of relying
+on engine-specific covariance implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+HEAD_K = 10  # head terms for the concentration ratio
+
+
+_ORACLE = f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) t GROUP BY token
+), ranked AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM tf
+), logs AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y, freq, rank
+  FROM ranked
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx,
+         SUM(freq) AS total_tokens,
+         SUM(CASE WHEN rank <= {HEAD_K} THEN freq ELSE 0 END) AS head_tokens
+  FROM logs
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND(CAST(head_tokens AS DOUBLE) / total_tokens * 1000000.0) / 1000000.0
+         AS head_{HEAD_K}_frac,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0) / 1000000.0
+         AS zipf_slope
+FROM sums
+"""
+
+
+@query("vocab_zipf_stats", oracle=_ORACLE, survey="EXT-text")
+def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary profile: vocab size, token mass,
+    head-10 concentration, log-log Zipf slope."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token")))
+    )
+    logs = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+        "freq",
+        "rank",
+    )
+    sums = logs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("freq").alias("total_tokens"),
+        F.sum(F.when(F.col("rank") <= HEAD_K, F.col("freq")).otherwise(0)).alias(
+            "head_tokens"
+        ),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        round_port(F.col("head_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            f"head_{HEAD_K}_frac"
+        ),
+        round_port(slope, 6).alias("zipf_slope"),
+    )
