@@ -25,22 +25,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as an
-        # epoch-nanos long (legacy.parquet.nanosAsLong); truncate to micros
-        # with integer division (a double round-trip would lose precision at
-        # ~1.7e18) — matches DuckDB's nanos→micros truncation exactly.
-        from pyspark.sql import functions as F
+        # events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+        # across testdata generations. Spark can't read NANOS natively; with
+        # legacy.parquet.nanosAsLong the footer-inferred type comes back as
+        # LongType (epoch nanos) and we truncate to micros with integer
+        # division (a double round-trip would lose precision at ~1.7e18 —
+        # matches DuckDB's nanos→micros truncation exactly). MICROS files
+        # infer as TimestampType and read directly. Sniff the footer so the
+        # loader is correct for either unit.
+        inferred_ts = spark.read.parquet(path).schema["ts"].dataType
+        if isinstance(inferred_ts, LongType):
+            from pyspark.sql import functions as F
 
-        raw_schema = StructType([
-            StructField("event_id", LongType(), True),
-            StructField("ts", LongType(), True),
-            StructField("user_id", LongType(), True),
-            StructField("event_type", StringType(), True),
-            StructField("value", DoubleType(), True),
-            StructField("props", StringType(), True),
-        ])
-        raw = spark.read.schema(raw_schema).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            raw_schema = StructType([
+                StructField("event_id", LongType(), True),
+                StructField("ts", LongType(), True),
+                StructField("user_id", LongType(), True),
+                StructField("event_type", StringType(), True),
+                StructField("value", DoubleType(), True),
+                StructField("props", StringType(), True),
+            ])
+            raw = spark.read.schema(raw_schema).parquet(path)
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
 
