@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python Data Source API (sources/paginated.py) planning-time
+        # predicate pushdown — off by default in Spark 4.1, wanted always
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

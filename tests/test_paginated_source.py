@@ -1,0 +1,128 @@
+"""Paginated Python Data Source (S1/S2/S3): planning, pushdown, laziness,
+determinism, and streaming continuation-token resume.
+
+Reference semantics under test: page-loop fetch with continuation token
+(src/scraper/google_play_scraper.py:94-169), lazy generator (:225-289),
+multi-app fan-out (:291-341), checkpoint resume (src/storage/
+file_storage.py:209-229).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+from data_ingestion_system_spark.sources import paginated
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    paginated.register(spark)
+    return spark
+
+
+def _read(spark, **opts):
+    r = spark.read.format("paginated_reviews")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_shape(registered):
+    df = _read(registered, apps=4, pages_per_app=2, page_size=10)
+    assert df.count() == 4 * 2 * 10
+    assert [f.name for f in df.schema.fields] == [
+        "review_id", "app_id", "author", "rating", "content",
+        "review_timestamp", "page",
+    ]
+    apps = {r[0] for r in df.select("app_id").distinct().collect()}
+    assert apps == {f"com.example.app{i:02d}" for i in range(1, 5)}
+    # every (app, page) slice is a full page — the pagination contract
+    per_page = df.groupBy("app_id", "page").count().collect()
+    assert all(r["count"] == 10 for r in per_page)
+
+
+def test_partition_planning_matches_page_math(registered):
+    # one partition per page by default; pages_per_task coalesces them
+    reader = paginated.PaginatedReviewsReader(
+        {"apps": "3", "pages_per_app": "4", "pages_per_task": "1"}
+    )
+    assert len(reader.partitions()) == 12
+    reader2 = paginated.PaginatedReviewsReader(
+        {"apps": "3", "pages_per_app": "4", "pages_per_task": "4"}
+    )
+    assert len(reader2.partitions()) == 3
+
+
+def test_pushdown_prunes_app_partitions():
+    reader = paginated.PaginatedReviewsReader({"apps": "10", "pages_per_app": "2"})
+    leftover = list(
+        reader.pushFilters([
+            EqualTo(("app_id",), "com.example.app03"),
+            GreaterThan(("rating",), 3),
+        ])
+    )
+    # rating predicate is handed back to Spark; app predicate is consumed
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+    parts = reader.partitions()
+    assert {p.app_idx for p in parts} == {3}
+    assert len(parts) == 2  # only app03's two pages are planned at all
+
+
+def test_pushdown_in_filter_end_to_end(registered):
+    df = _read(registered, apps=6, pages_per_app=2, page_size=10).filter(
+        F.col("app_id").isin("com.example.app02", "com.example.app05")
+    )
+    rows = df.collect()
+    assert len(rows) == 2 * 2 * 10
+    assert {r["app_id"] for r in rows} == {"com.example.app02", "com.example.app05"}
+    reader = paginated.PaginatedReviewsReader({"apps": "6", "pages_per_app": "2"})
+    list(reader.pushFilters([In(("app_id",), ("com.example.app02", "com.example.app05"))]))
+    assert {p.app_idx for p in reader.partitions()} == {2, 5}
+
+
+def test_deterministic_and_duplicate_free(registered):
+    a = _read(registered, apps=3, pages_per_app=2, page_size=20)
+    b = _read(registered, apps=3, pages_per_app=2, page_size=20)
+    ha = a.orderBy("review_id").agg(F.md5(F.concat_ws("|", F.collect_list("review_id")))).collect()
+    hb = b.orderBy("review_id").agg(F.md5(F.concat_ws("|", F.collect_list("review_id")))).collect()
+    assert ha == hb
+    assert a.select("review_id").distinct().count() == a.count()
+
+
+def test_stream_resumes_from_checkpoint(registered, tmp_path):
+    """Two trigger-once runs over one checkpoint = the reference's
+    checkpoint_save / resume loop: the second run continues at the committed
+    page cursor, no overlap, no gap."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            registered.readStream.format("paginated_reviews")
+            .option("apps", 4)
+            .option("page_size", 5)
+            .option("max_pages_per_batch", 3)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = registered.read.parquet(out)
+    assert first.count() == 3 * 5  # max_pages_per_batch * page_size
+    # global pages 0,1,2 → apps 1,2,3 page 0
+    assert {r["app_id"] for r in first.select("app_id").distinct().collect()} == {
+        "com.example.app01", "com.example.app02", "com.example.app03",
+    }
+
+    run_once()
+    both = registered.read.parquet(out)
+    assert both.count() == 6 * 5
+    # batch 2 continued the ring: pages 3,4,5 → app04 page0, app01/02 page1
+    assert both.select("review_id").distinct().count() == 30
