@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -42,7 +42,7 @@ def token_sets(docs: DataFrame) -> DataFrame:
     to all-pairs, measured 126 s at sf0.1); 3-gram shingle space is
     ~27k, restoring locality. Documents shorter than 3 tokens use the
     whole text as their single shingle."""
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts"))
     return toks.select(
         "doc_id",
         F.explode(
@@ -244,7 +244,7 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, q = 3, 10
     t = p / q
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
+    toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
         F.size("ts") >= 3
     )
     grams = (

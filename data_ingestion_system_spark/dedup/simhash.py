@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 N_BITS = 16
 HAMMING_MAX = 3
@@ -95,7 +95,7 @@ ORDER BY doc_a, doc_b
 def simhash_fingerprints(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
     """doc_id → n_bits-wide simhash fingerprint (bits from the md5 hex
     prefix, n_bits // 4 hex digits)."""
-    tokens = docs.select(
+    tokens = fan_out(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     hashed = tokens.select(
@@ -210,7 +210,10 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     going quadratic; recall can be raised by re-running with rotated
     fingerprints (Manku et al.'s table approach)."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = simhash_fingerprints(docs)
+    # materialize fingerprints once — both sides of the self-join read the
+    # checkpointed 1-row-per-doc relation instead of re-running the
+    # explode+distinct+vote pipeline per side
+    hashes = simhash_fingerprints(docs).localCheckpoint(eager=False)
     a = hashes.alias("a")
     b = hashes.alias("b")
     pairs = a.join(

@@ -59,3 +59,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism ahead of
+    expression-heavy per-row stages (explode / hash chains).
+
+    At 100 TB a parquet scan arrives in thousands of splits and this
+    shuffle is dwarfed by the work it feeds; on a small single-file scan
+    (local testdata, one row-group) the scan yields ONE partition, so
+    without the fan-out a single task would execute the entire
+    explode+md5 chain serially while 31 cores idle. Shuffling the raw
+    rows is far cheaper than serializing the exploded rows. Hash keys
+    keep per-doc work co-located for downstream per-doc aggregates.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 CONTAM_N = 5        # words per gram
 BENCH_MOD = 25      # doc_id % BENCH_MOD == 0 → benchmark slice
@@ -36,7 +36,7 @@ def doc_ngrams(docs: DataFrame, n: int = CONTAM_N) -> DataFrame:
     inner = ", ' ', ".join(f"ts[i + {j}]" for j in range(n))
     parts = f"concat({inner})"
     return (
-        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        fan_out(docs, "doc_id").select("doc_id", F.split("text", " ").alias("ts"))
         .filter(F.size("ts") >= n)
         .select(
             "doc_id",

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 BM25_TERMS = ("spark", "join", "filter")
 K1 = 1.2
@@ -35,7 +35,7 @@ TOP_N = 20
 
 def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
     """(doc_id, score) for docs matching ≥1 term, unrounded."""
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    toks = fan_out(docs, "doc_id").select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     # three one-row side inputs, broadcast — never a driver-side collect
     n_docs = docs.agg(F.count("*").alias("n_docs"))

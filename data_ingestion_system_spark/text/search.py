@@ -19,12 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 
 def build_postings(docs: DataFrame) -> DataFrame:
     """token → doc_id posting relation (distinct)."""
-    return docs.select(
+    return fan_out(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 TOP_TERMS = 3
 
@@ -27,7 +27,7 @@ TOP_TERMS = 3
 def tfidf_terms(docs: DataFrame, top_k: int = TOP_TERMS) -> DataFrame:
     """(doc_id, term, tfidf, term_rank) — top_k terms per doc by
     tf·ln(N/df), ties broken by term text ascending. tfidf unrounded."""
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    toks = fan_out(docs, "doc_id").select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")

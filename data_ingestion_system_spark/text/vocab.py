@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 HEAD_K = 10  # head terms for the concentration ratio
 
@@ -59,7 +59,7 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     head-10 concentration, log-log Zipf slope."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        fan_out(docs).select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
