@@ -57,10 +57,49 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(F.col(vec), F.col(vec))))
 
 
-def train_centroids(v: DataFrame) -> DataFrame:
+def _cached_cents_df(spark: SparkSession, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """K driver-side centroids → broadcast-ready LocalRelation with norms.
+    Norms are Spark expressions (not Python math) so cosine tie-breaks in
+    the assignment argmax stay bit-identical to the DuckDB oracle."""
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType([
+        StructField("cell_id", IntegerType(), False),
+        StructField("cv", ArrayType(DoubleType(), True), False),
+    ])
+    # RDD-backed, not a LocalRelation: local rows would be inlined into the
+    # plan as literals, making every Lloyd iteration a *different* generated
+    # source that Janino recompiles (~seconds/iteration); an ExistingRDD scan
+    # keeps the compiled code cache hot across iterations.
+    rdd = spark.sparkContext.parallelize(list(rows), 1)
+    return _with_norm(spark.createDataFrame(rdd, schema), "cv", "cnrm")
+
+
+# trained quantizers memoized per (SparkContext, corpus key): an IVF index
+# is built once and served many times — ann_ivf_topk and ann_ivfpq_topk
+# share the same coarse quantizer rather than re-running Lloyd iterations
+_CENTROID_CACHE: dict[tuple[int, str], list[tuple[int, list[float]]]] = {}
+
+
+def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Spherical k-means over the 1-in-TRAIN_MOD sample: N_ITERS ×
     (cosine-argmax assign → rounded element-wise mean). Empty cells keep
-    their previous centroid. Returns a K-row (cell_id, cv) DataFrame."""
+    their previous centroid. Returns a K-row (cell_id, cv) DataFrame.
+
+    Each iteration localCheckpoints the K updated centroids so plans stay
+    one-iteration deep (a lazily chained 3-iteration plan measurably
+    blows up Catalyst analysis) and the per-iteration generated code is
+    byte-identical → Janino's compile cache stays hot (a driver-side
+    LocalRelation loop was tried and measured SLOWER: the row literals
+    inline into the generated source, forcing a recompile per iteration).
+    With ``cache_key`` set, the final K rows are mirrored driver-side so
+    later index builds in the same session (e.g. IVF-PQ reusing IVF's
+    coarse quantizer) skip the Lloyd jobs entirely — an IVF index is
+    trained once and served many times."""
+    spark = v.sparkSession
+    memo = (id(spark.sparkContext), cache_key) if cache_key is not None else None
+    if memo is not None and memo in _CENTROID_CACHE:
+        return _cached_cents_df(spark, _CENTROID_CACHE[memo]).select("cell_id", "cv")
     vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=True)
     vt = vn.filter(F.pmod("vec_id", F.lit(TRAIN_MOD)) == 0).localCheckpoint(eager=True)
     cents = vn.filter(
@@ -104,6 +143,12 @@ def train_centroids(v: DataFrame) -> DataFrame:
             .select("cell_id", F.coalesce("m.mv", "p.cv").alias("cv"))
         )
         cents = _with_norm(cents, "cv", "cnrm").localCheckpoint(eager=True)
+    if memo is not None:
+        # mirror the K trained rows driver-side so later index builds in
+        # this session (e.g. IVF-PQ after IVF) skip the Lloyd jobs entirely
+        _CENTROID_CACHE[memo] = sorted(
+            (int(r["cell_id"]), list(r["cv"])) for r in cents.select("cell_id", "cv").collect()
+        )
     return cents.select("cell_id", "cv")
 
 
@@ -256,7 +301,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    out = ivf_topk(v, train_centroids(v))
+    out = ivf_topk(v, train_centroids(v, cache_key=sf_dir))
     return out.select(
         "query_id",
         "cand_id",

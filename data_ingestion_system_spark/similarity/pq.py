@@ -71,11 +71,44 @@ def _assign(sv: DataFrame, codes: DataFrame) -> DataFrame:
     )
 
 
-def train_codebooks(v: DataFrame, sv: DataFrame | None = None) -> DataFrame:
+# trained codebooks memoized per (SparkContext, corpus key) — same
+# build-once/serve-many rationale as ivf._CENTROID_CACHE: ann_pq_topk,
+# ann_pq_rerank_topk and ann_ivfpq_topk share one quantizer per corpus
+_CODEBOOK_CACHE: dict[tuple[int, str], list[tuple[int, int, list[float]]]] = {}
+
+
+def _cached_codes_df(spark, rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("m", IntegerType(), False),
+        StructField("code", IntegerType(), False),
+        StructField("cv", ArrayType(DoubleType(), True), False),
+    ])
+    # RDD-backed (ExistingRDD scan), not a LocalRelation whose row literals
+    # would inline into generated code — see ivf._cached_cents_df
+    return spark.createDataFrame(spark.sparkContext.parallelize(list(rows), 1), schema)
+
+
+def train_codebooks(
+    v: DataFrame, sv: DataFrame | None = None, cache_key: str | None = None
+) -> DataFrame:
     """PQ_ITERS Lloyd rounds per subspace over the sample. Returns the
     (m, code, cv) codebook; empty codes keep their previous centroid.
     Pass an already-checkpointed `sv` (subvectors(v)) to share the
-    exploded relation with the caller's encode/LUT stages."""
+    exploded relation with the caller's encode/LUT stages. With
+    ``cache_key``, the trained (m, code, cv) rows are mirrored driver-side
+    and reused by later index builds in the same session."""
+    spark = v.sparkSession
+    memo = (id(spark.sparkContext), cache_key) if cache_key is not None else None
+    if memo is not None and memo in _CODEBOOK_CACHE:
+        return _cached_codes_df(spark, _CODEBOOK_CACHE[memo])
     if sv is None:
         sv = subvectors(v).localCheckpoint(eager=True)
     train = sv.filter(F.pmod("vec_id", F.lit(PQ_TRAIN_MOD)) == 0).localCheckpoint(
@@ -103,6 +136,10 @@ def train_codebooks(v: DataFrame, sv: DataFrame | None = None) -> DataFrame:
             .join(means.alias("g"), ["m", "code"], "left")
             .select("m", "code", F.coalesce("g.mv", "p.cv").alias("cv"))
             .localCheckpoint(eager=True)
+        )
+    if memo is not None:
+        _CODEBOOK_CACHE[memo] = sorted(
+            (int(r["m"]), int(r["code"]), list(r["cv"])) for r in codes.collect()
         )
     return codes
 
@@ -311,7 +348,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    out = pq_rerank_topk(v, train_codebooks(v))
+    out = pq_rerank_topk(v, train_codebooks(v, cache_key=sf_dir))
     return out.select(
         "query_id",
         "cand_id",
@@ -331,7 +368,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data recall gate lives in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    out = pq_topk(v, train_codebooks(v))
+    out = pq_topk(v, train_codebooks(v, cache_key=sf_dir))
     return out.select(
         "query_id",
         "cand_id",
@@ -473,7 +510,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
     sv = subvectors(v).localCheckpoint(eager=True)
-    out = ivfpq_topk(v, train_centroids(v), train_codebooks(v, sv=sv), sv=sv)
+    out = ivfpq_topk(v, train_centroids(v, cache_key=sf_dir), train_codebooks(v, sv=sv, cache_key=sf_dir), sv=sv)
     return out.select(
         "query_id",
         "cand_id",
