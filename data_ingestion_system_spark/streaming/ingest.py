@@ -286,3 +286,48 @@ def run_windowed_stream(
     )
     query.awaitTermination()
     return query
+
+
+def run_api_ingestion(
+    spark: SparkSession,
+    paths: IngestPaths,
+    key_col: str = "review_id",
+    apps: int = 4,
+    page_size: int = 50,
+    max_pages_per_batch: int = 2,
+    await_seconds: float = 120.0,
+):
+    """One scrape cycle: the paginated-API Python Data Source feeding the
+    same idempotent-insert foreachBatch as file ingestion.
+
+    This is the reference's main loop end-to-end (main.py: fetch pages →
+    INSERT OR IGNORE → run audit) with Spark owning every moving part:
+    the continuation token is the stream reader's checkpointed offset
+    (sources/paginated.py), the page fetch fans out across executors,
+    and the dedup/audit/provenance protocol is dedup_insert_batch
+    unchanged — the sink cannot tell an API batch from a file batch.
+    Trigger-once = one cycle of the reference's 4-hour scheduler; rerun
+    with the same checkpoint_dir to continue at the committed cursor.
+    """
+    from data_ingestion_system_spark.sources import paginated
+
+    paginated.register(spark)
+    stream = (
+        spark.readStream.format("paginated_reviews")
+        .option("apps", apps)
+        .option("page_size", page_size)
+        .option("max_pages_per_batch", max_pages_per_batch)
+        .load()
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_insert_batch(spark, batch_df, batch_id, key_col, paths)
+
+    query = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", paths.checkpoint_dir)
+        .trigger(once=True)
+        .start()
+    )
+    query.awaitTermination(await_seconds)
+    return query

@@ -126,3 +126,52 @@ def test_stream_resumes_from_checkpoint(registered, tmp_path):
     assert both.count() == 6 * 5
     # batch 2 continued the ring: pages 3,4,5 → app04 page0, app01/02 page1
     assert both.select("review_id").distinct().count() == 30
+
+
+def test_api_ingestion_dedups_against_store(registered, tmp_path):
+    """Reference main-loop parity: paginated API → INSERT-OR-IGNORE sink.
+    The store is pre-seeded with half of the first cycle's rows, so the
+    audit row must show fetched=100, inserted=50, skipped=50; a second
+    cycle resumes at the committed page cursor and inserts all-new rows."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.streaming.ingest import (
+        IngestPaths,
+        run_api_ingestion,
+    )
+
+    paths = IngestPaths(
+        source_dir=str(tmp_path / "unused"),
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # pre-seed: every even-indexed row of the first two global pages
+    first_cycle = (
+        registered.read.format("paginated_reviews")
+        .option("apps", 4)
+        .option("pages_per_app", 1)
+        .option("page_size", 50)
+        .load()
+        .filter(F.col("app_id").isin("com.example.app01", "com.example.app02"))
+    )
+    seeded = first_cycle.orderBy("review_id").limit(50)
+    seeded.write.parquet(paths.target_dir)
+
+    run_api_ingestion(registered, paths, apps=4, page_size=50, max_pages_per_batch=2)
+    audit = registered.read.parquet(paths.audit_dir).collect()
+    assert len(audit) == 1
+    row = audit[0]
+    assert (row["fetched"], row["inserted"], row["skipped"]) == (100, 50, 50)
+    target = registered.read.parquet(paths.target_dir)
+    assert target.count() == 100  # 50 seeded + 50 new
+    assert target.select("review_id").distinct().count() == 100
+
+    run_api_ingestion(registered, paths, apps=4, page_size=50, max_pages_per_batch=2)
+    audit2 = sorted(
+        registered.read.parquet(paths.audit_dir).collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(audit2) == 2
+    assert (audit2[1]["fetched"], audit2[1]["inserted"], audit2[1]["skipped"]) == (100, 100, 0)
+    assert registered.read.parquet(paths.target_dir).count() == 200
