@@ -57,6 +57,9 @@ def get_spark(
         # Python Data Source API (sources/paginated.py) planning-time
         # predicate pushdown — off by default in Spark 4.1, wanted always
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # serve filterless MIN/MAX/COUNT from parquet footer statistics —
+        # at 100 TB a full-table COUNT(*) becomes a metadata read
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
