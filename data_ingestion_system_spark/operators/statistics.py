@@ -12,7 +12,7 @@ built-in skewness/kurtosis use different estimators (SURVEY §7.4.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
@@ -394,4 +394,52 @@ def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dup_groups"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("n_dup_rows"),
         F.coalesce(F.max("n"), F.lit(0)).alias("max_group_size"),
+    )
+
+
+N_DEPTH_BUCKETS = 10
+
+
+@query(
+    "equi_depth_buckets",
+    oracle=f"""
+WITH tiled AS (
+  SELECT l_extendedprice,
+         NTILE({N_DEPTH_BUCKETS}) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(l_extendedprice) * 1000000.0) / 1000000.0 AS lo,
+       ROUND(MAX(l_extendedprice) * 1000000.0) / 1000000.0 AS hi,
+       ROUND(AVG(l_extendedprice) * 1000000.0) / 1000000.0 AS mean_price
+FROM tiled GROUP BY bucket ORDER BY bucket
+""",
+    survey="A11",
+)
+def equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (feature binning): NTILE buckets holding equal
+    row counts, with per-bucket range and mean — the quantile-binning
+    twin of the fixed-width `histogram_fixed_buckets`. The NTILE order
+    carries (orderkey, linenumber) tiebreakers so both engines tile the
+    same total order (SURVEY §4.2.4 determinism rule).
+
+    Scale note: a global NTILE is a single-partition sort at the limit;
+    at 100 TB swap in percentile_approx cut points + a codegen bucket
+    join (the `exact_percentiles_sketch_refine` machinery) — kept exact
+    here because the oracle must hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    tiled = li.select("l_extendedprice", F.ntile(N_DEPTH_BUCKETS).over(w).alias("bucket"))
+    return (
+        tiled.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            round_port(F.min("l_extendedprice"), 6).alias("lo"),
+            round_port(F.max("l_extendedprice"), 6).alias("hi"),
+            round_port(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        )
+        .orderBy("bucket")
     )

@@ -308,3 +308,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_port(F.col("cosine"), 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+_CLUSTER_PROFILE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+{_kmeans_ctes()},
+centroids AS (
+  SELECT cell_id, cv FROM c{N_ITERS}
+), assigned AS (
+  SELECT vec_id, cell_id, c FROM (
+    SELECT v.vec_id, c.cell_id, {_cos("v.ev", "c.cv")} AS c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_cos("v.ev", "c.cv")} DESC, c.cell_id ASC) AS rn
+    FROM v, centroids c
+  ) t WHERE rn = 1
+)
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       COUNT(*) AS n_members,
+       ROUND(AVG(c) * 1000000.0) / 1000000.0 AS avg_cosine,
+       ROUND(MIN(c) * 1000000.0) / 1000000.0 AS min_cosine
+FROM assigned GROUP BY cell_id
+ORDER BY cell_id
+"""
+
+
+@query("kmeans_cluster_profile", oracle=_CLUSTER_PROFILE_ORACLE, survey="EXT-similarity")
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering as a first-class corpus-analysis op (not just
+    IVF plumbing): per-cluster membership count and cosine cohesion
+    (mean/min member→centroid similarity) over the trained quantizer.
+    Balance and cohesion are exactly what you read before trusting an
+    IVF index or a cluster-stratified training split.
+
+    Scale shape: training is the shared memoized quantizer; profiling is
+    one broadcast-centroid scoring pass + a 16-group aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    cents = train_centroids(v, cache_key=sf_dir)
+    vn = _with_norm(v, "ev", "nrm")
+    cn = _with_norm(cents, "cv", "cnrm")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
+    assigned = (
+        vn.crossJoin(F.broadcast(cn))
+        .select(
+            "vec_id",
+            "cell_id",
+            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy(F.col("cell_id").cast("int").alias("cell_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            round_port(F.avg("c"), 6).alias("avg_cosine"),
+            round_port(F.min("c"), 6).alias("min_cosine"),
+        )
+        .orderBy("cell_id")
+    )

@@ -94,3 +94,88 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_port(slope, 6).alias("zipf_slope"),
     )
+
+
+# --- frequent token-pair co-occurrence (market-basket over documents) --------
+
+MIN_DF = 5          # support prefilter: token must appear in >= MIN_DF docs
+MAX_DF_FRAC = 0.5   # ...and <= 50% of docs (stopword-class tokens excluded)
+TOP_PAIRS = 20
+
+_COOC_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) t
+), n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM dt
+), df AS (
+  SELECT token, COUNT(*) AS df FROM dt GROUP BY token
+), kept AS (
+  SELECT dt.doc_id, dt.token, df.df
+  FROM dt JOIN df USING (token), n_docs
+  WHERE df.df >= {MIN_DF} AND df.df <= {MAX_DF_FRAC} * n_docs.n
+), pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b,
+         ANY_VALUE(a.df) AS df_a, ANY_VALUE(b.df) AS df_b,
+         COUNT(*) AS n_both
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+)
+SELECT token_a, token_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE) * (SELECT n FROM n_docs)
+             / (df_a * df_b) * 1000000.0) / 1000000.0 AS lift
+FROM pairs
+ORDER BY n_both DESC, token_a ASC, token_b ASC
+LIMIT {TOP_PAIRS}
+"""
+
+
+@query("token_cooccurrence", oracle=_COOC_ORACLE, survey="EXT-text")
+def token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring token pairs with lift — market-basket analysis
+    over the corpus (phrase mining / collocation discovery before
+    tokenizer training).
+
+    Scale shape: the quadratic step is the within-doc self-join, and it
+    runs ONLY over support-filtered tokens (df in [MIN_DF, 50% of docs]),
+    which is the Apriori prefilter — rare tokens can't reach min support,
+    stopword-class tokens are excluded outright, so posting lists are
+    bounded on both sides. The join is an equi-join on doc_id (shuffle
+    co-located), never a corpus cross-join; df comes from one broadcast
+    of the filtered vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_docs = dt.select(F.countDistinct("doc_id").alias("n"))
+    df = dt.groupBy("token").agg(F.count("*").alias("df"))
+    kept = (
+        dt.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df") >= MIN_DF) & (F.col("df") <= MAX_DF_FRAC * F.col("n")))
+        .select("doc_id", "token", "df", "n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.token") < F.col("b.token")))
+        .groupBy(F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b"))
+        .agg(
+            F.any_value(F.col("a.df")).alias("df_a"),
+            F.any_value(F.col("b.df")).alias("df_b"),
+            F.any_value(F.col("a.n")).alias("n"),
+            F.count("*").alias("n_both"),
+        )
+    )
+    out = pairs.select(
+        "token_a",
+        "token_b",
+        "n_both",
+        round_port(
+            F.col("n_both").cast("double") * F.col("n") / (F.col("df_a") * F.col("df_b")), 6
+        ).alias("lift"),
+    )
+    return out.orderBy(F.desc("n_both"), "token_a", "token_b").limit(TOP_PAIRS)
