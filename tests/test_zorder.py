@@ -1,0 +1,93 @@
+"""Z-order layout: Morton key correctness + measured file-level pruning.
+
+The claim under test is the scale claim: a single-column sort prunes one
+predicate column and nothing else; the Morton layout gives min/max
+pruning on BOTH columns. File footers are inspected directly with
+pyarrow — the same statistics a 100 TB scan planner consults.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.sources.layout import (
+    write_zordered,
+    zorder_key,
+)
+
+BITS = 8
+SIDE = 2**BITS  # 256 x 256 grid
+
+
+def _grid(spark):
+    return spark.range(SIDE * SIDE).select(
+        (F.col("id") % SIDE).cast("int").alias("a"),
+        (F.col("id") / SIDE).cast("int").alias("b"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_zorder_key_interleaves_bits(spark):
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "a int, b int"
+    ).select("a", "b", zorder_key(F.col("a"), F.col("b"), BITS).alias("z")).collect()
+    got = {(r["a"], r["b"]): r["z"] for r in rows}
+
+    def morton(a, b):
+        z = 0
+        for i in range(BITS):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b)
+
+
+def _matching_files(path: str, col: str, value: int) -> tuple[int, int]:
+    """(files whose [min,max] for col contains value, total files)."""
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        if lo <= value <= hi:
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    grid = _grid(spark)
+    sorted_path = str(tmp_path / "sorted_a")
+    z_path = str(tmp_path / "zorder")
+
+    # baseline: range-partition + sort on `a` alone (16 files)
+    (
+        grid.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(sorted_path)
+    )
+    write_zordered(grid, z_path, "a", "b", bits=BITS, n_files=16)
+
+    # the a-sorted layout prunes a ...
+    hit_a_sorted, n_sorted = _matching_files(sorted_path, "a", 42)
+    assert hit_a_sorted <= 2
+    # ... but every file spans the full b range: zero pruning on b
+    hit_b_sorted, _ = _matching_files(sorted_path, "b", 42)
+    assert hit_b_sorted == n_sorted
+
+    # the z-ordered layout prunes BOTH columns
+    hit_a_z, n_z = _matching_files(z_path, "a", 42)
+    hit_b_z, _ = _matching_files(z_path, "b", 42)
+    assert hit_a_z <= n_z // 2, (hit_a_z, n_z)
+    assert hit_b_z <= n_z // 2, (hit_b_z, n_z)
+
+    # layouts hold identical data and filters agree
+    for path in (sorted_path, z_path):
+        df = spark.read.parquet(path)
+        assert df.count() == SIDE * SIDE
+        assert df.filter((F.col("a") == 42) & (F.col("b") == 42)).count() == 1
