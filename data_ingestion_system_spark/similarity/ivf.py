@@ -273,7 +273,11 @@ def ivf_topk(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
-        probes.join(assigned.filter(F.col("vec_id") >= n_queries), "cell_id")
+        # probes is |queries| x nprobe rows — broadcast it so the cell
+        # pruning join never sort-merges the corpus side (checkpointed
+        # lineage hides size stats from the planner, which defaulted to SMJ)
+        F.broadcast(probes)
+        .join(assigned.filter(F.col("vec_id") >= n_queries), "cell_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",

@@ -477,12 +477,15 @@ def ivfpq_topk(
             _dot(F.col("sv"), F.col("cv")).alias("pd"),
         )
     )
-    cands = probes.join(
+    # probes (|queries| x nprobe) and cands (probed-cell members per query,
+    # ~nprobe/K of the corpus per query) are query-batch-sized — broadcast
+    # both joins so candidate pruning never sort-merges the encoded corpus
+    cands = F.broadcast(probes).join(
         assigned.filter(F.col("vec_id") >= n_queries).select("vec_id", "cell_id"),
         "cell_id",
     ).select("query_id", F.col("vec_id").alias("cand_id"))
     approx = (
-        cands.join(encoded, "cand_id")
+        F.broadcast(cands).join(encoded, "cand_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("pd").alias("adot"))
