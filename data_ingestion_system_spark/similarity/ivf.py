@@ -57,28 +57,21 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(F.col(vec), F.col(vec))))
 
 
-def _cached_cents_df(spark: SparkSession, rows: list[tuple[int, list[float]]]) -> DataFrame:
-    """K driver-side centroids → broadcast-ready LocalRelation with norms.
-    Norms are Spark expressions (not Python math) so cosine tie-breaks in
-    the assignment argmax stay bit-identical to the DuckDB oracle."""
-    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
-
-    schema = StructType([
-        StructField("cell_id", IntegerType(), False),
-        StructField("cv", ArrayType(DoubleType(), True), False),
-    ])
-    # RDD-backed, not a LocalRelation: local rows would be inlined into the
-    # plan as literals, making every Lloyd iteration a *different* generated
-    # source that Janino recompiles (~seconds/iteration); an ExistingRDD scan
-    # keeps the compiled code cache hot across iterations.
-    rdd = spark.sparkContext.parallelize(list(rows), 1)
-    return _with_norm(spark.createDataFrame(rdd, schema), "cv", "cnrm")
+CENT_SCHEMA = "cell_id int, cv array<double>"
 
 
-# trained quantizers memoized per (SparkContext, corpus key): an IVF index
-# is built once and served many times — ann_ivf_topk and ann_ivfpq_topk
-# share the same coarse quantizer rather than re-running Lloyd iterations
-_CENTROID_CACHE: dict[tuple[int, str], list[tuple[int, list[float]]]] = {}
+def _index_cache(spark: SparkSession) -> dict:
+    """Per-SparkContext memo for trained index artifacts (IVF centroids,
+    PQ codebooks) — an index is built once and served many times. Stored
+    as an attribute ON the context wrapper so the cache dies with the
+    context (an id()-keyed module dict could alias a recycled address and
+    serve centroids trained on a regenerated corpus)."""
+    sc = spark.sparkContext
+    cache = getattr(sc, "_dis_index_cache", None)
+    if cache is None:
+        cache = {}
+        sc._dis_index_cache = cache
+    return cache
 
 
 def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
@@ -96,10 +89,13 @@ def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
     later index builds in the same session (e.g. IVF-PQ reusing IVF's
     coarse quantizer) skip the Lloyd jobs entirely — an IVF index is
     trained once and served many times."""
+    from data_ingestion_system_spark.tables import replay_rows_df
+
     spark = v.sparkSession
-    memo = (id(spark.sparkContext), cache_key) if cache_key is not None else None
-    if memo is not None and memo in _CENTROID_CACHE:
-        return _cached_cents_df(spark, _CENTROID_CACHE[memo]).select("cell_id", "cv")
+    cache = _index_cache(spark) if cache_key is not None else None
+    memo = ("centroids", cache_key)
+    if cache is not None and memo in cache:
+        return replay_rows_df(spark, cache[memo], CENT_SCHEMA)
     vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=True)
     vt = vn.filter(F.pmod("vec_id", F.lit(TRAIN_MOD)) == 0).localCheckpoint(eager=True)
     cents = vn.filter(
@@ -143,10 +139,10 @@ def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
             .select("cell_id", F.coalesce("m.mv", "p.cv").alias("cv"))
         )
         cents = _with_norm(cents, "cv", "cnrm").localCheckpoint(eager=True)
-    if memo is not None:
+    if cache is not None:
         # mirror the K trained rows driver-side so later index builds in
         # this session (e.g. IVF-PQ after IVF) skip the Lloyd jobs entirely
-        _CENTROID_CACHE[memo] = sorted(
+        cache[memo] = sorted(
             (int(r["cell_id"]), list(r["cv"])) for r in cents.select("cell_id", "cv").collect()
         )
     return cents.select("cell_id", "cv")

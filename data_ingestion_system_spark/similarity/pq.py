@@ -71,29 +71,7 @@ def _assign(sv: DataFrame, codes: DataFrame) -> DataFrame:
     )
 
 
-# trained codebooks memoized per (SparkContext, corpus key) — same
-# build-once/serve-many rationale as ivf._CENTROID_CACHE: ann_pq_topk,
-# ann_pq_rerank_topk and ann_ivfpq_topk share one quantizer per corpus
-_CODEBOOK_CACHE: dict[tuple[int, str], list[tuple[int, int, list[float]]]] = {}
-
-
-def _cached_codes_df(spark, rows: list[tuple[int, int, list[float]]]) -> DataFrame:
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    schema = StructType([
-        StructField("m", IntegerType(), False),
-        StructField("code", IntegerType(), False),
-        StructField("cv", ArrayType(DoubleType(), True), False),
-    ])
-    # RDD-backed (ExistingRDD scan), not a LocalRelation whose row literals
-    # would inline into generated code — see ivf._cached_cents_df
-    return spark.createDataFrame(spark.sparkContext.parallelize(list(rows), 1), schema)
+CODES_SCHEMA = "m int, code int, cv array<double>"
 
 
 def train_codebooks(
@@ -105,10 +83,14 @@ def train_codebooks(
     exploded relation with the caller's encode/LUT stages. With
     ``cache_key``, the trained (m, code, cv) rows are mirrored driver-side
     and reused by later index builds in the same session."""
+    from data_ingestion_system_spark.similarity.ivf import _index_cache
+    from data_ingestion_system_spark.tables import replay_rows_df
+
     spark = v.sparkSession
-    memo = (id(spark.sparkContext), cache_key) if cache_key is not None else None
-    if memo is not None and memo in _CODEBOOK_CACHE:
-        return _cached_codes_df(spark, _CODEBOOK_CACHE[memo])
+    cache = _index_cache(spark) if cache_key is not None else None
+    memo = ("codebooks", cache_key)
+    if cache is not None and memo in cache:
+        return replay_rows_df(spark, cache[memo], CODES_SCHEMA)
     if sv is None:
         sv = subvectors(v).localCheckpoint(eager=True)
     train = sv.filter(F.pmod("vec_id", F.lit(PQ_TRAIN_MOD)) == 0).localCheckpoint(
@@ -137,8 +119,8 @@ def train_codebooks(
             .select("m", "code", F.coalesce("g.mv", "p.cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
-    if memo is not None:
-        _CODEBOOK_CACHE[memo] = sorted(
+    if cache is not None:
+        cache[memo] = sorted(
             (int(r["m"]), int(r["code"]), list(r["cv"])) for r in codes.collect()
         )
     return codes
@@ -477,15 +459,18 @@ def ivfpq_topk(
             _dot(F.col("sv"), F.col("cv")).alias("pd"),
         )
     )
-    # probes (|queries| x nprobe) and cands (probed-cell members per query,
-    # ~nprobe/K of the corpus per query) are query-batch-sized — broadcast
-    # both joins so candidate pruning never sort-merges the encoded corpus
+    # probes (|queries| x nprobe rows) is query-batch-sized — broadcast it.
+    # cands is NOT: it holds the probed-cell members (~nprobe/K of the
+    # corpus per query), so broadcasting would collect a corpus-proportional
+    # relation to the driver; a shuffle-HASH join on cand_id keeps it
+    # distributed without the sort-merge the planner picks when the
+    # checkpointed lineage hides size stats.
     cands = F.broadcast(probes).join(
         assigned.filter(F.col("vec_id") >= n_queries).select("vec_id", "cell_id"),
         "cell_id",
     ).select("query_id", F.col("vec_id").alias("cand_id"))
     approx = (
-        F.broadcast(cands).join(encoded, "cand_id")
+        cands.hint("shuffle_hash").join(encoded, "cand_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "cand_id")
         .agg(F.sum("pd").alias("adot"))

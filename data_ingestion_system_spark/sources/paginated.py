@@ -142,13 +142,20 @@ class PaginatedReviewsReader(DataSourceReader):
                 vals = list(f.value)
                 claimed = True
             if claimed:
+                # strict round-trip parse: a claimed filter is NEVER
+                # re-evaluated by Spark, so 'com.example.app3' (no zero
+                # padding) must map to the empty set, not to app03 —
+                # int() alone would accept padding/sign/underscore variants
+                # and silently return the wrong app's rows
                 idxs = set()
                 for v in vals:
                     if isinstance(v, str) and v.startswith("com.example.app"):
                         try:
-                            idxs.add(int(v.removeprefix("com.example.app")))
+                            idx = int(v.removeprefix("com.example.app"))
                         except ValueError:
-                            pass
+                            continue
+                        if f"com.example.app{idx:02d}" == v:
+                            idxs.add(idx)
                 self._app_filter = (
                     idxs if self._app_filter is None else self._app_filter & idxs
                 )
@@ -166,6 +173,11 @@ class PaginatedReviewsReader(DataSourceReader):
             for p0 in range(0, self.pages_per_app, self.pages_per_task):
                 p1 = min(p0 + self.pages_per_task, self.pages_per_app)
                 parts.append(_AppPageRange(a, p0, p1))
+        if not parts:
+            # a filter pruned every app: Spark still schedules one read task
+            # (an empty partition list makes it call read(None)), so hand it
+            # one empty page range instead
+            parts.append(_AppPageRange(0, 0, 0))
         return parts
 
     def read(self, partition: _AppPageRange) -> Iterator[tuple]:

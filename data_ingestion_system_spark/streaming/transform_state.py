@@ -76,8 +76,9 @@ def make_profile_processor(ttl_ms: int | None = None):
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 for etype, cnt in pdf.groupby("event_type").size().items():
+                    # MapState.getValue returns the value ROW as a tuple
                     prev = (
-                        self._by_type.getValue((etype,))
+                        self._by_type.getValue((etype,))[0]
                         if self._by_type.containsKey((etype,))
                         else 0
                     )

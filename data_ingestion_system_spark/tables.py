@@ -18,6 +18,9 @@ TABLE_NAMES = tuple(TESTDATA_SCHEMAS)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# per-path memo of the events.ts footer sniff (see load_table)
+_EVENTS_TS_IS_LONG: dict[str, bool] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its explicit schema."""
@@ -31,10 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # LongType (epoch nanos) and we truncate to micros with integer
         # division (a double round-trip would lose precision at ~1.7e18 —
         # matches DuckDB's nanos→micros truncation exactly). MICROS files
-        # infer as TimestampType and read directly. Sniff the footer so the
-        # loader is correct for either unit.
-        inferred_ts = spark.read.parquet(path).schema["ts"].dataType
-        if isinstance(inferred_ts, LongType):
+        # infer as TimestampType and read directly. Sniff the footer once
+        # per path (the answer is fixed per file; every events query would
+        # otherwise pay a listing + footer read just to re-learn it).
+        if path not in _EVENTS_TS_IS_LONG:
+            inferred_ts = spark.read.parquet(path).schema["ts"].dataType
+            _EVENTS_TS_IS_LONG[path] = isinstance(inferred_ts, LongType)
+        if _EVENTS_TS_IS_LONG[path]:
             from pyspark.sql import functions as F
 
             raw_schema = StructType([
@@ -75,3 +81,15 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+def replay_rows_df(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:
+    """Small driver-held row set → RDD-backed DataFrame (ExistingRDD scan).
+
+    Deliberately NOT a LocalRelation: local rows inline into the generated
+    code as literals, so re-creating the frame with different data inside
+    a loop makes every pass a *different* source that Janino recompiles
+    (~seconds each); an ExistingRDD scan keeps the compiled-code cache hot.
+    Used to replay memoized index artifacts (IVF centroids, PQ codebooks).
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(list(rows), 1), schema)

@@ -175,3 +175,18 @@ def test_api_ingestion_dedups_against_store(registered, tmp_path):
     assert len(audit2) == 2
     assert (audit2[1]["fetched"], audit2[1]["inserted"], audit2[1]["skipped"]) == (100, 100, 0)
     assert registered.read.parquet(paths.target_dir).count() == 200
+
+
+def test_pushdown_noncanonical_app_id_is_empty_not_wrong(registered):
+    """A claimed filter is never re-evaluated by Spark, so the parse must
+    round-trip exactly: 'com.example.app3' (no zero padding) matches no
+    generated app_id and must plan ZERO partitions — mapping it to app03
+    would silently return the wrong app's rows."""
+    reader = paginated.PaginatedReviewsReader({"apps": "6", "pages_per_app": "2"})
+    list(reader.pushFilters([EqualTo(("app_id",), "com.example.app3")]))
+    parts = reader.partitions()  # one empty sentinel range (Spark needs >=1)
+    assert [(p.app_idx, p.page_start, p.page_end) for p in parts] == [(0, 0, 0)]
+    df = _read(registered, apps=6, pages_per_app=2, page_size=10).filter(
+        F.col("app_id") == "com.example.app3"
+    )
+    assert df.count() == 0
