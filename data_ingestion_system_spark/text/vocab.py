@@ -179,3 +179,54 @@ def token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
     )
     return out.orderBy(F.desc("n_both"), "token_a", "token_b").limit(TOP_PAIRS)
+
+
+# --- heavy hitters (support threshold) ---------------------------------------
+
+HH_FRAC = 0.02  # a token is a heavy hitter at >= 2% of total token mass
+
+_HH_ORACLE = f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) t GROUP BY token
+), total AS (
+  SELECT SUM(freq) AS n FROM tf
+)
+SELECT token, freq,
+       ROUND(CAST(freq AS DOUBLE) / n * 1000000.0) / 1000000.0 AS mass_frac
+FROM tf, total
+WHERE freq >= {HH_FRAC} * n
+ORDER BY freq DESC, token ASC
+"""
+
+
+@query("heavy_hitters", oracle=_HH_ORACLE, survey="A6,EXT-text")
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-threshold heavy hitters: every token holding >= 2% of the
+    corpus token mass — the frequency cousin of top-k that answers "what
+    dominates?" instead of "what are the 10 biggest?".
+
+    Exact here (one groupBy + a scalar-total broadcast); the bounded-
+    memory scale twin is the count-min sketch, whose overestimate-only
+    guarantee is asserted against these exact counts in
+    tests/test_monitoring.py (same pattern as the HLL and GK sketch
+    twins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("n"))
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= HH_FRAC * F.col("n"))
+        .select(
+            "token",
+            "freq",
+            round_port(F.col("freq").cast("double") / F.col("n"), 6).alias("mass_frac"),
+        )
+        .orderBy(F.desc("freq"), "token")
+    )

@@ -190,3 +190,49 @@ def test_pushdown_noncanonical_app_id_is_empty_not_wrong(registered):
         F.col("app_id") == "com.example.app3"
     )
     assert df.count() == 0
+
+
+# --- property fuzz: partition planning covers every page exactly once --------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    apps=st.integers(min_value=1, max_value=40),
+    pages=st.integers(min_value=1, max_value=50),
+    per_task=st.integers(min_value=1, max_value=60),
+)
+def test_fuzz_partition_planning_partitions_exactly(apps, pages, per_task):
+    reader = paginated.PaginatedReviewsReader(
+        {"apps": str(apps), "pages_per_app": str(pages), "pages_per_task": str(per_task)}
+    )
+    parts = reader.partitions()
+    covered = {}
+    for p in parts:
+        assert 0 <= p.page_start < p.page_end <= pages
+        assert p.page_end - p.page_start <= per_task
+        for page in range(p.page_start, p.page_end):
+            key = (p.app_idx, page)
+            assert key not in covered, f"page planned twice: {key}"
+            covered[key] = True
+    assert len(covered) == apps * pages  # every (app, page) exactly once
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    apps=st.integers(min_value=1, max_value=30),
+    keep=st.sets(st.integers(min_value=-5, max_value=40), max_size=8),
+)
+def test_fuzz_pushdown_planning_matches_set_semantics(apps, keep):
+    reader = paginated.PaginatedReviewsReader({"apps": str(apps), "pages_per_app": "2"})
+    vals = tuple(f"com.example.app{i:02d}" for i in keep)
+    leftover = list(reader.pushFilters([In(("app_id",), vals)]))
+    assert leftover == []
+    expect = {i for i in keep if 1 <= i <= apps}
+    parts = reader.partitions()
+    if expect:
+        assert {p.app_idx for p in parts} == expect
+        assert len(parts) == 2 * len(expect)
+    else:  # fully pruned → one empty sentinel range
+        assert [(p.app_idx, p.page_start, p.page_end) for p in parts] == [(0, 0, 0)]
