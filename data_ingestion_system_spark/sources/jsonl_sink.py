@@ -25,7 +25,17 @@ Spark-first re-expression on the DataSource V2 write protocol
 The sink is format-registered (``df.write.format("jsonl_training")``),
 so any DataFrame — a labeled-export join, a stratified split — gets a
 transactional JSONL export with the same one-line call the reference's
-exporter needed bespoke code for.
+exporter needed bespoke code for. ``mode("overwrite")`` replaces the
+directory's shards; append merges the prior manifest so the sidecar
+always describes every visible shard.
+
+Deployment assumption: ``path`` must be a filesystem shared by driver
+and executors (local mode, NFS/FUSE mounts — e.g. a blob store mounted
+cluster-wide). Tasks stage under ``path/_staging`` and the driver moves
+files with ``os.replace``; on executor-local disks the move would fail
+after every task succeeded. An object-store deployment would swap the
+stage/rename for multipart-upload commit — the protocol shape
+(task messages → driver commit marker) is unchanged.
 """
 
 from __future__ import annotations
@@ -97,6 +107,22 @@ class JsonlTrainingWriter(DataSourceWriter):
             final = os.path.join(self.path, m.filename)
             os.replace(m.staged_path, final)  # atomic per shard (same fs)
             shards.append({"file": m.filename, "rows": m.rows, "bytes": m.n_bytes})
+        new_names = {s["file"] for s in shards}
+        if self.overwrite:
+            # overwrite = this export IS the directory: drop shards from
+            # prior exports so the manifest always describes what's on disk
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in new_names:
+                    os.remove(os.path.join(self.path, f))
+        else:
+            # append = merge the surviving prior manifest so totals keep
+            # describing every visible shard, not just this write
+            prior = os.path.join(self.path, MANIFEST_NAME)
+            if os.path.exists(prior):
+                with open(prior) as fh:
+                    shards.extend(
+                        s for s in json.load(fh)["shards"] if s["file"] not in new_names
+                    )
         manifest = {
             "format": "jsonl",
             "n_shards": len(shards),
@@ -105,9 +131,13 @@ class JsonlTrainingWriter(DataSourceWriter):
             "columns": [f.name for f in self.schema.fields],
             "shards": sorted(shards, key=lambda s: s["file"]),
         }
-        # manifest last = commit marker: no manifest, no (visible) export
-        with open(os.path.join(self.path, MANIFEST_NAME), "w") as fh:
+        # manifest last = commit marker, written atomically (tmp + replace):
+        # a crash mid-write can never leave torn JSON where a valid marker
+        # stood, and the old marker stays durable until the new one lands
+        tmp = os.path.join(self.path, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, MANIFEST_NAME))
         self._rm_staging()
 
     def abort(self, messages) -> None:

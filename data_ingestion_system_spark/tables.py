@@ -18,8 +18,10 @@ TABLE_NAMES = tuple(TESTDATA_SCHEMAS)
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# per-path memo of the events.ts footer sniff (see load_table)
-_EVENTS_TS_IS_LONG: dict[str, bool] = {}
+# memo of the events.ts footer sniff, keyed by (path, mtime, size) so a
+# regenerated file at the same path re-sniffs instead of serving a stale
+# unit decision (a stat call per load vs a footer read per load)
+_EVENTS_TS_IS_LONG: dict[tuple, bool] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,10 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # infer as TimestampType and read directly. Sniff the footer once
         # per path (the answer is fixed per file; every events query would
         # otherwise pay a listing + footer read just to re-learn it).
-        if path not in _EVENTS_TS_IS_LONG:
+        st = os.stat(path)
+        memo_key = (path, st.st_mtime_ns, st.st_size)
+        if memo_key not in _EVENTS_TS_IS_LONG:
             inferred_ts = spark.read.parquet(path).schema["ts"].dataType
-            _EVENTS_TS_IS_LONG[path] = isinstance(inferred_ts, LongType)
-        if _EVENTS_TS_IS_LONG[path]:
+            _EVENTS_TS_IS_LONG[memo_key] = isinstance(inferred_ts, LongType)
+        if _EVENTS_TS_IS_LONG[memo_key]:
             from pyspark.sql import functions as F
 
             raw_schema = StructType([

@@ -218,6 +218,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=False)  # feeds both the total and the filter
     )
     total = tf.agg(F.sum("freq").alias("n"))
     return (

@@ -58,3 +58,32 @@ def test_abort_leaves_no_partial_export(tmp_path):
     writer.abort([msg])
     assert not os.path.exists(os.path.join(out, "_staging"))
     assert os.listdir(out) == []  # no shards, no manifest — nothing visible
+
+
+def _export(spark, out, n, mode):
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    ).repartition(2)
+    df.write.format("jsonl_training").option("path", out).mode(mode).save()
+
+
+def test_overwrite_replaces_prior_shards(registered, tmp_path):
+    out = str(tmp_path / "export")
+    _export(registered, out, 10, "overwrite")
+    _export(registered, out, 6, "overwrite")
+    manifest = jsonl_sink.read_manifest(out)
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    # the manifest describes exactly what is on disk — no stale shards
+    assert sorted(files) == sorted(s["file"] for s in manifest["shards"])
+    assert manifest["total_rows"] == 6 and manifest["n_shards"] == 2
+
+
+def test_append_merges_manifest(registered, tmp_path):
+    out = str(tmp_path / "export")
+    _export(registered, out, 10, "append")
+    _export(registered, out, 6, "append")
+    manifest = jsonl_sink.read_manifest(out)
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(files) == sorted(s["file"] for s in manifest["shards"])
+    assert manifest["total_rows"] == 16 and manifest["n_shards"] == 4
