@@ -108,6 +108,21 @@ _DRIVER_PRIORITY = (
     "contamination_overlap",
     "doc_chunks",
     "corpus_prep_pipeline",
+    # ---- positions 51+: OUTSIDE this round's 50-query driver window ----
+    # These have no driver CORRECTNESS row yet (r01 checked the relational
+    # core, r02 checks the 50 above). ROUND 3: move this block to the TOP
+    # of the list so they land inside the window; the 50 above will have
+    # r02 rows by then.
+    "range_join_events",
+    "source_drift_metrics",
+    "multires_rollup",
+    "tfidf_top_terms",
+    "vocab_zipf_stats",
+    "label_centroid_confusion",
+    "token_cooccurrence",
+    "kmeans_cluster_profile",
+    "equi_depth_buckets",
+    "heavy_hitters",
 )
 
 
