@@ -159,11 +159,16 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     candidates = docs.filter(~is_bench)
+    # materialize the filtered corpus once: survivors feeds the kept
+    # aggregate AND both sides of the chunk join, and without a checkpoint
+    # each consumer would re-run the quality + dedup-closure + decontam
+    # pipelines above (exchange reuse does not cover the iterative
+    # connected-components lineage)
     survivors = (
         candidates.join(quality_ids, "doc_id", "left_semi")
         .join(dup_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-    )
+    ).localCheckpoint(eager=False)
 
     # stage 4: chunk survivors, report yield per source
     chunks = chunk_documents(survivors.select("doc_id", "text")).join(
