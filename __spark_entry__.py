@@ -38,63 +38,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 catalog entries per round (registration
-# order).  Round 1 covered the relational core (49/50 green, see
-# CORRECTNESS_r01.json); these are the queries that had no driver row in
-# round 1 — every LLM-pipeline extension, the ref_v_* reference views,
-# labeling/kappa, grouping extensions, temporal, and JSON ops — plus the
-# one red row (examples_per_group, now fixed) and queries new this round.
-# Front-loading them gives every catalog query a driver CORRECTNESS row
-# across rounds 1+2; the relational core keeps its pytest oracle gate
-# (tests/test_oracle_parity.py parametrizes ALL registered queries).
+# order).  Round 1 covered the relational core, round 2 the LLM-pipeline /
+# reference-view block (CORRECTNESS_r01/r02: 0 red rows).  Round 3 window:
+# the 10 queries registered late in r2 (no driver row yet) first, then
+# queries new in round 3, then r02-green entries re-fill the remaining
+# slots (harmless re-verification).  The full catalog keeps its pytest
+# oracle gate regardless (tests/test_oracle_parity.py parametrizes ALL
+# registered queries).
 _DRIVER_PRIORITY = (
-    "examples_per_group",       # r01 red row — ArrayType fixed to CSV string
-    # reference compatibility views (full oracle twins)
+    # registered late in r2 — first driver row this round
+    "range_join_events",
+    "source_drift_metrics",
+    "multires_rollup",
+    "tfidf_top_terms",
+    "vocab_zipf_stats",
+    "label_centroid_confusion",
+    "token_cooccurrence",
+    "kmeans_cluster_profile",
+    "equi_depth_buckets",
+    "heavy_hitters",
+    # new in round 3
+    "equi_depth_buckets_approx",
+    "orphan_labels",
+    "orphan_check_matrix",
+    "invalid_rows_profile",
+    "validated_events",
+    "schema_evolution_read",
+    # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",
     "ref_v_daily_stats",
     "ref_v_labeled_reviews",
-    # labeling analytics
     "majority_vote",
     "cohens_kappa",
     "labeled_export_join",
-    # dedup family
     "dedup_exact_stats",
     "dedup_exact_keepers",
     "near_dup_minhash_lsh",
     "near_dup_ngram_jaccard",
     "near_dup_simhash",
     "near_dup_embedding_cosine",
-    # similarity search
     "ann_topk_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "inverted_index_search",
-    # text analysis
     "token_counts",
     "language_id_confusion",
     "quality_scores",
     "doc_fingerprints",
-    # multimodal
     "multimodal_payload_stats",
     "multimodal_features",
-    # temporal
     "asof_join_events",
     "sessionization",
-    # grouping extensions
     "cube_counts",
     "pivot_matrix",
     "rollup_daily",
-    # datetime / JSON
     "month_frequency",
     "dow_hour_profile",
     "json_props_extract",
     "json_report_roundtrip",
-    # monitoring / sketch twins
     "anomaly_flags",
     "backfill_missing_days",
     "approx_percentiles",
     "approx_distinct_users",
-    # new in round 2
     "exact_percentiles_sketch_refine",
     "near_dup_simhash_multiblock",
     "weighted_sample",
@@ -108,21 +114,7 @@ _DRIVER_PRIORITY = (
     "contamination_overlap",
     "doc_chunks",
     "corpus_prep_pipeline",
-    # ---- positions 51+: OUTSIDE this round's 50-query driver window ----
-    # These have no driver CORRECTNESS row yet (r01 checked the relational
-    # core, r02 checks the 50 above). ROUND 3: move this block to the TOP
-    # of the list so they land inside the window; the 50 above will have
-    # r02 rows by then.
-    "range_join_events",
-    "source_drift_metrics",
-    "multires_rollup",
-    "tfidf_top_terms",
-    "vocab_zipf_stats",
-    "label_centroid_confusion",
-    "token_cooccurrence",
-    "kmeans_cluster_profile",
-    "equi_depth_buckets",
-    "heavy_hitters",
+    "examples_per_group",
 )
 
 

@@ -99,7 +99,12 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- frequent token-pair co-occurrence (market-basket over documents) --------
 
 MIN_DF = 5          # support prefilter: token must appear in >= MIN_DF docs
-MAX_DF_FRAC = 0.5   # ...and <= 50% of docs (stopword-class tokens excluded)
+# ...and <= 90% of docs (stopword-class tokens excluded).  0.9 rather than
+# the textbook 0.5: the synthetic corpus draws from a ~31-token vocabulary
+# where nearly every token has df ~0.78, so a 0.5 cap keeps one token and
+# the pair join is vacuously empty — the cap should prune true ubiquitous
+# stopwords, not the whole vocabulary.
+MAX_DF_FRAC = 0.9
 TOP_PAIRS = 20
 
 _COOC_ORACLE = f"""
