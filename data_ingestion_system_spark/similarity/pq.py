@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.similarity.ivf import dataset_cache_key
 from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _as_double, _dot
 from data_ingestion_system_spark.tables import load_table
 
@@ -330,7 +331,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    out = pq_rerank_topk(v, train_codebooks(v, cache_key=sf_dir))
+    out = pq_rerank_topk(v, train_codebooks(v, cache_key=dataset_cache_key(sf_dir)))
     return out.select(
         "query_id",
         "cand_id",
@@ -350,7 +351,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data recall gate lives in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    out = pq_topk(v, train_codebooks(v, cache_key=sf_dir))
+    out = pq_topk(v, train_codebooks(v, cache_key=dataset_cache_key(sf_dir)))
     return out.select(
         "query_id",
         "cand_id",
@@ -498,7 +499,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
     sv = subvectors(v).localCheckpoint(eager=True)
-    out = ivfpq_topk(v, train_centroids(v, cache_key=sf_dir), train_codebooks(v, sv=sv, cache_key=sf_dir), sv=sv)
+    out = ivfpq_topk(v, train_centroids(v, cache_key=dataset_cache_key(sf_dir)), train_codebooks(v, sv=sv, cache_key=dataset_cache_key(sf_dir)), sv=sv)
     return out.select(
         "query_id",
         "cand_id",

@@ -95,11 +95,14 @@ class JsonlTrainingWriter(DataSourceWriter):
                 line = _json.dumps(row.asDict(recursive=True), default=_default)
                 fh.write(line + "\n")
                 rows += 1
-                n_bytes += len(line) + 1
+                n_bytes += len(line.encode("utf-8")) + 1
         return ShardCommit(staged_path=staged, filename=fname, rows=rows, n_bytes=n_bytes)
 
     # -- driver side ---------------------------------------------------
     def commit(self, messages) -> None:
+        # zero tasks may ever have run write() (empty DataFrame) — an empty
+        # export must still commit an empty manifest, not FileNotFoundError
+        os.makedirs(self.path, exist_ok=True)
         shards = []
         for m in messages:
             if m is None:
@@ -108,13 +111,7 @@ class JsonlTrainingWriter(DataSourceWriter):
             os.replace(m.staged_path, final)  # atomic per shard (same fs)
             shards.append({"file": m.filename, "rows": m.rows, "bytes": m.n_bytes})
         new_names = {s["file"] for s in shards}
-        if self.overwrite:
-            # overwrite = this export IS the directory: drop shards from
-            # prior exports so the manifest always describes what's on disk
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl") and f not in new_names:
-                    os.remove(os.path.join(self.path, f))
-        else:
+        if not self.overwrite:
             # append = merge the surviving prior manifest so totals keep
             # describing every visible shard, not just this write
             prior = os.path.join(self.path, MANIFEST_NAME)
@@ -131,13 +128,22 @@ class JsonlTrainingWriter(DataSourceWriter):
             "columns": [f.name for f in self.schema.fields],
             "shards": sorted(shards, key=lambda s: s["file"]),
         }
-        # manifest last = commit marker, written atomically (tmp + replace):
+        # manifest = commit marker, written atomically (tmp + replace):
         # a crash mid-write can never leave torn JSON where a valid marker
         # stood, and the old marker stays durable until the new one lands
         tmp = os.path.join(self.path, MANIFEST_NAME + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, MANIFEST_NAME))
+        if self.overwrite:
+            # overwrite = this export IS the directory: drop shards from
+            # prior exports, but only AFTER the new manifest is durable —
+            # a crash before this point leaves the old manifest + old
+            # shards (or the new manifest + a superset of its shards),
+            # never a manifest referencing deleted files
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in new_names:
+                    os.remove(os.path.join(self.path, f))
         self._rm_staging()
 
     def abort(self, messages) -> None:

@@ -105,10 +105,14 @@ def make_profile_processor(ttl_ms: int | None = None):
 def user_profiles_tws(events_stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """groupBy(user_id) → transformWithStateInPandas profile stream.
     Requires the RocksDB state store provider (set by run helpers/tests):
-    transformWithState state lives off-heap and spills to disk."""
+    transformWithState state lives off-heap and spills to disk.
+
+    Spark only permits state TTL under ProcessingTime time mode, so the
+    mode is derived from ``ttl_ms`` rather than hardcoded — a non-None TTL
+    with timeMode="None" fails at operator execution."""
     return events_stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=make_profile_processor(ttl_ms),
         outputStructType=PROFILE_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
