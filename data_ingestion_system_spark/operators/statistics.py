@@ -169,6 +169,61 @@ _SKETCH_ACC = 2000  # GK sketch accuracy: rank error <= n / _SKETCH_ACC
 # ~0.3% of the corpus per percentile — still trivially collectible)
 
 
+def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) -> DataFrame:
+    """EXACT interpolated percentiles via the scale path: sketch + refine.
+
+    A single `percentile()` agg buffers the full column in one
+    ObjectHashAggregate — impossible at 100 TB. This produces the SAME
+    values with bounded memory: pass 1 brackets each target rank with
+    percentile_approx (GK sketch, rank error <= n/acc) at p ± 3/acc;
+    pass 2 is one codegen scan computing, per percentile, the exact count
+    below the bracket and the (tiny) sorted value window inside it; the
+    order statistics at floor/ceil(1 + p*(n-1)) are then picked out of the
+    window with element_at and interpolated — all expressions, no driver
+    math, no full-column buffer. Window size is ~6/acc of the corpus per
+    percentile (plus the multiplicity of bracket-boundary values; a
+    degenerate near-constant column would need a groupBy-by-value refine
+    instead).
+
+    Returns a ONE-ROW DataFrame: ``n`` plus ``vals`` — an array of the
+    exact percentile values in ``pcts`` order, rounded to 6 decimals
+    (the cross-engine float contract used by every oracle here)."""
+    col = F.col(colname)
+    eps3 = 3.0 / _SKETCH_ACC
+    plos = [max(0.0, p - eps3) for p in pcts]
+    phis = [min(1.0, p + eps3) for p in pcts]
+    bounds = li.agg(
+        F.expr(
+            f"percentile_approx({colname}, array({', '.join(map(str, plos))}), {_SKETCH_ACC})"
+        ).alias("los"),
+        F.expr(
+            f"percentile_approx({colname}, array({', '.join(map(str, phis))}), {_SKETCH_ACC})"
+        ).alias("his"),
+        F.count(colname).alias("n"),
+    )
+    j = li.crossJoin(F.broadcast(bounds))
+    aggs = []
+    for i in range(len(pcts)):
+        lo_i = F.element_at(F.col("los"), i + 1)
+        hi_i = F.element_at(F.col("his"), i + 1)
+        aggs.append(F.sum(F.when(col < lo_i, 1).otherwise(0)).alias(f"below{i}"))
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(col.between(lo_i, hi_i), col))
+            ).alias(f"win{i}")
+        )
+    row = j.groupBy("n").agg(*aggs)
+    vals = []
+    for i, p in enumerate(pcts):
+        pos = F.lit(1.0) + F.lit(p) * (F.col("n") - 1).cast("double")
+        k1 = F.floor(pos)
+        k2 = F.ceil(pos)
+        v1 = F.element_at(F.col(f"win{i}"), (k1 - F.col(f"below{i}")).cast("int"))
+        v2 = F.element_at(F.col(f"win{i}"), (k2 - F.col(f"below{i}")).cast("int"))
+        vals.append(round_port(v1 + (pos - k1) * (v2 - v1), 6))
+    return row.select("n", F.array(*vals).alias("vals"))
+
+
 @query(
     "exact_percentiles_sketch_refine",
     oracle="""
@@ -184,55 +239,17 @@ FROM lineitem
     survey="A10",
 )
 def exact_percentiles_sketch_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT percentiles via the scale path: sketch + refine, two passes.
-
-    `exact_percentiles` buffers the full column in one ObjectHashAggregate
-    — impossible at 100 TB. This twin produces the SAME values (same
-    oracle) with bounded memory: pass 1 brackets each target rank with
-    percentile_approx (GK sketch, rank error <= n/acc) at p ± 3/acc;
-    pass 2 is one codegen scan computing, per percentile, the exact count
-    below the bracket and the (tiny) sorted value window inside it; the
-    order statistics at floor/ceil(1 + p*(n-1)) are then picked out of the
-    window with element_at and interpolated — all expressions, no driver
-    math, no full-column buffer. Window size is ~6/acc of the corpus per
-    percentile (plus the multiplicity of bracket-boundary values; a
-    degenerate near-constant column would need a groupBy-by-value refine
-    instead)."""
+    """`exact_percentiles`' bounded-memory twin — same values, same
+    oracle, via `sketch_refine_percentiles` (sketch-bracket + one codegen
+    refine scan instead of a full-column percentile buffer)."""
     li = load_table(spark, sf_dir, "lineitem")
-    col = F.col("l_extendedprice")
-    eps3 = 3.0 / _SKETCH_ACC
-    plos = [max(0.0, p - eps3) for p in _PCTS]
-    phis = [min(1.0, p + eps3) for p in _PCTS]
-    bounds = li.agg(
-        F.expr(
-            f"percentile_approx(l_extendedprice, array({', '.join(map(str, plos))}), {_SKETCH_ACC})"
-        ).alias("los"),
-        F.expr(
-            f"percentile_approx(l_extendedprice, array({', '.join(map(str, phis))}), {_SKETCH_ACC})"
-        ).alias("his"),
-        F.count("l_extendedprice").alias("n"),
+    row = sketch_refine_percentiles(li, "l_extendedprice", _PCTS)
+    return row.select(
+        *[
+            F.element_at(F.col("vals"), i + 1).alias(name)
+            for i, name in enumerate(_PCT_NAMES)
+        ]
     )
-    j = li.crossJoin(F.broadcast(bounds))
-    aggs = []
-    for i in range(len(_PCTS)):
-        lo_i = F.element_at(F.col("los"), i + 1)
-        hi_i = F.element_at(F.col("his"), i + 1)
-        aggs.append(F.sum(F.when(col < lo_i, 1).otherwise(0)).alias(f"below{i}"))
-        aggs.append(
-            F.sort_array(
-                F.collect_list(F.when(col.between(lo_i, hi_i), col))
-            ).alias(f"win{i}")
-        )
-    row = j.groupBy("n").agg(*aggs)
-    sel = []
-    for i, (p, name) in enumerate(zip(_PCTS, _PCT_NAMES)):
-        pos = F.lit(1.0) + F.lit(p) * (F.col("n") - 1).cast("double")
-        k1 = F.floor(pos)
-        k2 = F.ceil(pos)
-        v1 = F.element_at(F.col(f"win{i}"), (k1 - F.col(f"below{i}")).cast("int"))
-        v2 = F.element_at(F.col(f"win{i}"), (k2 - F.col(f"below{i}")).cast("int"))
-        sel.append(round_port(v1 + (pos - k1) * (v2 - v1), 6).alias(name))
-    return row.select(*sel)
 
 
 @query(
@@ -435,6 +452,69 @@ def equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiled = li.select("l_extendedprice", F.ntile(N_DEPTH_BUCKETS).over(w).alias("bucket"))
     return (
         tiled.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            round_port(F.min("l_extendedprice"), 6).alias("lo"),
+            round_port(F.max("l_extendedprice"), 6).alias("hi"),
+            round_port(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_DEPTH_CUT_PCTS = [i / N_DEPTH_BUCKETS for i in range(1, N_DEPTH_BUCKETS)]
+
+
+@query(
+    "equi_depth_buckets_approx",
+    oracle=f"""
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(l_extendedprice,
+                         [{', '.join(str(p) for p in _DEPTH_CUT_PCTS)}]),
+           c -> ROUND(c * 1000000.0) / 1000000.0
+         ) AS cs
+  FROM lineitem
+), assigned AS (
+  SELECT l_extendedprice,
+         1 + len(list_filter(cuts.cs, c -> l_extendedprice > c)) AS bucket
+  FROM lineitem, cuts
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(l_extendedprice) * 1000000.0) / 1000000.0 AS lo,
+       ROUND(MAX(l_extendedprice) * 1000000.0) / 1000000.0 AS hi,
+       ROUND(AVG(l_extendedprice) * 1000000.0) / 1000000.0 AS mean_price
+FROM assigned GROUP BY bucket ORDER BY bucket
+""",
+    survey="A11",
+)
+def equi_depth_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram, SCALE path: the global-NTILE twin without the
+    single-partition sort.
+
+    Bucket boundaries are the EXACT interpolated deciles from
+    `sketch_refine_percentiles` (bounded memory, two codegen passes);
+    rows are then assigned bucket = 1 + #cuts below the value through a
+    broadcast of the 9 cut points — one more codegen scan, no sort, no
+    window, shuffle only for the 10-group aggregate. Ties share a bucket,
+    so counts are equal-depth up to value multiplicity (the standard
+    cut-point semantics; exact-NTILE tie splitting is what costs the
+    global total order in `equi_depth_buckets`). Cut points are rounded
+    to 6 decimals in both engines, making bucket assignment — and the
+    oracle hash — deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = sketch_refine_percentiles(li, "l_extendedprice", _DEPTH_CUT_PCTS).select("vals")
+    price = F.col("l_extendedprice")
+    assigned = li.crossJoin(F.broadcast(cuts)).select(
+        price.alias("l_extendedprice"),
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("vals"), lambda c: price > c))
+        ).alias("bucket"),
+    )
+    return (
+        assigned.groupBy(F.col("bucket").cast("int").alias("bucket"))
         .agg(
             F.count("*").alias("n_rows"),
             round_port(F.min("l_extendedprice"), 6).alias("lo"),

@@ -39,6 +39,7 @@ class IngestPaths:
     provenance_dir: str  # review_scrape_log equivalent (key, batch_id)
     checkpoint_dir: str
     alerts_dir: str | None = None  # ingestion_metrics alerts (T5/T6)
+    quarantine_dir: str | None = None  # CHECK-rule violators (+ reasons)
 
 
 # thresholds mirroring monitor.py:72-78
@@ -97,12 +98,21 @@ def dedup_insert_batch(
     batch_id: int,
     key_col: str,
     paths: IngestPaths,
+    rules: list | None = None,
 ) -> None:
     """The foreachBatch body: INSERT-OR-IGNORE semantics + audit trail.
 
     Mirrors pipeline.run (pipeline.py:82-159): dedup within batch, dedup
     against store, append survivors, record run + provenance. Counts are
     computed from DataFrame aggregates, not driver loops.
+
+    With ``rules`` (operators/integrity.Rule list — the CHECK-constraint
+    gate the reference's schema enforces per-row, schema.sql:58,89-90,
+    293-299), violators are diverted to ``paths.quarantine_dir`` with a
+    `_violations` reasons column before dedup, written partitioned by
+    batch_id with dynamic overwrite (replay-idempotent, like
+    provenance), and counted in the audit record:
+    fetched = inserted + skipped + quarantined.
 
     Replay-safe: the audit row is the commit marker — a replayed batch
     whose audit row already exists is skipped outright, and provenance is
@@ -131,6 +141,20 @@ def dedup_insert_batch(
     batch_df = batch_df.dropDuplicates([key_col]).localCheckpoint(eager=True)
     fetched = batch_df.count()
 
+    quarantined = 0
+    if rules:
+        from data_ingestion_system_spark.operators.integrity import validate
+
+        valid_df, quar_df = validate(batch_df, rules)
+        if paths.quarantine_dir is not None:
+            quar_df.withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("batch_id").parquet(paths.quarantine_dir)
+        batch_df = valid_df.localCheckpoint(eager=True)
+        quarantined = fetched - batch_df.count()
+
     target_exists = os.path.isdir(paths.target_dir) and any(
         f.endswith(".parquet") for f in os.listdir(paths.target_dir)
     )
@@ -144,7 +168,7 @@ def dedup_insert_batch(
     else:
         new_rows = batch_df
     inserted = new_rows.count()
-    skipped = fetched - inserted
+    skipped = fetched - quarantined - inserted
     status = "completed" if fetched else "empty"
 
     new_rows.write.mode("append").parquet(paths.target_dir)
@@ -157,11 +181,12 @@ def dedup_insert_batch(
         "batch_id"
     ).parquet(paths.provenance_dir)
     audit = spark.createDataFrame(
-        [(int(batch_id), fetched, inserted, skipped,
+        [(int(batch_id), fetched, inserted, skipped, quarantined,
           float(skipped) / fetched if fetched else 0.0, status,
           _time.perf_counter() - t0)],
         "batch_id long, fetched long, inserted long, skipped long,"
-        " dedup_rate double, status string, duration_seconds double",
+        " quarantined long, dedup_rate double, status string,"
+        " duration_seconds double",
     )
     audit.write.mode("append").parquet(paths.audit_dir)
     if paths.alerts_dir is not None:
@@ -176,6 +201,7 @@ def run_file_ingestion(
     max_files_per_trigger: int | None = 1,
     processing_time: str | None = None,
     await_seconds: float | None = None,
+    rules: list | None = None,
 ):
     """Continuous (or one-shot) file-source ingestion.
 
@@ -190,7 +216,7 @@ def run_file_ingestion(
     stream = reader.parquet(paths.source_dir)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_insert_batch(spark, batch_df, batch_id, key_col, paths)
+        dedup_insert_batch(spark, batch_df, batch_id, key_col, paths, rules=rules)
 
     writer = stream.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", paths.checkpoint_dir

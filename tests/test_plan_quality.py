@@ -126,3 +126,20 @@ def test_tfidf_vocabulary_broadcast(spark, sf_dir):
     df = REGISTRY["tfidf_top_terms"].spark(spark, sf_dir)
     assert count_broadcast_joins(df) >= 1
     assert count_sort_merge_joins(df) == 0
+
+
+def test_equi_depth_approx_no_global_sort(spark, sf_dir):
+    """The scale-path equi-depth histogram must not contain the global
+    single-partition Window/NTILE sort that makes `equi_depth_buckets` a
+    one-task funnel at 100 TB. Bucket assignment is a broadcast of the
+    1-row cut-point relation onto the corpus scan; the only
+    single-partition exchanges allowed are the 1-row scalar aggregates
+    inside the cut-point computation itself."""
+    df = REGISTRY["equi_depth_buckets_approx"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    assert "BroadcastExchange" in plan, "cut points must broadcast"
+    # the corpus side must stay a plain scan feeding the bucket project,
+    # never get sorted or shuffled before bucket assignment
+    assert "CartesianProduct" not in plan, plan
