@@ -64,6 +64,10 @@ _DRIVER_PRIORITY = (
     "invalid_rows_profile",
     "validated_events",
     "schema_evolution_read",
+    "bigram_lm_scores",
+    "bpe_pair_counts",
+    "mixture_weights",
+    "pii_redaction",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

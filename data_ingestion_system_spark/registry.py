@@ -67,6 +67,8 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.multires",
     "data_ingestion_system_spark.operators.integrity",
     "data_ingestion_system_spark.sources.evolution",
+    "data_ingestion_system_spark.text.lm",
+    "data_ingestion_system_spark.text.pii",
     "data_ingestion_system_spark.dedup.embedding",
     "data_ingestion_system_spark.text.search",
     "data_ingestion_system_spark.text.ranking",
