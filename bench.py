@@ -49,6 +49,11 @@ HEADLINE = [
     "token_counts",
     "quality_flags",
     "corpus_prep_pipeline",
+    # round-3 additions: scale-path equi-depth binning, the bigram-LM
+    # quality filter, and the FK-audit matrix (7 anti-joins in one plan)
+    "equi_depth_buckets_approx",
+    "bigram_lm_scores",
+    "orphan_check_matrix",
 ]
 
 REPS = 3  # median-of-3 per query
