@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = (
     "bpe_pair_counts",
     "mixture_weights",
     "pii_redaction",
+    "pack_training_sequences",
+    "boilerplate_chunks",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

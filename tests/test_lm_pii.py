@@ -77,3 +77,52 @@ def test_pii_fixture_is_deterministic(spark):
     assert a == b
     assert any("@mail.com" in r[1] for r in a)
     assert any("555-010-" in r[1] for r in a)
+
+
+def test_packing_bins_and_fill(spark):
+    """3 chunks of 60/60/40 tokens pack into 128-token sequences as
+    [60+60, 40]: seq 0 fill 120, seq 1 fill 40."""
+    from data_ingestion_system_spark.text.packing import SEQ_LEN
+
+    assert SEQ_LEN == 128
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (1, 2, 40)],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = chunks.select(
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - 1) / SEQ_LEN).cast("bigint").alias("seq_id"),
+    )
+    fills = {
+        r.seq_id: r.fill
+        for r in binned.groupBy("seq_id").agg(F.sum("n_tokens").alias("fill")).collect()
+    }
+    assert fills == {0: 120, 1: 40}
+
+
+def test_boilerplate_chunks_flags_shared_text(spark, sf_dir, monkeypatch):
+    """Identical chunk text across >= 3 docs is flagged; unique text is not."""
+    from data_ingestion_system_spark.text import packing
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate line") for i in range(3)]
+        + [(10, "a unique document body here")],
+        "doc_id long, text string",
+    )
+    from data_ingestion_system_spark.text.chunking import chunk_documents
+
+    chunks = chunk_documents(docs).select(
+        "doc_id", F.md5("chunk_text").alias("fp"), "n_tokens"
+    )
+    flagged = (
+        chunks.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= packing.BOILER_MIN_DOCS)
+        .collect()
+    )
+    assert len(flagged) == 1 and flagged[0].n_docs == 3
