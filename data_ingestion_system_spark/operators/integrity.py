@@ -105,6 +105,7 @@ def event_rules() -> list[Rule]:
 _PROFILE_ORACLE = f"""
 WITH v AS (
   SELECT CASE WHEN event_type IN ('click', 'view', 'purchase', 'signup')
+              OR event_type IS NULL
               THEN 0 ELSE 1 END AS v_enum,
          CASE WHEN value BETWEEN {VALUE_LO} AND {VALUE_HI} OR value IS NULL
               THEN 0 ELSE 1 END AS v_range,
@@ -179,7 +180,7 @@ SELECT event_type,
        COUNT(*) AS n_events,
        ROUND(SUM(value) * 1000000.0) / 1000000.0 AS total_value
 FROM events
-WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+WHERE (event_type IN ('click', 'view', 'purchase', 'signup') OR event_type IS NULL)
   AND (value BETWEEN {VALUE_LO} AND {VALUE_HI} OR value IS NULL)
   AND user_id IS NOT NULL AND ts IS NOT NULL
 GROUP BY event_type
@@ -210,15 +211,19 @@ def validated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orphan_count(child: DataFrame, fk: str, parent: DataFrame, pk: str,
-                 broadcast_parent: bool = False) -> DataFrame:
+                 broadcast_parent: bool = False,
+                 n_rows: DataFrame | None = None) -> DataFrame:
     """1-row (n_rows, n_orphans): child rows whose FK value has no parent.
     NULL FKs are not orphans (SQL FK semantics: NULL never violates).
     The anti-join shuffles on the key for big parents; pass
-    ``broadcast_parent`` for dimension-sized ones."""
+    ``broadcast_parent`` for dimension-sized ones. Pass a precomputed
+    1-row ``n_rows`` when auditing several FK edges of the same child so
+    the (possibly 100-TB) table is counted once, not once per edge."""
     keys = parent.select(F.col(pk).alias(fk)).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)
-    n_rows = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    if n_rows is None:
+        n_rows = child.agg(F.count(F.lit(1)).alias("n_rows"))
     orphans = (
         child.filter(F.col(fk).isNotNull())
         .join(keys, fk, "left_anti")
@@ -295,8 +300,16 @@ def orphan_check_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("supplier", "s_nationkey", "nation", supplier, nation, "n_nationkey", True),
         ("nation", "n_regionkey", "region", nation, region, "r_regionkey", True),
     ]
+    # one count per DISTINCT child table (lineitem has three FK edges —
+    # at audit scale two redundant full-table count scans would dwarf
+    # the anti-joins, which at least prune to the FK column)
+    counts = {
+        cname: child.agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=False)
+        for cname, child in {c[0]: c[3] for c in edges}.items()
+    }
     parts = [
-        orphan_count(child, fk, parent, pk, broadcast_parent=bc).select(
+        orphan_count(child, fk, parent, pk, broadcast_parent=bc,
+                     n_rows=counts[cname]).select(
             F.lit(cname).alias("child_table"),
             F.lit(fk).alias("fk_column"),
             F.lit(pname).alias("parent_table"),

@@ -138,14 +138,30 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement from the theta self-join (J3 pattern, annotator_a <
     annotator_b), expected agreement from the pooled label marginals of
     each pair side — all composed aggregates, no UDF."""
-    ann = annotations(spark, sf_dir)
+    return pairwise_kappa_stats(
+        annotations(spark, sf_dir), "item_id", "annotator_id", "label"
+    )
+
+
+def pairwise_kappa_stats(
+    ann: DataFrame, item_col: str, annotator_col: str, label_col: str
+) -> DataFrame:
+    """The kappa computation itself, over any (item, annotator, label)
+    relation — shared by the catalog query above and the review-domain
+    `views.pairwise_kappa`, so the statistics live in exactly one place.
+
+    Scale shape: the self-join is an equi-join on the item key (only
+    multi-annotated items produce pairs), then three scalar/low-card
+    aggregates — no window over the corpus, no collect."""
     a = ann.alias("a")
     b = ann.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.item_id") == F.col("b.item_id"))
-        & (F.col("a.annotator_id") < F.col("b.annotator_id")),
-    ).select(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        (F.col(f"a.{item_col}") == F.col(f"b.{item_col}"))
+        & (F.col(f"a.{annotator_col}") < F.col(f"b.{annotator_col}")),
+    ).select(
+        F.col(f"a.{label_col}").alias("label_a"), F.col(f"b.{label_col}").alias("label_b")
+    )
     # localCheckpoint: pairs feed three aggregations; a plain cache would
     # linger in executor memory after the query returns
     pairs = pairs.localCheckpoint(eager=False)

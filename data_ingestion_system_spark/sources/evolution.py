@@ -29,6 +29,7 @@ same result from the base table.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -59,11 +60,11 @@ def _evolved_fixture_dir(sf_dir: str) -> str:
     parquet's (mtime, size) so regenerated testdata rebuilds the fixture."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"dis_schema_evo_{abs(hash((sf_dir, st.st_mtime_ns, st.st_size)))}",
-    )
-    return out
+    # md5, not Python hash(): string hashes are salted per process, which
+    # would defeat the cross-process cache and litter /tmp with one dir
+    # per run (same stable-key technique as similarity.ivf.dataset_cache_key)
+    digest = hashlib.md5(f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()
+    return os.path.join(tempfile.gettempdir(), f"dis_schema_evo_{digest}")
 
 
 @query(

@@ -140,6 +140,10 @@ def dedup_insert_batch(
 
     batch_df = batch_df.dropDuplicates([key_col]).localCheckpoint(eager=True)
     fetched = batch_df.count()
+    # provenance logs EVERY fetched key — including ones the CHECK gate
+    # quarantines below — so the fetched/inserted/skipped/quarantined
+    # audit counts reconcile against the provenance log exactly
+    fetched_df = batch_df
 
     quarantined = 0
     if rules:
@@ -175,7 +179,7 @@ def dedup_insert_batch(
     # provenance: every fetched key is logged for this run, including skips
     # (review_scrape_log records re-fetches too, db_manager.py:488-506);
     # partitioned by batch_id + dynamic overwrite → idempotent under replay
-    batch_df.select(
+    fetched_df.select(
         F.col(key_col), F.lit(batch_id).cast("long").alias("batch_id")
     ).write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
         "batch_id"

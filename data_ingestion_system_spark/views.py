@@ -143,48 +143,11 @@ def register_reference_views(
 
 def pairwise_kappa(labels: DataFrame) -> DataFrame:
     """Cohen's kappa over the double-annotated overlap of a labels
-    relation (reference: src/labeling/reporter.py:111-167) — observed
-    agreement from the annotator-pair theta self-join, expected agreement
-    from pooled per-side label marginals. Operates on any DataFrame with
-    (review_id, annotator_id, sentiment); the catalog query twin with a
-    DuckDB oracle is operators/labeling.py:cohens_kappa.
+    relation (reference: src/labeling/reporter.py:111-167), on the
+    review-domain column names. Delegates to the single shared
+    implementation in operators/labeling.pairwise_kappa_stats; the
+    catalog query twin with a DuckDB oracle is
+    operators/labeling.py:cohens_kappa."""
+    from data_ingestion_system_spark.operators.labeling import pairwise_kappa_stats
 
-    Scale shape: the self-join is an equi-join on review_id (only
-    double-annotated items produce pairs), then three scalar/low-card
-    aggregates — no window, no collect."""
-    ann = labels.select("review_id", "annotator_id", "sentiment")
-    a, b = ann.alias("a"), ann.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.review_id") == F.col("b.review_id"))
-        & (F.col("a.annotator_id") < F.col("b.annotator_id")),
-    ).select(
-        F.col("a.sentiment").alias("label_a"), F.col("b.sentiment").alias("label_b")
-    ).localCheckpoint(eager=False)
-    po = pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.avg(F.when(F.col("label_a") == F.col("label_b"), 1.0).otherwise(0.0)).alias(
-            "p_observed"
-        ),
-    )
-    side_a = pairs.groupBy(F.col("label_a").alias("label")).agg(
-        F.count("*").alias("na")
-    )
-    side_b = pairs.groupBy(F.col("label_b").alias("label")).agg(
-        F.count("*").alias("nb")
-    )
-    marg = side_a.join(side_b, "label", "full").na.fill(0, ["na", "nb"])
-    pe = marg.crossJoin(F.broadcast(po.select("n_pairs"))).agg(
-        F.sum(
-            (F.col("na").cast("double") / F.col("n_pairs"))
-            * (F.col("nb").cast("double") / F.col("n_pairs"))
-        ).alias("p_expected")
-    )
-    return po.crossJoin(pe).select(
-        "n_pairs",
-        round_port(F.col("p_observed"), 6).alias("p_observed"),
-        round_port(F.col("p_expected"), 6).alias("p_expected"),
-        round_port(
-            (F.col("p_observed") - F.col("p_expected")) / (1.0 - F.col("p_expected")), 6
-        ).alias("kappa"),
-    )
+    return pairwise_kappa_stats(labels, "review_id", "annotator_id", "sentiment")

@@ -126,6 +126,11 @@ def test_ingest_quarantine_gate(spark, tmp_path):
     assert audit.fetched == 4  # post in-batch dedup
     assert audit.quarantined == 2 and audit.inserted == 2 and audit.skipped == 0
     assert audit.fetched == audit.inserted + audit.skipped + audit.quarantined
+    # provenance logs every fetched key, including the quarantined ones
+    prov_ids = sorted(
+        r.event_id for r in spark.read.parquet(paths.provenance_dir).collect()
+    )
+    assert prov_ids == [1, 2, 3, 4]
 
     # second batch: cross-batch dedup still applies to valid rows only
     batch2 = spark.createDataFrame(
