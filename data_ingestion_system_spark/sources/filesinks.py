@@ -52,6 +52,10 @@ def save_multi_format(df: DataFrame, base_path: str, formats: tuple[str, ...] = 
                 df.write.mode("overwrite").option("header", True).csv(out)
             elif fmt == "parquet":
                 df.write.mode("overwrite").parquet(out)
+            elif fmt == "orc":
+                # ORC is in-box in Spark (no extra jar, unlike avro) and
+                # the interchange format Hive/Trino deployments ask for
+                df.write.mode("overwrite").orc(out)
             else:
                 raise ValueError(f"unsupported format {fmt!r}")
     finally:

@@ -42,8 +42,11 @@ def test_csv_sink_header(spark, sf_dir, tmp_path):
 def test_multi_format(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     base = str(tmp_path / "multi")
-    save_multi_format(docs, base, formats=("json", "csv", "parquet"))
+    save_multi_format(docs, base, formats=("json", "csv", "parquet", "orc"))
     assert spark.read.parquet(os.path.join(base, "parquet")).count() == 50
+    orc = spark.read.orc(os.path.join(base, "orc"))
+    assert orc.count() == 50
+    assert set(orc.columns) == set(docs.columns)
 
 
 def test_export_training_data(spark, sf_dir, tmp_path):

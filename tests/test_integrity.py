@@ -157,3 +157,53 @@ def test_event_rules_profile_matches_manual(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     _, quar = validate(ev, event_rules())
     assert prof["_any_rule"] == quar.count()
+
+
+def test_streaming_ingestion_with_rules(spark, tmp_path):
+    """End-to-end: run_file_ingestion with CHECK rules quarantines
+    violators across streamed batches (not just the direct batch API)."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_ingestion_system_spark.streaming.ingest import (
+        IngestPaths,
+        run_file_ingestion,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    paths = IngestPaths(
+        source_dir=str(tmp_path / "src"),
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_dir=str(tmp_path / "quar"),
+    )
+    os.makedirs(paths.source_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(1, 10, "click", 5.0), (2, 11, "error", 5.0), (3, 12, "view", 2.0)],
+        schema,
+    ).write.mode("append").parquet(paths.source_dir)
+    rules = [enum_check("event_type", ["click", "view", "purchase", "signup"])]
+    run_file_ingestion(
+        spark, paths, schema, key_col="event_id",
+        max_files_per_trigger=None, rules=rules,
+    )
+    assert sorted(
+        r.event_id for r in spark.read.parquet(paths.target_dir).collect()
+    ) == [1, 3]
+    assert [r.event_id for r in spark.read.parquet(paths.quarantine_dir).collect()] == [2]
