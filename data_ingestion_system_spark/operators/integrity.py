@@ -184,7 +184,7 @@ WHERE (event_type IN ('click', 'view', 'purchase', 'signup') OR event_type IS NU
   AND (value BETWEEN {VALUE_LO} AND {VALUE_HI} OR value IS NULL)
   AND user_id IS NOT NULL AND ts IS NOT NULL
 GROUP BY event_type
-ORDER BY event_type
+ORDER BY event_type NULLS LAST
 """
 
 
@@ -201,7 +201,10 @@ def validated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.expr("round(sum(value) * 1000000.0) / 1000000.0").alias("total_value"),
         )
-        .orderBy("event_type")
+        # NULL event_type passes the CHECK gate (SQL semantics), so a
+        # NULL group is reachable — pin its position: Spark default is
+        # nulls-first, DuckDB's is nulls-last
+        .orderBy(F.asc_nulls_last("event_type"))
     )
 
 

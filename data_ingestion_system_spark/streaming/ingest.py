@@ -142,8 +142,12 @@ def dedup_insert_batch(
     fetched = batch_df.count()
     # provenance logs EVERY fetched key — including ones the CHECK gate
     # quarantines below — so the fetched/inserted/skipped/quarantined
-    # audit counts reconcile against the provenance log exactly
-    fetched_df = batch_df
+    # audit counts reconcile against the provenance log exactly. The
+    # `quarantined` flag keeps first-INSERT semantics recoverable:
+    # timetravel's MIN(batch_id)-per-key must run over flag=false rows
+    # only, or a key quarantined in batch Q and inserted in batch I > Q
+    # would backdate snapshots to Q.
+    prov_df = batch_df.select(F.col(key_col), F.lit(False).alias("quarantined"))
 
     quarantined = 0
     if rules:
@@ -158,6 +162,11 @@ def dedup_insert_batch(
             ).partitionBy("batch_id").parquet(paths.quarantine_dir)
         batch_df = valid_df.localCheckpoint(eager=True)
         quarantined = fetched - batch_df.count()
+        prov_df = valid_df.select(
+            F.col(key_col), F.lit(False).alias("quarantined")
+        ).unionByName(
+            quar_df.select(F.col(key_col), F.lit(True).alias("quarantined"))
+        )
 
     target_exists = os.path.isdir(paths.target_dir) and any(
         f.endswith(".parquet") for f in os.listdir(paths.target_dir)
@@ -179,8 +188,8 @@ def dedup_insert_batch(
     # provenance: every fetched key is logged for this run, including skips
     # (review_scrape_log records re-fetches too, db_manager.py:488-506);
     # partitioned by batch_id + dynamic overwrite → idempotent under replay
-    fetched_df.select(
-        F.col(key_col), F.lit(batch_id).cast("long").alias("batch_id")
+    prov_df.withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
     ).write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
         "batch_id"
     ).parquet(paths.provenance_dir)

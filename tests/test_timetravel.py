@@ -4,8 +4,7 @@ the feed between two snapshots is their set difference."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F  # noqa: F401
-
+from data_ingestion_system_spark.operators.integrity import enum_check
 from data_ingestion_system_spark.streaming.ingest import (
     IngestPaths,
     dedup_insert_batch,
@@ -59,3 +58,25 @@ def test_snapshots_and_feed(spark, tmp_path):
     assert feed == {(3, 1), (4, 2)}
     # feed(a, b) == as_of(b) minus as_of(a)
     assert {e for e, _ in feed} == set(as_of[2]) - set(as_of[0])
+
+
+def test_quarantined_fetch_does_not_backdate(spark, tmp_path):
+    """A key quarantined in batch 0 and validly inserted in batch 1 must
+    be dated to batch 1: absent from store_as_of(0), present in
+    change_feed(0, 1) with insert_batch=1."""
+    paths = _paths(tmp_path)
+    paths.quarantine_dir = str(tmp_path / "quar")
+    schema = "event_id long, event_type string"
+    rules = [enum_check("event_type", ["click", "view"])]
+    b0 = spark.createDataFrame([(1, "click"), (7, "error")], schema)
+    b1 = spark.createDataFrame([(7, "view"), (8, "click")], schema)
+    dedup_insert_batch(spark, b0, 0, "event_id", paths, rules=rules)
+    dedup_insert_batch(spark, b1, 1, "event_id", paths, rules=rules)
+
+    assert sorted(r.event_id for r in store_as_of(spark, paths, 0).collect()) == [1]
+    assert sorted(r.event_id for r in store_as_of(spark, paths, 1).collect()) == [1, 7, 8]
+    feed = {
+        (r.event_id, r.insert_batch)
+        for r in change_feed(spark, paths, 0, 1).collect()
+    }
+    assert feed == {(7, 1), (8, 1)}
