@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = (
     "pii_redaction",
     "pack_training_sequences",
     "boilerplate_chunks",
+    "time_travel_snapshot",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -29,9 +29,7 @@ same result from the base table.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,13 +56,9 @@ def _evolved_fixture_dir(sf_dir: str) -> str:
     generation 1 = (event_id, user_id, value) for even event_ids;
     generation 2 adds event_type for odd event_ids. Keyed on the source
     parquet's (mtime, size) so regenerated testdata rebuilds the fixture."""
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # md5, not Python hash(): string hashes are salted per process, which
-    # would defeat the cross-process cache and litter /tmp with one dir
-    # per run (same stable-key technique as similarity.ivf.dataset_cache_key)
-    digest = hashlib.md5(f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()
-    return os.path.join(tempfile.gettempdir(), f"dis_schema_evo_{digest}")
+    from data_ingestion_system_spark.tables import fingerprint_fixture_dir
+
+    return fingerprint_fixture_dir("dis_schema_evo", sf_dir, "events")
 
 
 @query(

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.streaming.ingest import IngestPaths
 
 
@@ -74,3 +75,80 @@ def change_feed(
     target = spark.read.parquet(paths.target_dir)
     key_col = [c for c in first.columns if c != "insert_batch"][0]
     return target.join(first, key_col)
+
+
+def _snapshot_fixture_paths(spark: SparkSession, sf_dir: str) -> IngestPaths:
+    """Ingest the events table as a 3-batch store (batch = event_id % 3,
+    CHECK gate from operators/integrity.event_rules) once per testdata
+    generation. dedup_insert_batch's audit commit marker makes a crashed
+    half-build safe to replay into the same directory."""
+    import os
+
+    from data_ingestion_system_spark.operators.integrity import event_rules
+    from data_ingestion_system_spark.streaming.ingest import dedup_insert_batch
+    from data_ingestion_system_spark.tables import fingerprint_fixture_dir, load_table
+
+    base = fingerprint_fixture_dir("dis_timetravel", sf_dir, "events")
+    paths = IngestPaths(
+        source_dir=os.path.join(base, "src"),
+        target_dir=os.path.join(base, "target"),
+        audit_dir=os.path.join(base, "audit"),
+        provenance_dir=os.path.join(base, "prov"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        quarantine_dir=os.path.join(base, "quar"),
+    )
+    marker = os.path.join(base, "_DIS_INGESTED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        for b in range(3):
+            dedup_insert_batch(
+                spark,
+                ev.filter(F.pmod("event_id", F.lit(3)) == b),
+                b,
+                "event_id",
+                paths,
+                rules=event_rules(),
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return paths
+
+
+_SNAPSHOT_ORACLE = """
+WITH valid AS (
+  SELECT event_id, value FROM events
+  WHERE (event_type IN ('click', 'view', 'purchase', 'signup') OR event_type IS NULL)
+    AND (value BETWEEN 0.0 AND 400.0 OR value IS NULL)
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT t.b AS as_of_batch,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(value) * 1000000.0) / 1000000.0 AS total_value
+FROM valid v JOIN (VALUES (0), (1), (2)) t(b) ON v.event_id % 3 <= t.b
+GROUP BY t.b ORDER BY t.b
+"""
+
+
+@query("time_travel_snapshot", oracle=_SNAPSHOT_ORACLE, survey="EXT-integrity")
+def time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked snapshot reads: events ingested as 3 batches through
+    the full dedup+CHECK-gate protocol, then store_as_of(0..2) row/value
+    totals — so the provenance-log snapshot index, the quarantine flag
+    filter, and the partition-pruned min-aggregate are all value-verified
+    against an oracle that recomputes each snapshot from the base table
+    (valid rows with event_id % 3 <= N)."""
+    from functools import reduce
+
+    paths = _snapshot_fixture_paths(spark, sf_dir)
+    parts = []
+    for b in range(3):
+        snap = store_as_of(spark, paths, b)
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("round(sum(value) * 1000000.0) / 1000000.0").alias("total_value"),
+            ).select(
+                F.lit(b).cast("int").alias("as_of_batch"), "n_rows", "total_value"
+            )
+        )
+    return reduce(lambda a, c: a.unionByName(c), parts).orderBy("as_of_batch")

@@ -97,3 +97,20 @@ def replay_rows_df(spark: SparkSession, rows: list, schema: StructType | str) ->
     Used to replay memoized index artifacts (IVF centroids, PQ codebooks).
     """
     return spark.createDataFrame(spark.sparkContext.parallelize(list(rows), 1), schema)
+
+
+def fingerprint_fixture_dir(prefix: str, sf_dir: str, table: str = "events") -> str:
+    """Deterministic temp-dir path for fixtures derived from a testdata
+    table, keyed on the source parquet's (path, mtime_ns, size) via md5 —
+    stable across processes (unlike salted hash()) and invalidated the
+    moment the driver regenerates the table. Callers write the fixture
+    once under a marker file and reuse it for the testdata generation's
+    lifetime."""
+    import hashlib
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    digest = hashlib.md5(
+        f"{sf_dir}|{table}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
