@@ -143,3 +143,31 @@ def test_equi_depth_approx_no_global_sort(spark, sf_dir):
     # the corpus side must stay a plain scan feeding the bucket project,
     # never get sorted or shuffled before bucket assignment
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_lm_model_broadcast(spark, sf_dir):
+    """The bigram model (vocabulary-sized) broadcasts onto the per-doc
+    bigrams; nothing degrades to a sort-merge join."""
+    df = REGISTRY["bigram_lm_scores"].spark(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 2
+    assert count_sort_merge_joins(df) == 0
+
+
+def test_orphan_matrix_edges_stay_hash_joins(spark, sf_dir):
+    """Every FK edge audit is a hash anti-join; the only single-partition
+    exchanges are the seven 1-row count aggregates."""
+    df = REGISTRY["orphan_check_matrix"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 7, plan
+
+
+def test_packing_window_is_per_document(spark, sf_dir):
+    """Sequence packing must never need a global total order — its
+    running sum is windowed per doc_id, so no single-partition exchange
+    appears anywhere in the plan."""
+    df = REGISTRY["pack_training_sequences"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-doc running total IS a window, scoped
