@@ -212,14 +212,31 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
                 F.collect_list(F.when(col.between(lo_i, hi_i), col))
             ).alias(f"win{i}")
         )
+        # boundary guards: percentile_approx is NEAREST-RANK, the target
+        # is an INTERPOLATION rank — when n is small relative to the
+        # sketch margin (margin_ranks = 3n/acc < 2) the bracket value can
+        # sit one order statistic past the needed one on either side
+        # (provably at most one: ceil(p*n) <= floor(1+p(n-1)) + 1 and
+        # symmetrically for the hi side). The largest value below lo /
+        # smallest above hi cover exactly those two cases.
+        aggs.append(F.max(F.when(col < lo_i, col)).alias(f"prev{i}"))
+        aggs.append(F.min(F.when(col > hi_i, col)).alias(f"next{i}"))
     row = j.groupBy("n").agg(*aggs)
+
+    def _pick(i: int, idx):
+        return (
+            F.when(idx < 1, F.col(f"prev{i}"))
+            .when(idx > F.size(F.col(f"win{i}")), F.col(f"next{i}"))
+            .otherwise(F.element_at(F.col(f"win{i}"), idx.cast("int")))
+        )
+
     vals = []
     for i, p in enumerate(pcts):
         pos = F.lit(1.0) + F.lit(p) * (F.col("n") - 1).cast("double")
         k1 = F.floor(pos)
         k2 = F.ceil(pos)
-        v1 = F.element_at(F.col(f"win{i}"), (k1 - F.col(f"below{i}")).cast("int"))
-        v2 = F.element_at(F.col(f"win{i}"), (k2 - F.col(f"below{i}")).cast("int"))
+        v1 = _pick(i, (k1 - F.col(f"below{i}")).cast("int"))
+        v2 = _pick(i, (k2 - F.col(f"below{i}")).cast("int"))
         vals.append(round_port(v1 + (pos - k1) * (v2 - v1), 6))
     return row.select("n", F.array(*vals).alias("vals"))
 

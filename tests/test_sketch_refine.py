@@ -1,0 +1,58 @@
+"""sketch_refine_percentiles must be EXACT (identical to a full-column
+percentile()) on distributions that stress the bracket windows:
+duplicate-heavy columns (bracket boundaries hit value multiplicity),
+two-valued columns, skewed long tails, and tiny inputs where every
+rank lands on an interpolation boundary."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_ingestion_system_spark.operators.statistics import (
+    _PCTS,
+    sketch_refine_percentiles,
+)
+
+
+def _exact(df, pcts):
+    row = df.agg(
+        F.expr(
+            f"percentile(x, array({', '.join(map(str, pcts))}))"
+        ).alias("ps")
+    ).collect()[0]
+    return [round(v * 1e6) / 1e6 for v in row.ps]
+
+
+def _refined(df, pcts):
+    row = sketch_refine_percentiles(df, "x", pcts).collect()[0]
+    return list(row.vals)
+
+
+DISTRIBUTIONS = {
+    "uniform": "CAST(id AS DOUBLE)",
+    "dup_heavy": "CAST(id % 7 AS DOUBLE)",          # 7 distinct values x ~1400 dups
+    "two_valued": "CAST(CASE WHEN id % 10 < 9 THEN 1 ELSE 100 END AS DOUBLE)",
+    "skewed": "exp(CAST(id % 50 AS DOUBLE) / 5.0)",  # long right tail
+    "negative": "CAST(-id AS DOUBLE) / 3.0",
+}
+
+
+@pytest.mark.parametrize("name", sorted(DISTRIBUTIONS))
+def test_exact_on_distribution(spark, name):
+    df = spark.range(10_000).select(F.expr(DISTRIBUTIONS[name]).alias("x"))
+    assert _refined(df, _PCTS) == _exact(df, _PCTS)
+
+
+def test_exact_on_tiny_input(spark):
+    """n=3: every target rank interpolates between adjacent order stats."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (10.0,)], "x double")
+    assert _refined(df, _PCTS) == _exact(df, _PCTS)
+
+
+def test_exact_on_constant_column(spark):
+    """Degenerate case the docstring flags: all values identical — the
+    refine window is the whole column (unbounded memory at scale, noted
+    as the groupBy-by-value escape hatch) but values must stay exact."""
+    df = spark.range(1000).select(F.lit(42.5).alias("x"))
+    assert _refined(df, _PCTS) == [42.5] * len(_PCTS)
