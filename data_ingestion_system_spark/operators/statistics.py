@@ -201,15 +201,25 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
         ).alias("his"),
         F.count(colname).alias("n"),
     )
-    j = li.crossJoin(F.broadcast(bounds))
+    # hoist the per-percentile bracket bounds into plain columns ONCE —
+    # every aggregate expression below would otherwise re-evaluate
+    # element_at(los/his, i) per row per aggregate (4 aggs × k pcts
+    # array probes per row, measured ~40% of the refine pass)
+    j = li.crossJoin(F.broadcast(bounds)).select(
+        col.alias("_x"),
+        "n",
+        *[F.element_at(F.col("los"), i + 1).alias(f"lo{i}") for i in range(len(pcts))],
+        *[F.element_at(F.col("his"), i + 1).alias(f"hi{i}") for i in range(len(pcts))],
+    )
+    x = F.col("_x")
     aggs = []
     for i in range(len(pcts)):
-        lo_i = F.element_at(F.col("los"), i + 1)
-        hi_i = F.element_at(F.col("his"), i + 1)
-        aggs.append(F.sum(F.when(col < lo_i, 1).otherwise(0)).alias(f"below{i}"))
+        lo_i = F.col(f"lo{i}")
+        hi_i = F.col(f"hi{i}")
+        aggs.append(F.sum(F.when(x < lo_i, 1).otherwise(0)).alias(f"below{i}"))
         aggs.append(
             F.sort_array(
-                F.collect_list(F.when(col.between(lo_i, hi_i), col))
+                F.collect_list(F.when(x.between(lo_i, hi_i), x))
             ).alias(f"win{i}")
         )
         # boundary guards: percentile_approx is NEAREST-RANK, the target
@@ -219,8 +229,8 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
         # (provably at most one: ceil(p*n) <= floor(1+p(n-1)) + 1 and
         # symmetrically for the hi side). The largest value below lo /
         # smallest above hi cover exactly those two cases.
-        aggs.append(F.max(F.when(col < lo_i, col)).alias(f"prev{i}"))
-        aggs.append(F.min(F.when(col > hi_i, col)).alias(f"next{i}"))
+        aggs.append(F.max(F.when(x < lo_i, x)).alias(f"prev{i}"))
+        aggs.append(F.min(F.when(x > hi_i, x)).alias(f"next{i}"))
     row = j.groupBy("n").agg(*aggs)
 
     def _pick(i: int, idx):
