@@ -340,3 +340,68 @@ def test_dynamic_filter_family(fuzz_env, returnflag, min_q, max_q, has_discount,
     )
     oracle = oracle_for(returnflag, min_q, max_q, has_discount, min_price, limit, offset)
     assert_df_matches_oracle(df, con, oracle)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    enum_on=st.booleans(),
+    allowed=st.sets(st.sampled_from(["A", "N", "R"]), min_size=1, max_size=3),
+    lo=st.one_of(st.none(), st.integers(1, 30)),
+    hi=st.one_of(st.none(), st.integers(10, 50)),
+    null_qty=st.booleans(),
+)
+def test_validation_split_family(fuzz_env, enum_on, allowed, lo, hi, null_qty):
+    """Random CHECK-rule suites through validate() vs generated SQL —
+    ∀ rules, the valid-side aggregate equals the SQL WHERE with SQL
+    CHECK NULL semantics (NULL predicates pass)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.operators.integrity import (
+        Rule,
+        enum_check,
+        range_check,
+        validate,
+    )
+
+    con, li = fuzz_env
+    src = li
+    sql_conds = []
+    rules: list[Rule] = []
+    qty = "l_quantity"
+    if null_qty:
+        # inject NULLs so the CHECK NULL-pass semantics are exercised
+        src = src.withColumn(
+            qty, F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(F.col(qty))
+        )
+        qty_sql = "CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END"
+    else:
+        qty_sql = "l_quantity"
+    if enum_on:
+        vals = sorted(allowed)
+        rules.append(enum_check("l_returnflag", vals))
+        in_list = ", ".join(f"'{v}'" for v in vals)
+        sql_conds.append(f"(l_returnflag IN ({in_list}) OR l_returnflag IS NULL)")
+    if lo is not None and hi is not None and lo <= hi:
+        rules.append(range_check(qty, lo, hi))
+        sql_conds.append(f"(({qty_sql}) BETWEEN {lo} AND {hi} OR ({qty_sql}) IS NULL)")
+    if not rules:
+        rules.append(enum_check("l_returnflag", ["A", "N", "R"]))
+        sql_conds.append("(l_returnflag IN ('A', 'N', 'R') OR l_returnflag IS NULL)")
+
+    valid, quar = validate(src, rules)
+    got = valid.agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+    where = " AND ".join(sql_conds)
+    oracle = f"""
+SELECT COUNT(*) AS n_valid, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem WHERE {where}
+"""
+    assert_df_matches_oracle(got, con, oracle)
+    # conservation: every row lands on exactly one side
+    assert valid.count() + quar.count() == src.count()
