@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = (
     "pack_training_sequences",
     "boilerplate_chunks",
     "time_travel_snapshot",
+    "semantic_dedup",
+    "quality_classifier_scores",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

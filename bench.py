@@ -54,6 +54,10 @@ HEADLINE = [
     "equi_depth_buckets_approx",
     "bigram_lm_scores",
     "orphan_check_matrix",
+    # round-3 additions (late): cluster-bucketed semantic dedup over the
+    # warmed quantizer, and the hashed-feature model-based quality gate
+    "semantic_dedup",
+    "quality_classifier_scores",
 ]
 
 REPS = 3  # median-of-3 per query

@@ -171,3 +171,24 @@ def test_packing_window_is_per_document(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan  # the per-doc running total IS a window, scoped
+
+
+def test_semdedup_pairwise_is_cell_bucketed(spark, sf_dir):
+    """SemDeDup's pairwise stage must be an equi-join on cell_id (the
+    cluster bucket) — never a cartesian/nested-loop over the corpus; the
+    only nested loop allowed is the 16-row broadcast centroid scoring."""
+    df = REGISTRY["semantic_dedup"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # centroid scoring is a 16-row broadcast; the member×member join
+    # must key on cell_id (hash or sort-merge both acceptable)
+    assert "cell_id" in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quality_classifier_weights_broadcast(spark, sf_dir):
+    """The B-row model table broadcasts onto the exploded token stream —
+    the corpus never shuffles to meet its weights."""
+    df = REGISTRY["quality_classifier_scores"].spark(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+    assert count_sort_merge_joins(df) == 0

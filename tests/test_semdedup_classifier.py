@@ -1,0 +1,92 @@
+"""SemDeDup keep-rule semantics + quality-classifier scoring contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.dedup.semdedup import (
+    assign_with_centroid_cosine,
+    semdedup_pairs_dropped,
+)
+from data_ingestion_system_spark.text.classifier import (
+    hashed_weight_table,
+    score_documents,
+)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, ev array<double>")
+
+
+def _cent_df(spark, rows):
+    return spark.createDataFrame(rows, "cell_id int, cv array<double>")
+
+
+def test_semdedup_drops_the_more_cluster_typical_member(spark):
+    # two clusters on orthogonal axes; in cell 0, vec 10 IS the centroid
+    # direction (ccos=1.0) and vec 11 is tilted but still within the
+    # duplicate threshold of vec 10 — SemDeDup keeps the less typical
+    # member (11), dropping 10. vec 20 sits alone in cell 1.
+    cents = _cent_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    v = _vec_df(
+        spark,
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.9, 0.2]),
+            (20, [0.0, 1.0]),
+        ],
+    )
+    assigned = assign_with_centroid_cosine(v, cents)
+    got = {(r.vec_id, r.cell_id) for r in assigned.select("vec_id", "cell_id").collect()}
+    assert got == {(10, 0), (11, 0), (20, 1)}
+
+    pairs, dropped = semdedup_pairs_dropped(assigned, threshold=0.9)
+    assert [(r.va, r.vb) for r in pairs.select("va", "vb").collect()] == [(10, 11)]
+    assert [r.vec_id for r in dropped.collect()] == [10]  # the on-centroid one
+
+
+def test_semdedup_tie_drops_higher_id_and_respects_threshold(spark):
+    # identical vectors -> identical centroid cosine -> tie: drop the
+    # HIGHER vec_id; a sub-threshold neighbor produces no pair at all
+    cents = _cent_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    v = _vec_df(
+        spark,
+        [
+            (10, [0.8, 0.1]),
+            (11, [0.8, 0.1]),
+            (12, [0.5, -0.5]),  # cell 0 but cosine to 10/11 ~0.55 < 0.9
+        ],
+    )
+    assigned = assign_with_centroid_cosine(v, cents)
+    pairs, dropped = semdedup_pairs_dropped(assigned, threshold=0.9)
+    assert [(r.va, r.vb) for r in pairs.select("va", "vb").collect()] == [(10, 11)]
+    assert [r.vec_id for r in dropped.collect()] == [11]
+
+
+def test_classifier_keep_matches_score_and_weights_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, "s", f"alpha beta gamma_{i} delta_{i % 7}") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    scored = score_documents(docs, hashed_weight_table(spark))
+    rows = scored.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.n_tokens == 4
+        assert 0.0 < r.score < 1.0
+        # keep flag is exactly the score>0.5 decision (sigmoid is monotone)
+        assert r.keep == (1 if r.score > 0.5 else 0)
+    # the model lookup must be a broadcast join — the corpus never
+    # shuffles for the weight table
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_score_is_deterministic_across_runs(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "the quick brown fox")], "doc_id long, source string, text string"
+    )
+    w = hashed_weight_table(spark)
+    s1 = score_documents(docs, w).select(F.round("score", 12).alias("s")).first().s
+    s2 = score_documents(docs, w).select(F.round("score", 12).alias("s")).first().s
+    assert s1 == s2
