@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = (
     "time_travel_snapshot",
     "semantic_dedup",
     "quality_classifier_scores",
+    "token_kl_drift",
+    "hybrid_rrf_search",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

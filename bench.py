@@ -58,6 +58,7 @@ HEADLINE = [
     # warmed quantizer, and the hashed-feature model-based quality gate
     "semantic_dedup",
     "quality_classifier_scores",
+    "hybrid_rrf_search",
 ]
 
 REPS = 3  # median-of-3 per query

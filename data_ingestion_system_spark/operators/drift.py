@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out, load_table
 
 _ORACLE = """
 WITH sl AS (
@@ -95,6 +95,75 @@ def source_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ns").cast("bigint").alias("n_docs"),
             round_port(F.sum("kl_term"), 6).alias("kl_divergence"),
             round_port(F.sum("chi2_term"), 6).alias("chi2"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKEN_KL_ORACLE = """
+WITH st AS (
+  SELECT source, token, COUNT(*) AS n FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  ) t GROUP BY source, token
+), s_tot AS (
+  SELECT source, SUM(n) AS ns FROM st GROUP BY source
+), c_tot AS (
+  SELECT token, SUM(n) AS nc FROM st GROUP BY token
+), grand AS (
+  SELECT SUM(n) AS ng FROM st
+)
+SELECT st.source,
+       CAST(MAX(s.ns) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_vocab,
+       ROUND(SUM((CAST(st.n AS DOUBLE) / s.ns)
+                 * ln((CAST(st.n AS DOUBLE) / s.ns) / (CAST(c.nc AS DOUBLE) / g.ng)))
+             * 1000000.0) / 1000000.0 AS kl_divergence
+FROM st JOIN s_tot s USING (source) JOIN c_tot c USING (token), grand g
+GROUP BY st.source
+ORDER BY st.source
+"""
+
+
+@query("token_kl_drift", oracle=_TOKEN_KL_ORACLE, survey="EXT-monitoring")
+def token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level distribution drift: KL(P_source ‖ P_corpus) over the
+    unigram token distribution — the fine-grained twin of
+    `source_drift_metrics`' language-level KL, catching sources whose
+    vocabulary shifts even when language labels don't (the composition
+    check multi-source training mixes run before re-weighting).
+
+    Every token a source emits exists in the corpus by construction, so
+    p_corpus > 0 wherever p_source > 0 and no smoothing is needed;
+    zero-observation tokens contribute nothing (0·ln0 = 0 convention),
+    so no source×vocab grid is materialized — unlike the language-level
+    op, whose 10-cell support makes the dense grid free.
+
+    Scale shape: one (source, token) count shuffle over the corpus;
+    everything after is vocabulary-sized. The corpus token table joins
+    back broadcast (vocab ≪ corpus; at 100 TB it is still ≤ millions of
+    rows — bounded by vocabulary, not documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        fan_out(docs, "doc_id")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n").alias("ns"))
+    c_tot = st.groupBy("token").agg(F.sum("n").alias("nc"))
+    grand = st.agg(F.sum("n").alias("ng"))
+    p_s = F.col("n").cast("double") / F.col("ns")
+    p_c = F.col("nc").cast("double") / F.col("ng")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(c_tot), "token")
+        .crossJoin(F.broadcast(grand))
+        .select("source", "ns", (p_s * F.log(p_s / p_c)).alias("kl_term"))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("n_vocab"),
+            round_port(F.sum("kl_term"), 6).alias("kl_divergence"),
         )
         .orderBy("source")
     )

@@ -192,3 +192,12 @@ def test_quality_classifier_weights_broadcast(spark, sf_dir):
     df = REGISTRY["quality_classifier_scores"].spark(spark, sf_dir)
     assert count_broadcast_joins(df) >= 1
     assert count_sort_merge_joins(df) == 0
+
+
+def test_hybrid_retriever_sides_take_ordered(spark, sf_dir):
+    """Each retriever reduces to top-FUSE_K via TakeOrdered (never a
+    global sort of the corpus), and the fusion join is id-keyed."""
+    df = REGISTRY["hybrid_rrf_search"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
