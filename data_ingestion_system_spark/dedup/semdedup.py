@@ -32,7 +32,7 @@ oracle in this repo relies on).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
@@ -93,10 +93,12 @@ ORDER BY cell_id
 
 def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, ev, nrm, cell_id, ccos): nearest-centroid assignment that
-    KEEPS the member→centroid cosine — SemDeDup's keep rule ranks on it."""
+    KEEPS the member→centroid cosine — SemDeDup's keep rule ranks on it.
+    Argmax as a max_by hash aggregate, not a sort window (the same
+    tie rule — cosine DESC, cell_id ASC — as lexicographic struct max;
+    train_centroids' documented shape)."""
     vn = _with_norm(v, "ev", "nrm")
     cn = _with_norm(cents, "cv", "cnrm")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
     return (
         vn.crossJoin(F.broadcast(cn))
         .select(
@@ -106,9 +108,16 @@ def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
             "cell_id",
             (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("ev").alias("ev"),
+            F.any_value("nrm").alias("nrm"),
+            F.max_by(
+                F.struct("cell_id", "ccos"),
+                F.struct(F.col("ccos"), (-F.col("cell_id")).alias("neg")),
+            ).alias("best"),
+        )
+        .select("vec_id", "ev", "nrm", F.col("best.cell_id").alias("cell_id"), F.col("best.ccos").alias("ccos"))
     )
 
 
@@ -139,6 +148,9 @@ def semdedup_pairs_dropped(
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+        # two consumers (pair counts + the drop rule) — materialize the
+        # in-cell join once instead of running it per branch
+        .localCheckpoint(eager=False)
     )
     dropped = pairs.select(
         "cell_id",
