@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = (
     "quality_classifier_scores",
     "token_kl_drift",
     "hybrid_rrf_search",
+    "winsorized_stats",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -550,3 +550,67 @@ def equi_depth_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_WINSOR_ORACLE = """
+WITH cuts AS (
+  SELECT ROUND(quantile_cont(l_extendedprice, 0.01) * 1000000.0) / 1000000.0 AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.99) * 1000000.0) / 1000000.0 AS hi
+  FROM lineitem
+)
+SELECT COUNT(*) AS n,
+       c.lo AS lo_cut,
+       c.hi AS hi_cut,
+       CAST(SUM(CASE WHEN l_extendedprice < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN l_extendedprice > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       ROUND(AVG(l_extendedprice) * 1000000.0) / 1000000.0 AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(l_extendedprice, c.lo), c.hi)) * 1000000.0) / 1000000.0
+         AS mean_winsorized
+FROM lineitem, cuts c
+GROUP BY c.lo, c.hi
+"""
+
+
+@query("winsorized_stats", oracle=_WINSOR_ORACLE, survey="A10-ext,EXT-mlprep")
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature statistics: clip a numeric column at its exact
+    p01/p99 (Tukey's outlier treatment — the standard feature-clipping
+    step before model training) and report how many rows each tail
+    clipped plus the mean shift.
+
+    The cut points come from `sketch_refine_percentiles` — the
+    bounded-memory EXACT percentile path — so the whole op is three
+    codegen passes (sketch, refine, clip+aggregate) with no full-column
+    buffer anywhere; the 1-row cut table broadcasts onto the clip scan.
+    The oracle's quantile_cont interpolates identically to the refine
+    formula (same contract `exact_percentiles_sketch_refine` proves);
+    both engines clip against the 6-decimal-rounded cuts so the
+    comparison surface is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = sketch_refine_percentiles(li, "l_extendedprice", [0.01, 0.99]).select(
+        F.element_at("vals", 1).alias("lo"),
+        F.element_at("vals", 2).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(cuts))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0)).cast("bigint").alias("n_clipped_low"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_clipped_high"),
+            round_port(F.avg(x), 6).alias("mean_raw"),
+            round_port(F.avg(clipped), 6).alias("mean_winsorized"),
+        )
+        .select(
+            "n",
+            F.col("lo").alias("lo_cut"),
+            F.col("hi").alias("hi_cut"),
+            "n_clipped_low",
+            "n_clipped_high",
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )
