@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = (
     "token_kl_drift",
     "hybrid_rrf_search",
     "winsorized_stats",
+    "grouped_percentiles_sketch_refine",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

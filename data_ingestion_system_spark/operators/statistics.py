@@ -169,7 +169,12 @@ _SKETCH_ACC = 2000  # GK sketch accuracy: rank error <= n / _SKETCH_ACC
 # ~0.3% of the corpus per percentile — still trivially collectible)
 
 
-def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) -> DataFrame:
+def sketch_refine_percentiles(
+    li: DataFrame,
+    colname: str,
+    pcts: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """EXACT interpolated percentiles via the scale path: sketch + refine.
 
     A single `percentile()` agg buffers the full column in one
@@ -185,14 +190,20 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
     degenerate near-constant column would need a groupBy-by-value refine
     instead).
 
-    Returns a ONE-ROW DataFrame: ``n`` plus ``vals`` — an array of the
-    exact percentile values in ``pcts`` order, rounded to 6 decimals
-    (the cross-engine float contract used by every oracle here)."""
+    Returns ``vals`` — an array of the exact percentile values in
+    ``pcts`` order, rounded to 6 decimals (the cross-engine float
+    contract used by every oracle here) — plus ``n``, as ONE row
+    ungrouped or one row per ``group_cols`` value. The grouped form is
+    the scale-safe twin of a per-group ``percentile()`` agg, whose
+    per-group full-column buffer breaks on any skewed group; here a
+    group costs one sketch + a ~6/acc refine window regardless of its
+    size."""
+    gcols = list(group_cols or [])
     col = F.col(colname)
     eps3 = 3.0 / _SKETCH_ACC
     plos = [max(0.0, p - eps3) for p in pcts]
     phis = [min(1.0, p + eps3) for p in pcts]
-    bounds = li.agg(
+    bound_aggs = [
         F.expr(
             f"percentile_approx({colname}, array({', '.join(map(str, plos))}), {_SKETCH_ACC})"
         ).alias("los"),
@@ -200,12 +211,18 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
             f"percentile_approx({colname}, array({', '.join(map(str, phis))}), {_SKETCH_ACC})"
         ).alias("his"),
         F.count(colname).alias("n"),
-    )
+    ]
+    bounds = li.groupBy(*gcols).agg(*bound_aggs) if gcols else li.agg(*bound_aggs)
     # hoist the per-percentile bracket bounds into plain columns ONCE —
     # every aggregate expression below would otherwise re-evaluate
     # element_at(los/his, i) per row per aggregate (4 aggs × k pcts
-    # array probes per row, measured ~40% of the refine pass)
-    j = li.crossJoin(F.broadcast(bounds)).select(
+    # array probes per row, measured ~40% of the refine pass).
+    # Bracket tables are group-count-sized — broadcast either way.
+    joined = (
+        li.join(F.broadcast(bounds), gcols) if gcols else li.crossJoin(F.broadcast(bounds))
+    )
+    j = joined.select(
+        *gcols,
         col.alias("_x"),
         "n",
         *[F.element_at(F.col("los"), i + 1).alias(f"lo{i}") for i in range(len(pcts))],
@@ -231,7 +248,7 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
         # smallest above hi cover exactly those two cases.
         aggs.append(F.max(F.when(x < lo_i, x)).alias(f"prev{i}"))
         aggs.append(F.min(F.when(x > hi_i, x)).alias(f"next{i}"))
-    row = j.groupBy("n").agg(*aggs)
+    row = j.groupBy(*gcols, "n").agg(*aggs)
 
     def _pick(i: int, idx):
         return (
@@ -248,7 +265,7 @@ def sketch_refine_percentiles(li: DataFrame, colname: str, pcts: list[float]) ->
         v1 = _pick(i, (k1 - F.col(f"below{i}")).cast("int"))
         v2 = _pick(i, (k2 - F.col(f"below{i}")).cast("int"))
         vals.append(round_port(v1 + (pos - k1) * (v2 - v1), 6))
-    return row.select("n", F.array(*vals).alias("vals"))
+    return row.select(*gcols, "n", F.array(*vals).alias("vals"))
 
 
 @query(
@@ -614,3 +631,43 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_winsorized",
         )
     )
+
+
+_GROUPED_SR_PCTS = [0.25, 0.50, 0.75, 0.95]
+_GROUPED_SR_NAMES = ["p25", "p50", "p75", "p95"]
+
+
+@query(
+    "grouped_percentiles_sketch_refine",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(l_extendedprice) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.25) * 1000000.0) / 1000000.0 AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50) * 1000000.0) / 1000000.0 AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75) * 1000000.0) / 1000000.0 AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95) * 1000000.0) / 1000000.0 AS p95
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    survey="A12-ext,A10-ext",
+)
+def grouped_percentiles_sketch_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact interpolated percentiles on the scale path:
+    `sketch_refine_percentiles` with group columns. The naive grouped
+    form — `percentile(col, ...)` inside groupBy — buffers each group's
+    full column in its ObjectHashAggregate state, so one skewed group
+    OOMs an executor at 100 TB; here every group costs one GK sketch
+    plus a ~6/acc refine window REGARDLESS of its size, and the bracket
+    table (one row per group) broadcasts onto the refine scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = sketch_refine_percentiles(
+        li, "l_extendedprice", _GROUPED_SR_PCTS, group_cols=["l_returnflag"]
+    )
+    return row.select(
+        "l_returnflag",
+        "n",
+        *[
+            F.element_at(F.col("vals"), i + 1).alias(name)
+            for i, name in enumerate(_GROUPED_SR_NAMES)
+        ],
+    ).orderBy("l_returnflag")

@@ -56,3 +56,29 @@ def test_exact_on_constant_column(spark):
     as the groupBy-by-value escape hatch) but values must stay exact."""
     df = spark.range(1000).select(F.lit(42.5).alias("x"))
     assert _refined(df, _PCTS) == [42.5] * len(_PCTS)
+
+
+def test_grouped_form_exact_under_extreme_skew(spark):
+    """One group 200x another: the grouped scale path must still equal a
+    per-group full-buffer percentile() on every group."""
+    big = spark.range(20000).select(
+        F.lit("big").alias("g"), (F.col("id") % 997).cast("double").alias("x")
+    )
+    small = spark.range(100).select(
+        F.lit("small").alias("g"), (F.col("id") * 3).cast("double").alias("x")
+    )
+    df = big.union(small)
+    pcts = [0.1, 0.5, 0.9, 0.99]
+    got = {
+        r.g: list(r.vals)
+        for r in sketch_refine_percentiles(df, "x", pcts, group_cols=["g"]).collect()
+    }
+    for g in ("big", "small"):
+        want = _exact(df.filter(F.col("g") == g), pcts)
+        assert got[g] == want, g
+    # and per-group n reflects the group, not the table
+    ns = {
+        r.g: r.n
+        for r in sketch_refine_percentiles(df, "x", pcts, group_cols=["g"]).collect()
+    }
+    assert ns == {"big": 20000, "small": 100}
