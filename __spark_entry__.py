@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = (
     "hybrid_rrf_search",
     "winsorized_stats",
     "grouped_percentiles_sketch_refine",
+    "robust_outlier_profile",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

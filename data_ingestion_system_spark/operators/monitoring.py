@@ -161,3 +161,74 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+MAD_SIGMA = 1.4826  # normal-consistency constant: sigma ≈ 1.4826 * MAD
+MAD_K = 3.0  # the classic 3-sigma-equivalent robust cut
+
+
+@query(
+    "robust_outlier_profile",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0 AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type,
+         ROUND(quantile_cont(d, 0.5) * 1000000.0) / 1000000.0 AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       MAX(d.med) AS median_value,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.d > {MAD_K} * {MAD_SIGMA} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    survey="T6-ext,A8-ext",
+)
+def robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median/MAD instead of
+    mean/stdev (Hampel's rule, |x − median| > 3·1.4826·MAD) — the
+    monitor-side upgrade for metrics where a single spike poisons the
+    mean the z-score rule (`anomaly_flags`) compares against. Both
+    location and scale come from `sketch_refine_percentiles`' grouped
+    form, so no group ever buffers its full value column: two bounded
+    sketch+refine passes (median, then median absolute deviation) and
+    one codegen flag scan, with the per-group cut table broadcast."""
+    from data_ingestion_system_spark.operators.statistics import (
+        sketch_refine_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = sketch_refine_percentiles(ev, "value", [0.5], group_cols=["event_type"]).select(
+        "event_type", F.element_at("vals", 1).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = sketch_refine_percentiles(dev, "d", [0.5], group_cols=["event_type"]).select(
+        "event_type", F.element_at("vals", 1).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * MAD_SIGMA * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
