@@ -61,33 +61,37 @@ def _weight_sql(instr_fn: str) -> str:
     return _WEIGHT.replace("{instr}", instr_fn)
 
 
-_ORACLE = f"""
-WITH buckets AS (
+# Shared CTE block (names clf-prefixed so composed oracles — the corpus
+# pipeline — can include them without collisions)
+CLASSIFIER_CTES = f"""clfbuckets AS (
   SELECT CAST(unnest(range({N_BUCKETS})) AS BIGINT) AS bucket
-), weights AS (
+), clfweights AS (
   SELECT bucket, {_weight_sql("strpos")} AS w FROM (
-    SELECT bucket, md5(concat('qw:', CAST(bucket AS VARCHAR))) AS h FROM buckets
+    SELECT bucket, md5(concat('qw:', CAST(bucket AS VARCHAR))) AS h FROM clfbuckets
   ) b
-), toks AS (
+), clftoks AS (
   SELECT doc_id, source, md5(concat('qc:', tok)) AS h
   FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents) t
-), feats AS (
-  SELECT doc_id, source, {_bucket_sql("strpos")} AS bucket FROM toks
-), scored AS (
+), clffeats AS (
+  SELECT doc_id, source, {_bucket_sql("strpos")} AS bucket FROM clftoks
+), clfscored AS (
   SELECT f.doc_id, f.source,
          COUNT(*) AS n_tokens,
          1.0 / (1.0 + exp(-{GAIN} * AVG(w.w))) AS score,
          CASE WHEN AVG(w.w) > 0 THEN 1 ELSE 0 END AS keep
-  FROM feats f JOIN weights w USING (bucket)
+  FROM clffeats f JOIN clfweights w USING (bucket)
   GROUP BY f.doc_id, f.source
-)
+)"""
+
+_ORACLE = f"""
+WITH {CLASSIFIER_CTES}
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(keep) AS BIGINT) AS n_keep,
        ROUND(AVG(score) * 1000000.0) / 1000000.0 AS avg_score,
        ROUND(MIN(score) * 1000000.0) / 1000000.0 AS min_score,
        ROUND(MAX(score) * 1000000.0) / 1000000.0 AS max_score
-FROM scored
+FROM clfscored
 GROUP BY source
 ORDER BY source
 """

@@ -4,11 +4,15 @@ The flagship composition of the LLM-data extension family — the job a
 training-data team actually runs, wired from the library's own stages:
 
     1. quality  — Gopher-style repetition filters (text/repetition.py)
-    2. dedup    — MinHash-LSH pairs closed into clusters, keep one doc
+    2. model    — fastText-style hashed-feature classifier gate
+                  (text/classifier.py; heuristics pass first, the
+                  learned filter prunes what they can't see — the
+                  CCNet/GPT-3 two-tier quality stack)
+    3. dedup    — MinHash-LSH pairs closed into clusters, keep one doc
                   per duplicate group (dedup/clusters.py)
-    3. decontam — drop docs overlapping the held-out eval slice, and
+    4. decontam — drop docs overlapping the held-out eval slice, and
                   the eval slice itself (text/contamination.py)
-    4. chunk    — cut survivors into 64-token training windows
+    5. chunk    — cut survivors into 64-token training windows
                   (text/chunking.py)
 
 Output is the per-source yield report (candidates → kept → chunks →
@@ -44,6 +48,11 @@ from data_ingestion_system_spark.dedup.minhash import (
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import load_table
 from data_ingestion_system_spark.text.chunking import chunk_documents
+from data_ingestion_system_spark.text.classifier import (
+    CLASSIFIER_CTES,
+    hashed_weight_table,
+    score_documents,
+)
 from data_ingestion_system_spark.text.contamination import (
     BENCH_MOD,
     CONTAM_CTES,
@@ -78,15 +87,18 @@ dpairs AS (
 ),
 {REPETITION_CTES},
 {CONTAM_CTES},
+{CLASSIFIER_CTES},
 kept AS (
   SELECT d.doc_id, d.source, rt.ts
   FROM documents d
   JOIN rmetrics m ON m.doc_id = d.doc_id
   JOIN rtoks rt ON rt.doc_id = d.doc_id
+  JOIN clfscored cs ON cs.doc_id = d.doc_id
   LEFT JOIN dcomp dc ON dc.doc_id = d.doc_id
   LEFT JOIN cflags cf ON cf.doc_id = d.doc_id
   WHERE d.doc_id % {BENCH_MOD} <> 0
     AND {REPETITION_KEEP_SQL}
+    AND cs.keep = 1
     AND (dc.cluster_id IS NULL OR dc.cluster_id = d.doc_id)
     AND COALESCE(cf.contamination_frac < {FLAG_FRAC}, TRUE)
 ), chunkrows AS (
@@ -129,7 +141,15 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality_ids = m.filter(rep_keep).select("doc_id")
 
-    # stage 2: duplicate-cluster keepers (closure over the FULL corpus —
+    # stage 2: model-based quality gate (the learned tier on top of the
+    # heuristics; fixture weights — production loads an exported model)
+    clf_keep_ids = (
+        score_documents(docs, hashed_weight_table(spark))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+
+    # stage 3: duplicate-cluster keepers (closure over the FULL corpus —
     # a doc whose cluster canon is an eval doc is dropped, same as SQL)
     tokens = token_sets(docs).localCheckpoint(eager=False)
     pairs = verified_pairs(
@@ -138,7 +158,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     dup_drop = comp.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
-    # stage 3: decontamination (docs overlapping the eval slice ≥10%)
+    # stage 4: decontamination (docs overlapping the eval slice ≥10%)
     grams = doc_ngrams(docs).localCheckpoint(eager=False)
     is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
@@ -166,11 +186,12 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected-components lineage)
     survivors = (
         candidates.join(quality_ids, "doc_id", "left_semi")
+        .join(clf_keep_ids, "doc_id", "left_semi")
         .join(dup_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
     ).localCheckpoint(eager=False)
 
-    # stage 4: chunk survivors, report yield per source
+    # stage 5: chunk survivors, report yield per source
     chunks = chunk_documents(survivors.select("doc_id", "text")).join(
         survivors.select("doc_id", "source"), "doc_id"
     )
