@@ -68,6 +68,40 @@ def load_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def load_json_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-explicit JSONL source that ROUTES malformed lines instead
+    of dropping (DROPMALFORMED) or failing the job (FAILFAST): PERMISSIVE
+    mode parks each unparseable line in `_corrupt_record`, and the split
+    returns (valid, quarantined-raw-lines). The source-side tier of the
+    validation stack — syntax here, semantics in
+    `operators/integrity.validate` — mirroring the reference's load-path
+    error handling (file_storage.py:199-207 catches JSONDecodeError and
+    keeps going; here the bad line is preserved for repair, not logged
+    away).
+
+    Spark caveat handled: the JSON reader won't SELECT only the corrupt
+    column from its internal row, so the split caches the parsed frame
+    before filtering (the documented `spark.read.json` corrupt-record
+    limitation)."""
+    full = StructType(schema.fields).add(CORRUPT_COL, "string")
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()
+    )
+    bad = F.col(CORRUPT_COL).isNotNull()
+    valid = parsed.filter(~bad).drop(CORRUPT_COL)
+    quarantined = parsed.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
+    return valid, quarantined
+
+
 def export_training_data(
     df: DataFrame,
     out_dir: str,

@@ -69,3 +69,31 @@ def test_export_training_data(spark, sf_dir, tmp_path):
     train = spark.read.json(os.path.join(out, "train"))
     assert train.count() == train_n
     assert "split" not in train.columns
+
+
+def test_json_quarantine_routes_malformed_lines(spark, tmp_path):
+    """PERMISSIVE load splits parseable rows from corrupt raw lines; no
+    line is silently dropped and the quarantine holds repair material."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from data_ingestion_system_spark.sources.filesinks import (
+        load_json_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not-a-number", "name": "type clash"}\n'
+    )
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    valid, quarantined = load_json_with_quarantine(spark, str(p), schema)
+    ok = {(r.id, r.name) for r in valid.collect()}
+    badlines = [r.raw_line for r in quarantined.collect()]
+    assert ok == {(1, "ok"), (2, "also ok")}
+    assert len(badlines) == 2
+    assert any("not json" in b for b in badlines)
+    assert any("not-a-number" in b for b in badlines)
+    # conservation: every input line landed on exactly one side
+    assert valid.count() + quarantined.count() == 4
