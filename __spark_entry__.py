@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = (
     "winsorized_stats",
     "grouped_percentiles_sketch_refine",
     "robust_outlier_profile",
+    "ann_filtered_topk",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -398,3 +398,115 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+FILTER_LABEL = 1  # the metadata predicate of the filtered-search query
+
+_FILTERED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+{_kmeans_ctes()},
+centroids AS (
+  SELECT cell_id, cv FROM c{N_ITERS}
+), assigned AS (
+  SELECT vec_id, label, ev, cell_id FROM (
+    SELECT v.vec_id, v.label, v.ev, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_cos("v.ev", "c.cv")} DESC, c.cell_id ASC) AS rn
+    FROM v, centroids c
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY {_cos("v.ev", "c.cv")} DESC, c.cell_id ASC) AS rn
+    FROM v, centroids c
+    WHERE v.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {NPROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id, {_cos("q.ev", "a.ev")} AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id >= {N_QUERIES}
+                 AND a.label = {FILTER_LABEL}
+  JOIN v q ON q.vec_id = p.query_id
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, ROUND(cosine * 1000000.0) / 1000000.0 AS cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_filtered_topk", oracle=_FILTERED_ORACLE, survey="EXT-similarity")
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: IVF top-5 restricted to candidates whose
+    metadata matches a predicate (label = 1) — the combined
+    metadata+vector query every production vector store serves (and the
+    one a plain ANN index gets wrong by filtering AFTER the top-k cut).
+    The filter applies INSIDE the probed cells, before ranking, so
+    recall among the label's vectors matches unfiltered recall; at scale
+    the predicate also prunes the candidate scan (pushed to the
+    cell-partitioned store's row groups when the label is a layout
+    column — `sources/layout.py`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    cents = train_centroids(
+        v.select("vec_id", "ev"), cache_key=dataset_cache_key(sf_dir)
+    )
+    vn = _with_norm(v, "ev", "nrm")
+    cn = _with_norm(cents, "cv", "cnrm")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
+    scored_cells = (
+        vn.crossJoin(F.broadcast(cn))
+        .select(
+            "vec_id",
+            "label",
+            "ev",
+            "nrm",
+            "cell_id",
+            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "ev", "nrm", "cell_id")
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    q = vn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cands = assigned.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("label") == FILTER_LABEL)
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, "cell_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (_dot(F.col("qv"), F.col("ev")) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            round_port(F.col("cosine"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
