@@ -164,7 +164,12 @@ def test_per_batch_health_alerts(spark, sf_dir, tmp_path):
     }
     assert (3, "dedup_rate_ceiling") in alerts
     assert (3, "insert_drop") in alerts
-    assert not any(b < 3 for b, _ in alerts)
+    # only the COUNT-derived alerts are deterministic; duration_spike
+    # keys off wall clock and may legitimately fire on any batch when
+    # the test box is under load — exclude it from the no-early-alerts
+    # contract instead of flaking
+    deterministic = {"dedup_rate_ceiling", "insert_drop"}
+    assert not any(b < 3 for b, a in alerts if a in deterministic)
 
 
 def test_throttled_ingestion_paces_and_retries(spark, overlap_batches, tmp_path):
