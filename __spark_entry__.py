@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = (
     "grouped_percentiles_sketch_refine",
     "robust_outlier_profile",
     "ann_filtered_topk",
+    "vocab_coverage",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -236,3 +236,81 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), "token")
     )
+
+
+# ladder sized to the synthetic corpus' ~31-token vocabulary so the
+# curve actually bends; a real corpus would use (1k, 8k, 32k, 64k, 128k)
+COVERAGE_KS = (1, 2, 5, 10, 20)
+
+_COVERAGE_ORACLE = f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) t GROUP BY token
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, token ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum_freq,
+         (SELECT SUM(freq) FROM tf) AS total,
+         (SELECT COUNT(*) FROM tf) AS vocab
+  FROM tf
+)
+SELECT k,
+       CAST(MAX(CASE WHEN rank <= k THEN cum_freq END) AS BIGINT) AS covered_tokens,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       ROUND(MAX(CASE WHEN rank <= k THEN cum_freq END)
+             / CAST(MAX(total) AS DOUBLE) * 1000000.0) / 1000000.0 AS coverage,
+       CAST(MAX(vocab) AS BIGINT) AS vocab_size
+FROM ranked CROSS JOIN (SELECT unnest([{", ".join(map(str, COVERAGE_KS))}]) AS k) ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+@query("vocab_coverage", oracle=_COVERAGE_ORACLE, survey="EXT-text")
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of corpus token occurrences
+    a top-K vocabulary covers, for the K ladder a tokenizer designer
+    reads before fixing a vocab size (coverage at the chosen K bounds
+    the UNK/byte-fallback rate). Deterministic head order (freq DESC,
+    token ASC).
+
+    Scale shape: one (token) count shuffle over the corpus; the window
+    runs over the VOCABULARY (bounded, ≪ corpus), and the K ladder is a
+    literal cross join — no corpus-sized window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = tf.select(
+        "freq",
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_freq"),
+    ).crossJoin(
+        F.broadcast(
+            tf.agg(F.sum("freq").alias("total"), F.count("*").alias("vocab"))
+        )
+    )
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("rank") <= F.col("k"), F.col("cum_freq")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            round_port(
+                F.max(F.when(F.col("rank") <= F.col("k"), F.col("cum_freq")))
+                / F.max("total").cast("double"),
+                6,
+            ).alias("coverage"),
+            F.max("vocab").cast("bigint").alias("vocab_size"),
+        )
+        .orderBy("k")
+    )
