@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = (
     "robust_outlier_profile",
     "ann_filtered_topk",
     "vocab_coverage",
+    "contrastive_pairs",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -194,3 +194,117 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+N_NEGATIVES = 4  # random negatives drawn per anchor
+NEG_SEED = 11
+
+_CONTRASTIVE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+    list_sum(list_transform(range(1, {DIM} + 1), i -> q.ev[i] * c.ev[i]))
+      / (sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> q.ev[i] * q.ev[i])))
+         * sqrt(list_sum(list_transform(range(1, {DIM} + 1), i -> c.ev[i] * c.ev[i])))) AS cosine
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+), pos AS (
+  SELECT query_id, cand_id, cosine FROM (
+    SELECT query_id, cand_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+), neg AS (
+  SELECT s.query_id, s.cand_id, s.cosine FROM (
+    SELECT s.query_id, s.cand_id, s.cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.query_id
+             ORDER BY md5(concat('{NEG_SEED}:', CAST(s.query_id AS VARCHAR), ':',
+                                 CAST(s.cand_id AS VARCHAR))) ASC,
+                      s.cand_id ASC
+           ) AS rn
+    FROM scored s LEFT JOIN pos p
+      ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+    WHERE p.cand_id IS NULL
+  ) s WHERE rn <= {N_NEGATIVES}
+)
+SELECT query_id, cand_id, role,
+       ROUND(cosine * 1000000.0) / 1000000.0 AS cosine
+FROM (
+  SELECT query_id, cand_id, 'positive' AS role, cosine FROM pos
+  UNION ALL
+  SELECT query_id, cand_id, 'negative' AS role, cosine FROM neg
+) u
+ORDER BY query_id, role DESC, cand_id
+"""
+
+
+@query("contrastive_pairs", oracle=_CONTRASTIVE_ORACLE, survey="EXT-similarity,M1-ext")
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs per anchor: the nearest candidate as
+    the positive plus N seeded-random negatives (InfoNCE-style pair
+    generation for embedding training). Negative draws use the md5
+    rank-key convention so the sample is reproducible and
+    oracle-checkable; the cosine column ships so a trainer can weigh or
+    re-mine hard negatives downstream.
+
+    Scale shape: the scoring join is the brute-force baseline here for
+    oracle exactness; at 100 TB the positive comes from the IVF/PQ
+    index and negatives from a per-partition seeded draw — both already
+    in this package."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    c = v.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("ev").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (
+                F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+            )
+        ).alias("cosine"),
+    ).localCheckpoint(eager=False)
+    w_pos = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    pos = (
+        scored.withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", "cosine")
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat(
+                F.lit(f"{NEG_SEED}:"),
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("cand_id").cast("string"),
+            )
+        ).asc(),
+        F.asc("cand_id"),
+    )
+    neg = (
+        scored.join(
+            pos.select("query_id", F.col("cand_id").alias("pos_id")), "query_id"
+        )
+        .filter(F.col("cand_id") != F.col("pos_id"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") <= N_NEGATIVES)
+        .select("query_id", "cand_id", "cosine")
+    )
+    out = pos.select(
+        "query_id", "cand_id", F.lit("positive").alias("role"), "cosine"
+    ).unionByName(
+        neg.select("query_id", "cand_id", F.lit("negative").alias("role"), "cosine")
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        "role",
+        round_port(F.col("cosine"), 6).alias("cosine"),
+    ).orderBy("query_id", F.desc("role"), "cand_id")
