@@ -59,14 +59,25 @@ def zorder_key(a, b, bits: int = Z_BITS):
     the standard lakehouse layout for two-predicate workloads (Delta/
     Iceberg `ZORDER BY`). Values must be pre-bucketed into [0, 2**bits)
     (rank, hash-mod, or quantile bucket)."""
+    return zorder_key_n([a, b], bits)
+
+
+def zorder_key_n(cols: list, bits: int = Z_BITS):
+    """K-column Morton interleave: bit i of column j lands at position
+    i*k + j, so the composite key cycles one bit from each column per
+    level and every file covers a compact k-dimensional box — ~N^(1/k)
+    pruning on EVERY clustered column. k*bits must fit a signed long
+    (<= 63). The 2-column `zorder_key` is the k=2 instance."""
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a 63-bit key")
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(one), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(one), 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c.cast("long"), i).bitwiseAND(one), i * k + j)
+            )
     return z
 
 
@@ -83,7 +94,20 @@ def write_zordered(
     every file/row-group covers a compact rectangle of the key space and
     parquet min/max stats prune point/range filters on EITHER column.
     One shuffle (the range exchange); the sort is within partitions."""
-    keyed = df.withColumn("__z", zorder_key(F.col(col_a), F.col(col_b), bits))
+    write_zordered_n(df, path, [col_a, col_b], bits, n_files, mode)
+
+
+def write_zordered_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = Z_BITS,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K-column Z-order write — `write_zordered` for arbitrary column
+    count (Delta/Iceberg ZORDER BY c1, ..., ck)."""
+    keyed = df.withColumn("__z", zorder_key_n([F.col(c) for c in cols], bits))
     parts = n_files or df.sparkSession.sparkContext.defaultParallelism
     (
         keyed.repartitionByRange(parts, "__z")

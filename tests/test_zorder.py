@@ -91,3 +91,34 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
         df = spark.read.parquet(path)
         assert df.count() == SIDE * SIDE
         assert df.filter((F.col("a") == 42) & (F.col("b") == 42)).count() == 1
+
+
+def test_zorder_3col_prunes_every_clustered_column(spark, tmp_path):
+    """k=3 interleave: a cube clustered by (a, b, c) prunes point
+    filters on all three columns; a single-column sort prunes only its
+    own."""
+    from data_ingestion_system_spark.sources.layout import write_zordered_n
+
+    side = 16  # 3 x 4 bits = 12-bit key
+    cube = spark.range(side**3).select(
+        (F.col("id") % side).cast("int").alias("a"),
+        ((F.col("id") / side).cast("long") % side).cast("int").alias("b"),
+        (F.col("id") / (side * side)).cast("int").alias("c"),
+    )
+    z_path = str(tmp_path / "z3")
+    write_zordered_n(cube, z_path, ["a", "b", "c"], bits=4, n_files=8)
+    hits = {col: _matching_files(z_path, col, 9)[0] for col in ("a", "b", "c")}
+    total = _matching_files(z_path, "a", 9)[1]
+    assert total == 8
+    # every column gets real pruning: no point filter touches all files
+    for col, hit in hits.items():
+        assert hit < total, (col, hit, total)
+
+
+def test_zorder_key_n_rejects_key_overflow(spark):
+    import pytest as _pytest
+
+    from data_ingestion_system_spark.sources.layout import zorder_key_n
+
+    with _pytest.raises(ValueError):
+        zorder_key_n([F.col("a")] * 8, bits=8)  # 64 bits > 63
