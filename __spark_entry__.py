@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = (
     "ann_filtered_topk",
     "vocab_coverage",
     "contrastive_pairs",
+    "psi_drift",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

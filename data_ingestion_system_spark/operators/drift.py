@@ -167,3 +167,95 @@ def token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+_PSI_ORACLE = f"""
+WITH ref AS (
+  SELECT value FROM events WHERE event_id % 2 = 0
+), cur AS (
+  SELECT value FROM events WHERE event_id % 2 = 1
+), cuts AS (
+  SELECT [{", ".join(
+      f"ROUND(quantile_cont(value, {p}) * 1000000.0) / 1000000.0" for p in _PSI_DECILES
+  )}] AS cs FROM ref
+), rbins AS (
+  SELECT len(list_filter(c.cs, x -> r.value >= x)) + 1 AS bin, COUNT(*) AS n_ref
+  FROM ref r, cuts c GROUP BY 1
+), cbins AS (
+  SELECT len(list_filter(c.cs, x -> u.value >= x)) + 1 AS bin, COUNT(*) AS n_cur
+  FROM cur u, cuts c GROUP BY 1
+), tot AS (
+  SELECT (SELECT SUM(n_ref) FROM rbins) AS tr, (SELECT SUM(n_cur) FROM cbins) AS tc
+)
+SELECT CAST(r.bin AS INTEGER) AS bin,
+       CAST(r.n_ref AS BIGINT) AS n_ref,
+       CAST(c.n_cur AS BIGINT) AS n_cur,
+       ROUND(r.n_ref / CAST(t.tr AS DOUBLE) * 1000000.0) / 1000000.0 AS p_ref,
+       ROUND(c.n_cur / CAST(t.tc AS DOUBLE) * 1000000.0) / 1000000.0 AS p_cur,
+       ROUND((r.n_ref / CAST(t.tr AS DOUBLE) - c.n_cur / CAST(t.tc AS DOUBLE))
+             * ln((r.n_ref / CAST(t.tr AS DOUBLE)) / (c.n_cur / CAST(t.tc AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS psi_term
+FROM rbins r JOIN cbins c USING (bin), tot t
+ORDER BY bin
+"""
+
+
+@query("psi_drift", oracle=_PSI_ORACLE, survey="EXT-monitoring")
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event slices: bin the
+    comparison slice by the REFERENCE slice's deciles and report the
+    per-bin (p_ref − p_cur)·ln(p_ref/p_cur) terms — the model-monitoring
+    drift metric read as a per-bin diagnosis (which part of the
+    distribution moved), with Σ terms the headline PSI (> 0.2 = action).
+    Slices here are the deterministic even/odd event halves; production
+    passes two time windows.
+
+    Scale shape: reference deciles come from `sketch_refine_percentiles`
+    (bounded memory), the 9 cut points broadcast as an array column, and
+    binning is `size(filter(cuts, c -> x >= c))` — one codegen pass per
+    slice, two 10-row aggregates."""
+    from data_ingestion_system_spark.operators.statistics import (
+        sketch_refine_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ref = ev.filter(F.pmod("event_id", F.lit(2)) == 0).select("value")
+    cur = ev.filter(F.pmod("event_id", F.lit(2)) == 1).select("value")
+    cuts = sketch_refine_percentiles(ref, "value", _PSI_DECILES).select(
+        F.col("vals").alias("cs")
+    )
+
+    def bins(side: DataFrame, out: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(cuts))
+            .select(
+                (
+                    F.size(F.expr("filter(cs, x -> value >= x)")) + F.lit(1)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    rbins = bins(ref, "n_ref")
+    cbins = bins(cur, "n_cur")
+    tot = rbins.agg(F.sum("n_ref").alias("tr")).crossJoin(
+        cbins.agg(F.sum("n_cur").alias("tc"))
+    )
+    p_ref = F.col("n_ref") / F.col("tr").cast("double")
+    p_cur = F.col("n_cur") / F.col("tc").cast("double")
+    return (
+        rbins.join(cbins, "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            round_port(p_ref, 6).alias("p_ref"),
+            round_port(p_cur, 6).alias("p_cur"),
+            round_port((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
