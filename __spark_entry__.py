@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = (
     "vocab_coverage",
     "contrastive_pairs",
     "psi_drift",
+    "nb_weak_label_confusion",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -75,6 +75,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.dedup.semdedup",
     "data_ingestion_system_spark.text.classifier",
     "data_ingestion_system_spark.text.hybrid",
+    "data_ingestion_system_spark.text.nb",
     "data_ingestion_system_spark.text.search",
     "data_ingestion_system_spark.text.ranking",
     "data_ingestion_system_spark.text.repetition",
