@@ -201,3 +201,11 @@ def test_hybrid_retriever_sides_take_ordered(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nb_learned_weights_broadcast(spark, sf_dir):
+    """The trained NB weight table is vocabulary-sized — it must
+    broadcast onto the scoring token stream, same serving plan as the
+    fixture-weight classifier."""
+    df = REGISTRY["nb_weak_label_confusion"].spark(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
