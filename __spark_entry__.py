@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = (
     "contrastive_pairs",
     "psi_drift",
     "nb_weak_label_confusion",
+    "cluster_aware_split_stats",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

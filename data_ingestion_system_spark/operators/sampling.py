@@ -252,3 +252,137 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+SPLIT_SEED = 13
+TRAIN_FRAC, VAL_FRAC = 0.8, 0.1  # remainder -> test
+
+
+def _cluster_split_oracle() -> str:
+    from data_ingestion_system_spark.dedup.minhash import (
+        JACCARD_THRESHOLD,
+        PAIR_CTES,
+    )
+    from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+
+    u = f"(({u52_terms_sql('strpos')}) + 0.5) / {U52_DENOM}"
+    return f"""
+WITH RECURSIVE {PAIR_CTES},
+spairs AS (
+  SELECT doc_a, doc_b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+), sedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM spairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM spairs
+), swalk(doc_id, label) AS (
+  SELECT DISTINCT src, src FROM sedges
+  UNION
+  SELECT e.dst, w.label FROM swalk w JOIN sedges e ON e.src = w.doc_id
+), scomp AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM swalk GROUP BY doc_id
+), units AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS unit_id
+  FROM documents d LEFT JOIN scomp c USING (doc_id)
+), unit_split AS (
+  SELECT unit_id,
+         CASE WHEN u < {TRAIN_FRAC} THEN 'train'
+              WHEN u < {TRAIN_FRAC + VAL_FRAC} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT unit_id, {u} AS u FROM (
+      SELECT DISTINCT unit_id,
+             md5(concat('{SPLIT_SEED}:', CAST(unit_id AS VARCHAR))) AS h
+      FROM units
+    ) t
+  ) s
+), assigned AS (
+  SELECT u.doc_id, u.unit_id, s.split FROM units u JOIN unit_split s USING (unit_id)
+), straddle AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_straddling
+  FROM (
+    SELECT unit_id, COUNT(DISTINCT split) AS n_splits FROM assigned GROUP BY unit_id
+  ) g
+)
+SELECT a.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT a.unit_id) AS n_units,
+       MAX(st.n_straddling) AS n_straddling_units
+FROM assigned a, straddle st
+GROUP BY a.split
+ORDER BY a.split
+"""
+
+
+@query("cluster_aware_split_stats", oracle=_cluster_split_oracle(), survey="M3-ext,EXT-dedup")
+def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment unit is the
+    near-duplicate CLUSTER, not the document, so near-copies can never
+    straddle train and test (the classic eval-contamination leak a
+    doc-level split ignores — Lee et al. 2022's dedup-then-split
+    argument). The split itself is a stateless hash threshold on the
+    unit id (no window, no shuffle beyond the cluster closure); the
+    report verifies zero straddling units alongside per-split yield.
+
+    Scale shape: cluster closure is the existing bounded
+    MinHash-LSH + min-label-propagation path; everything after is a
+    hash-threshold projection and two aggregates."""
+    from data_ingestion_system_spark.dedup.clusters import connected_components
+    from data_ingestion_system_spark.dedup.minhash import (
+        JACCARD_THRESHOLD,
+        band_keys,
+        candidate_pairs,
+        minhash_signatures,
+        token_sets,
+        verified_pairs,
+    )
+    from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+    from data_ingestion_system_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    pairs = verified_pairs(
+        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs)
+    units = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("unit_id")
+    )
+    u_expr = f"(({u52_terms_sql('instr')}) + 0.5) / {U52_DENOM}"
+    unit_split = (
+        units.select("unit_id")
+        .distinct()
+        .withColumn("h", det_rank_key(F.col("unit_id"), seed=SPLIT_SEED))
+        .withColumn("u", F.expr(u_expr))
+        .select(
+            "unit_id",
+            F.when(F.col("u") < TRAIN_FRAC, "train")
+            .when(F.col("u") < TRAIN_FRAC + VAL_FRAC, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    assigned = units.join(unit_split, "unit_id").localCheckpoint(eager=False)
+    straddle = (
+        assigned.groupBy("unit_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_straddling")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("unit_id").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split", "n_docs", "n_units", F.col("n_straddling").alias("n_straddling_units")
+        )
+        .orderBy("split")
+    )
