@@ -63,7 +63,12 @@ def compact_parquet(
     """Rewrite `path` into ceil(total/target) parquet files and swap the
     directory in place. Returns {"before": stats, "after": stats,
     "n_output_files": n}. Row content is unchanged (same rows, new
-    file boundaries); pass `sort_within` to (re)establish clustering."""
+    file boundaries); pass `sort_within` to (re)establish clustering.
+
+    Operates on a FLAT parquet directory: a hive-partitioned table must
+    be compacted per partition directory (partition values read back as
+    data columns would otherwise be rewritten into an unpartitioned
+    layout, losing pruning)."""
     before = parquet_file_stats(path)
     n = max(1, math.ceil(before["total_bytes"] / target_bytes))
     df: DataFrame = spark.read.parquet(path)
