@@ -84,6 +84,7 @@ _DRIVER_PRIORITY = (
     "psi_drift",
     "nb_weak_label_confusion",
     "cluster_aware_split_stats",
+    "unpivot_metrics",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

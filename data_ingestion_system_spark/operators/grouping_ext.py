@@ -98,3 +98,59 @@ def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("yr").asc_nulls_first(), F.col("month").asc_nulls_first())
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH agg AS (
+  SELECT r.r_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         ROUND(AVG(c.c_acctbal) * 1000000.0) / 1000000.0 AS avg_acctbal,
+         ROUND(MAX(c.c_acctbal) * 100.0) / 100.0 AS max_acctbal
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name
+)
+SELECT r_name, metric, value FROM (
+  SELECT r_name, 'n_customers' AS metric, n_customers AS value FROM agg
+  UNION ALL
+  SELECT r_name, 'avg_acctbal', avg_acctbal FROM agg
+  UNION ALL
+  SELECT r_name, 'max_acctbal', max_acctbal FROM agg
+) u
+ORDER BY r_name, metric
+"""
+
+
+@query("unpivot_metrics", oracle=_UNPIVOT_ORACLE, survey="A3-ext,EXT-reporting")
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape (UNPIVOT/melt): the per-region metric block
+    becomes (r_name, metric, value) rows — the shape dashboards and
+    metric stores ingest, and the inverse of `pivot_matrix`. Spark's
+    native `unpivot` keeps it one codegen expand (3 rows per input row,
+    no shuffle beyond the feeding aggregate); the oracle's UNION-ALL is
+    the portable SQL spelling of the same expansion."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    agg = (
+        cust.join(
+            F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            round_port(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            round_port(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+    return (
+        agg.unpivot(
+            ids=["r_name"],
+            values=["n_customers", "avg_acctbal", "max_acctbal"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("r_name", "metric")
+    )
