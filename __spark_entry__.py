@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = (
     "nb_weak_label_confusion",
     "cluster_aware_split_stats",
     "unpivot_metrics",
+    "funnel_conversion",
+    "cohort_retention",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

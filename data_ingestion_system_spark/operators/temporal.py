@@ -170,3 +170,133 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), staged AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click THEN 1 ELSE 0 END AS s3
+  FROM firsts
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_click_after_view,
+       CAST(SUM(s3) AS BIGINT) AS n_purchase_after_click,
+       ROUND(SUM(s2) * 1.0 / NULLIF(SUM(s1), 0) * 1000000.0) / 1000000.0 AS view_to_click,
+       ROUND(SUM(s3) * 1.0 / NULLIF(SUM(s2), 0) * 1000000.0) / 1000000.0 AS click_to_purchase
+FROM staged
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE, survey="EXT-temporal")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel (view → click → purchase): a user
+    advances a stage only if their FIRST later-stage event strictly
+    follows their first earlier-stage event — the product-analytics
+    conversion readout (strict-order semantics; NULL comparisons fall
+    out of the funnel naturally).
+
+    Scale shape: one conditional-MIN aggregate per user (map-side
+    partial), then a single global roll-up — two shuffles total, no
+    windows, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    staged = firsts.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    return staged.agg(
+        F.count("*").alias("n_users"),
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_click_after_view"),
+        F.sum("s3").cast("bigint").alias("n_purchase_after_click"),
+        round_port(
+            F.sum("s2") / F.nullif(F.sum("s1"), F.lit(0)), 6
+        ).alias("view_to_click"),
+        round_port(
+            F.sum("s3") / F.nullif(F.sum("s2"), F.lit(0)), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+), ret AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER) AS week_k,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_week, 2
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+)
+SELECT CAST(r.cohort_week AS DATE) AS cohort_week,
+       r.week_k,
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(r.n_active * 1.0 / s.cohort_size * 1000000.0) / 1000000.0 AS retention
+FROM ret r JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_k
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE, survey="EXT-temporal")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-activity
+    week (Monday-truncated in both engines), retention at week k =
+    active cohort members / cohort size — the classic growth-analytics
+    matrix.
+
+    Scale shape: per-user first-week aggregate + distinct (user, week)
+    activity, joined on user_id (both sides user-partitioned, one
+    shuffle each), then week-granular roll-ups over a ~weeks-sized
+    result."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    ret = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        ret.join(sizes, "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "week_k",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            round_port(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
