@@ -125,40 +125,30 @@ ORDER BY c.source
 """
 
 
-@query("corpus_prep_pipeline", oracle=_ORACLE, survey="EXT-pipeline")
-def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source training-corpus yield: candidate docs (outside the
-    eval slice) → docs surviving quality + dedup + decontamination →
-    chunks and tokens emitted."""
-    docs = load_table(spark, sf_dir, "documents")
-
-    # stage 1: repetition quality
+def stage_quality_ids(docs: DataFrame) -> DataFrame:
+    """Stage 1: doc_ids passing the Gopher repetition filters."""
     m = repetition_metrics(docs)
     rep_keep = (
         (F.col("top_word_frac") <= TOP_WORD_MAX)
         & F.coalesce(F.col("top_bigram_frac") <= TOP_BIGRAM_MAX, F.lit(True))
         & F.coalesce(F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX, F.lit(True))
     )
-    quality_ids = m.filter(rep_keep).select("doc_id")
+    return m.filter(rep_keep).select("doc_id")
 
-    # stage 2: model-based quality gate (the learned tier on top of the
-    # heuristics; fixture weights — production loads an exported model)
-    clf_keep_ids = (
-        score_documents(docs, hashed_weight_table(spark))
+
+def stage_clf_keep_ids(docs: DataFrame) -> DataFrame:
+    """Stage 2: doc_ids the model-based quality gate keeps (fixture
+    weights — production loads an exported model)."""
+    return (
+        score_documents(docs, hashed_weight_table(docs.sparkSession))
         .filter(F.col("keep") == 1)
         .select("doc_id")
     )
 
-    # stage 3: duplicate-cluster keepers (closure over the FULL corpus —
-    # a doc whose cluster canon is an eval doc is dropped, same as SQL)
-    tokens = token_sets(docs).localCheckpoint(eager=False)
-    pairs = verified_pairs(
-        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
-    )
-    comp = connected_components(pairs)
-    dup_drop = comp.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
-    # stage 4: decontamination (docs overlapping the eval slice ≥10%)
+def stage_contaminated(docs: DataFrame) -> DataFrame:
+    """Stage 4: doc_ids whose n-gram overlap with the eval slice crosses
+    the contamination threshold."""
     grams = doc_ngrams(docs).localCheckpoint(eager=False)
     is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
@@ -169,7 +159,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    contaminated = (
+    return (
         totals.join(hits, "doc_id", "left")
         .filter(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_grams")
@@ -178,7 +168,32 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    candidates = docs.filter(~is_bench)
+
+def stage_dup_drop(docs: DataFrame) -> DataFrame:
+    """Stage 3: doc_ids dropped as non-canonical members of near-dup
+    clusters (closure over the FULL corpus — a doc whose cluster canon
+    is an eval doc is dropped, same as the SQL)."""
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    pairs = verified_pairs(
+        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs)
+    return comp.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+
+
+@query("corpus_prep_pipeline", oracle=_ORACLE, survey="EXT-pipeline")
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-corpus yield: candidate docs (outside the
+    eval slice) → docs surviving quality + dedup + decontamination →
+    chunks and tokens emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality_ids = stage_quality_ids(docs)
+    clf_keep_ids = stage_clf_keep_ids(docs)
+    dup_drop = stage_dup_drop(docs)
+
+    contaminated = stage_contaminated(docs)
+
+    candidates = docs.filter(~(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0))
     # materialize the filtered corpus once: survivors feeds the kept
     # aggregate AND both sides of the chunk join, and without a checkpoint
     # each consumer would re-run the quality + dedup-closure + decontam
