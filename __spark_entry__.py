@@ -87,6 +87,7 @@ _DRIVER_PRIORITY = (
     "unpivot_metrics",
     "funnel_conversion",
     "cohort_retention",
+    "mixture_epoch_sample",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -230,3 +230,70 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+EPOCH_N = 200  # docs drawn per epoch in the mixture-sample demo
+EPOCH_SEED = 23
+
+_EPOCH_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, SUM(n_chars) AS n_chars FROM documents GROUP BY source
+), powed AS (
+  SELECT source, POWER(n_chars, {TEMPERATURE}) AS pw FROM per_source
+), z AS (
+  SELECT SUM(pw) AS z FROM powed
+), quotas AS (
+  SELECT source, CAST(FLOOR({EPOCH_N} * pw / z.z) AS BIGINT) AS quota
+  FROM powed, z
+), ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(concat('{EPOCH_SEED}:', CAST(d.doc_id AS VARCHAR))) ASC,
+                    d.doc_id ASC
+         ) AS rn
+  FROM documents d
+)
+SELECT r.source, r.doc_id, CAST(r.rn AS INTEGER) AS draw_rank
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rn <= q.quota
+ORDER BY r.source, r.rn
+"""
+
+
+@query("mixture_epoch_sample", oracle=_EPOCH_ORACLE, survey="EXT-mlprep,M1-ext")
+def mixture_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize one training epoch at the temperature-scaled mixture
+    rates: each source contributes floor(N·w_s) documents, drawn by the
+    seeded md5 rank (reproducible, oracle-checkable) — the executable
+    form of `mixture_weights`, closing the loop from computed sampling
+    proportions to an actual epoch manifest.
+
+    Scale shape: quotas are a source-count-sized broadcast; the draw is
+    one per-source rank window (the same grouped top-k plan as every
+    seeded sample here) — no global shuffle beyond it."""
+    from pyspark.sql import Window
+
+    from data_ingestion_system_spark.functions.scalar import det_rank_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    powed = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("n_chars"))
+        .withColumn("pw", F.pow("n_chars", F.lit(TEMPERATURE)))
+    )
+    z = powed.agg(F.sum("pw").alias("z"))
+    quotas = powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.floor(F.lit(EPOCH_N) * F.col("pw") / F.col("z")).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        det_rank_key(F.col("doc_id"), seed=EPOCH_SEED).asc(), F.asc("doc_id")
+    )
+    ranked = docs.select("doc_id", "source").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("source", "doc_id", F.col("rn").cast("int").alias("draw_rank"))
+        .orderBy("source", "draw_rank")
+    )
