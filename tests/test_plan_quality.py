@@ -209,3 +209,19 @@ def test_nb_learned_weights_broadcast(spark, sf_dir):
     fixture-weight classifier."""
     df = REGISTRY["nb_weak_label_confusion"].spark(spark, sf_dir)
     assert count_broadcast_joins(df) >= 1
+
+
+def test_sketch_refine_family_has_no_full_column_buffer(spark, sf_dir):
+    """winsorize / grouped percentiles / PSI all ride the sketch-refine
+    path: no ObjectHashAggregate percentile buffer and no
+    single-partition global sort may appear."""
+    for name in (
+        "winsorized_stats",
+        "grouped_percentiles_sketch_refine",
+        "psi_drift",
+        "robust_outlier_profile",
+    ):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "percentile(" not in plan, name  # exact-percentile buffer
+        assert "CartesianProduct" not in plan, name
