@@ -333,3 +333,59 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CROSS_SOURCE_ORACLE = f"""
+WITH {PAIR_CTES},
+vpairs AS (
+  SELECT doc_a, doc_b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+), attributed AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM vpairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, COUNT(*) AS n_dup_pairs,
+       CASE WHEN source_a = source_b THEN 'within' ELSE 'cross' END AS kind
+FROM attributed
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("cross_source_dup_matrix", oracle=_CROSS_SOURCE_ORACLE, survey="EXT-dedup,EXT-monitoring")
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the near-duplication comes from: verified MinHash pairs
+    attributed to their (source, source) bucket, split within-source vs
+    cross-source. Cross-source mass means scrapers are re-collecting
+    each other's content (fix the crawl); within-source mass means a
+    source re-publishes (fix at ingest) — the diagnosis that decides
+    which dedup money to spend.
+
+    Scale shape: the pair relation is the existing bounded LSH path;
+    attribution is two (doc_id, source) joins of a narrow projection,
+    then a sources²-bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    pairs = verified_pairs(
+        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        attributed.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .withColumn(
+            "kind",
+            F.when(F.col("source_a") == F.col("source_b"), "within").otherwise("cross"),
+        )
+        .orderBy("source_a", "source_b")
+    )
