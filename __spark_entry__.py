@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = (
     "cohort_retention",
     "mixture_epoch_sample",
     "cross_source_dup_matrix",
+    "classifier_calibration",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -159,3 +159,67 @@ def nb_weak_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pred")
     )
+
+
+N_CAL_BINS = 50  # 0.02-wide score bins
+
+_CAL_ORACLE = f"""
+WITH {REPETITION_CTES},
+{{CLASSIFIER_CTES}}
+, teacher AS (
+  SELECT doc_id, CASE WHEN {REPETITION_KEEP_SQL} THEN 1 ELSE 0 END AS keep
+  FROM rmetrics
+)
+SELECT CAST(FLOOR(cs.score * {N_CAL_BINS}) AS INTEGER) AS score_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.keep) AS BIGINT) AS n_teacher_keep,
+       ROUND(AVG(CAST(t.keep AS DOUBLE)) * 1000000.0) / 1000000.0 AS teacher_keep_rate,
+       ROUND(AVG(cs.score) * 1000000.0) / 1000000.0 AS avg_score
+FROM clfscored cs JOIN teacher t USING (doc_id)
+GROUP BY 1
+ORDER BY score_bin
+"""
+
+
+def _cal_oracle() -> str:
+    from data_ingestion_system_spark.text.classifier import CLASSIFIER_CTES
+
+    return _CAL_ORACLE.replace("{CLASSIFIER_CTES}", CLASSIFIER_CTES)
+
+
+@query("classifier_calibration", oracle=_cal_oracle(), survey="EXT-text")
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the hashed-feature classifier against the
+    repetition heuristic: documents bucketed by classifier score
+    (0.02-wide bins), each bin reporting how often the heuristic
+    teacher keeps its members — the reliability-diagram table read
+    before trusting a learned gate's threshold. A well-calibrated
+    score shows keep-rate rising with the bin; a flat line means the
+    model adds nothing over the prior."""
+    from data_ingestion_system_spark.text.classifier import (
+        hashed_weight_table,
+        score_documents,
+    )
+    from data_ingestion_system_spark.text.pipeline import stage_quality_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_documents(
+        docs.select("doc_id", "source", "text"), hashed_weight_table(spark)
+    )
+    keep_ids = stage_quality_ids(docs)
+    teacher = docs.select("doc_id").join(
+        keep_ids.withColumn("t_keep", F.lit(1)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("t_keep", F.lit(0)).alias("t_keep"))
+    joined = scored.select("doc_id", "score").join(teacher, "doc_id")
+    return (
+        joined.groupBy(
+            F.floor(F.col("score") * N_CAL_BINS).cast("int").alias("score_bin")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t_keep").cast("bigint").alias("n_teacher_keep"),
+            round_port(F.avg(F.col("t_keep").cast("double")), 6).alias("teacher_keep_rate"),
+            round_port(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("score_bin")
+    )
