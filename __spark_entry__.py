@@ -90,6 +90,14 @@ _DRIVER_PRIORITY = (
     "mixture_epoch_sample",
     "cross_source_dup_matrix",
     "classifier_calibration",
+    "gap_islands",
+    "sliding_rate_limit",
+    "substring_dup_profile",
+    "duplicated_spans_topk",
+    "kfold_balance",
+    "krippendorff_alpha",
+    "classifier_pr_thresholds",
+    "corpus_data_card",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

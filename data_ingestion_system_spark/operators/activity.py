@@ -1,0 +1,146 @@
+"""User-activity analytics — gaps-and-islands streaks and sliding-window
+rate audits over the event stream.
+
+The reference's monitor walks per-run history rows in Python to find
+consecutive-day streaks and burst anomalies (reference:
+src/monitoring/monitor.py:155-209 loads history and loops;
+src/scraper/rate_limiter.py enforces a fixed request budget per window).
+Re-expressed set-based:
+
+* `gap_islands` — the classic islands trick: group consecutive active
+  days by `day - row_number()`; one window + two aggregations, all
+  partitioned by user_id. No self-join, no driver loop.
+* `sliding_rate_limit` — the rate-limiter's sliding 1-hour window as a
+  RANGE window frame over the epoch-seconds ordering, entirely inside
+  whole-stage codegen. The reference enforces the budget imperatively
+  at request time; the audit form replays the same window over stored
+  events and reports per-user peak burst + violation counts.
+
+Scale shape: both queries shuffle once on user_id and then window
+within the partition — the 100-TB plan is hash-partition by user,
+sort within partition, no global sort, no driver state. Epoch ordering
+uses `CAST(ts AS DOUBLE)` (micro-second fraction preserved) so Spark's
+rangeBetween(-3600, 0) and DuckDB's `RANGE BETWEEN 3600.0 PRECEDING
+AND CURRENT ROW` over `epoch(ts)` see bit-identical frame bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import load_table
+
+# Sliding-window budget mirrored from the reference's rate limiter shape
+# (N requests per rolling hour); the audit flags events that exceeded it.
+BURST_LIMIT = 5
+WINDOW_SEC = 3600.0
+
+
+_ISLANDS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS anchor
+  FROM days
+), g AS (
+  SELECT user_id, anchor, COUNT(*) AS len,
+         MIN(day) AS island_start, MAX(day) AS island_end
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       MIN(island_start) AS first_day,
+       MAX(island_end) AS last_day
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("gap_islands", oracle=_ISLANDS_ORACLE, survey="EXT-temporal,W6")
+def gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands):
+    `day - row_number()` is constant within a run of consecutive days,
+    so one window + a groupBy turns the per-user day series into island
+    rows, then a second groupBy profiles streak count / longest streak /
+    total active days. The reference computes streaks by iterating
+    history rows (monitor.py:155-209); here it's two shuffles on
+    user_id and zero driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    g = isl.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("island_start"),
+        F.max("day").alias("island_end"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+            F.min("island_start").alias("first_day"),
+            F.max("island_end").alias("last_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RATE_ORACLE = f"""
+WITH b AS (
+  SELECT user_id,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY epoch(ts)
+           RANGE BETWEEN {WINDOW_SEC} PRECEDING AND CURRENT ROW
+         ) AS burst
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(burst) AS BIGINT) AS max_burst_1h,
+       CAST(SUM(CASE WHEN burst > {BURST_LIMIT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_limit
+FROM b
+GROUP BY user_id
+HAVING MAX(burst) > 1
+ORDER BY user_id
+"""
+
+
+@query("sliding_rate_limit", oracle=_RATE_ORACLE, survey="EXT-temporal,T9")
+def sliding_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour rate audit: for every event, the count of the same
+    user's events in [t-1h, t] via a RANGE window over epoch seconds;
+    rolled up to per-user peak burst and over-limit event count. This is
+    the set-based replay of the reference's imperative rate limiter
+    (rate_limiter.py) — same window semantics, computed after the fact
+    over the store. One shuffle (user_id), sort within partition,
+    codegen throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    # SQL-form window: the range literal coerces to the DOUBLE ordering
+    # column (the Python rangeBetween API only takes integer bounds).
+    b = ev.select(
+        "user_id",
+        F.expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DOUBLE)"
+            f" RANGE BETWEEN {WINDOW_SEC} PRECEDING AND CURRENT ROW)"
+        ).alias("burst"),
+    )
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("burst").alias("max_burst_1h"),
+            F.sum((F.col("burst") > BURST_LIMIT).cast("bigint")).alias("n_over_limit"),
+        )
+        .filter(F.col("max_burst_1h") > 1)
+        .orderBy("user_id")
+    )

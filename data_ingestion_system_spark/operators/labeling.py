@@ -228,3 +228,80 @@ def labeled_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "annotator_id")
     )
+
+
+_KRIPPENDORFF_ORACLE = f"""
+WITH ann AS ({ANNOTATIONS_SQL}),
+item_label AS (
+  SELECT item_id, label, COUNT(*) AS n_ic FROM ann GROUP BY item_id, label
+), item_m AS (
+  SELECT item_id, SUM(n_ic) AS m_i FROM item_label GROUP BY item_id
+), pairable AS (
+  SELECT il.item_id, il.label, il.n_ic, im.m_i
+  FROM item_label il JOIN item_m im USING (item_id)
+  WHERE im.m_i >= 2
+), obs AS (
+  SELECT SUM(CAST(n_ic * (n_ic - 1) AS DOUBLE) / (m_i - 1)) AS agree,
+         SUM(n_ic) AS n_values,
+         COUNT(DISTINCT item_id) AS n_items
+  FROM pairable
+), marg AS (
+  SELECT label, SUM(n_ic) AS n_c FROM pairable GROUP BY label
+), de AS (
+  SELECT 1.0 - SUM(CAST(n_c * (n_c - 1) AS DOUBLE))
+               / ((SELECT n_values FROM obs) * ((SELECT n_values FROM obs) - 1))
+    AS d_expected
+  FROM marg
+)
+SELECT CAST(obs.n_items AS BIGINT) AS n_items,
+       CAST(obs.n_values AS BIGINT) AS n_values,
+       ROUND((1.0 - obs.agree / obs.n_values) * 1000000.0) / 1000000.0 AS d_observed,
+       ROUND(de.d_expected * 1000000.0) / 1000000.0 AS d_expected,
+       ROUND((1.0 - (1.0 - obs.agree / obs.n_values) / de.d_expected) * 1000000.0)
+         / 1000000.0 AS alpha
+FROM obs, de
+"""
+
+
+@query("krippendorff_alpha", oracle=_KRIPPENDORFF_ORACLE, survey="A18-ext")
+def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — the reliability coefficient
+    that, unlike Cohen's kappa (two raters, full overlap), handles any
+    number of annotators and missing labels, which is how real labeling
+    queues behave (the reference's queue assigns overlapping subsets,
+    src/labeling/sampler.py:163-186).
+
+    Computed via the coincidence-matrix identities, so no pair explosion:
+    within-item agreement sum_c n_ic(n_ic-1)/(m_i-1) and label marginals
+    n_c give D_o and D_e with two aggregations over (item,label) counts.
+    Scale shape: groupBy(item,label) → groupBy(item) → two scalar
+    aggregates; everything map-side combinable, no self-join."""
+    ann = annotations(spark, sf_dir)
+    item_label = ann.groupBy("item_id", "label").agg(F.count("*").alias("n_ic"))
+    w_item = Window.partitionBy("item_id")
+    pairable = item_label.withColumn("m_i", F.sum("n_ic").over(w_item)).filter(
+        F.col("m_i") >= 2
+    )
+    obs = pairable.agg(
+        F.sum(
+            (F.col("n_ic") * (F.col("n_ic") - 1)).cast("double") / (F.col("m_i") - 1)
+        ).alias("agree"),
+        F.sum("n_ic").alias("n_values"),
+        F.count_distinct("item_id").alias("n_items"),
+    )
+    marg = pairable.groupBy("label").agg(F.sum("n_ic").alias("n_c"))
+    de = marg.crossJoin(obs.select("n_values")).agg(
+        (
+            F.lit(1.0)
+            - F.sum((F.col("n_c") * (F.col("n_c") - 1)).cast("double"))
+            / (F.first("n_values") * (F.first("n_values") - F.lit(1)))
+        ).alias("d_expected")
+    )
+    d_obs = F.lit(1.0) - F.col("agree") / F.col("n_values")
+    return obs.crossJoin(de).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        round_port(d_obs, 6).alias("d_observed"),
+        round_port(F.col("d_expected"), 6).alias("d_expected"),
+        round_port(F.lit(1.0) - d_obs / F.col("d_expected"), 6).alias("alpha"),
+    )

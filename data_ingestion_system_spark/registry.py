@@ -66,6 +66,10 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.drift",
     "data_ingestion_system_spark.operators.multires",
     "data_ingestion_system_spark.operators.integrity",
+    "data_ingestion_system_spark.operators.activity",
+    "data_ingestion_system_spark.text.substrdedup",
+    "data_ingestion_system_spark.operators.crossval",
+    "data_ingestion_system_spark.text.datacard",
     "data_ingestion_system_spark.sources.evolution",
     "data_ingestion_system_spark.text.lm",
     "data_ingestion_system_spark.text.pii",

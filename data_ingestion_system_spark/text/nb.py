@@ -223,3 +223,105 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score_bin")
     )
+
+
+_PR_ORACLE = """
+WITH {CLASSIFIER_CTES},
+{REPETITION_CTES_BLOCK},
+teacher AS (
+  SELECT doc_id, CASE WHEN {REPETITION_KEEP} THEN 1 ELSE 0 END AS t_keep
+  FROM rmetrics
+), j AS (
+  SELECT ROUND(cs.score * 1000000.0) / 1000000.0 AS s6, t.t_keep
+  FROM clfscored cs JOIN teacher t USING (doc_id)
+), x AS (
+  SELECT CAST(u.step AS INTEGER) AS step, s6, t_keep
+  FROM j, LATERAL unnest(range(1, 10)) AS u(step)
+), agg AS (
+  SELECT step,
+         SUM(CASE WHEN s6 >= step / 10.0 AND t_keep = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN s6 >= step / 10.0 AND t_keep = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN s6 < step / 10.0 AND t_keep = 1 THEN 1 ELSE 0 END) AS fn
+  FROM x GROUP BY step
+)
+SELECT step, ROUND(step / 10.0 * 10.0) / 10.0 AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END * 1000000.0) / 1000000.0 AS precision,
+       ROUND(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END * 1000000.0) / 1000000.0 AS recall
+FROM agg
+ORDER BY step
+"""
+
+
+def _pr_oracle() -> str:
+    from data_ingestion_system_spark.text.classifier import CLASSIFIER_CTES
+
+    return (
+        _PR_ORACLE.replace("{CLASSIFIER_CTES}", CLASSIFIER_CTES)
+        .replace("{REPETITION_CTES_BLOCK}", REPETITION_CTES)
+        .replace("{REPETITION_KEEP}", REPETITION_KEEP_SQL)
+    )
+
+
+@query("classifier_pr_thresholds", oracle=_pr_oracle(), survey="EXT-text")
+def classifier_pr_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the hashed-feature quality gate against the
+    repetition-heuristic teacher at a ladder of 9 score thresholds —
+    the operating-point table a corpus owner reads to pick the keep
+    cutoff (the reference picks its quality thresholds by inspection,
+    data_quality_analyzer.py:86-138; this is the measured version).
+
+    Scale shape: scores and teacher labels join once on doc_id; the
+    9-point ladder is a literal-array explode of that narrow projection
+    (9x fan-out of (double, int) rows, map-side) followed by one
+    aggregation — no per-threshold rescans. Comparisons use the
+    6-decimal-rounded score so the exp() ulp surface can't flip a
+    boundary row between engines."""
+    from data_ingestion_system_spark.text.classifier import (
+        hashed_weight_table,
+        score_documents,
+    )
+    from data_ingestion_system_spark.text.pipeline import stage_quality_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_documents(
+        docs.select("doc_id", "source", "text"), hashed_weight_table(spark)
+    )
+    keep_ids = stage_quality_ids(docs)
+    teacher = (
+        docs.select("doc_id")
+        .join(keep_ids.withColumn("t_keep", F.lit(1)), "doc_id", "left")
+        .select("doc_id", F.coalesce("t_keep", F.lit(0)).alias("t_keep"))
+    )
+    j = scored.select("doc_id", round_port(F.col("score"), 6).alias("s6")).join(
+        teacher, "doc_id"
+    )
+    x = j.select(
+        F.explode(F.array(*[F.lit(i) for i in range(1, 10)])).alias("step"),
+        "s6",
+        "t_keep",
+    )
+    t = F.col("step") / 10.0
+    pred = F.col("s6") >= t
+    agg = x.groupBy("step").agg(
+        F.sum((pred & (F.col("t_keep") == 1)).cast("long")).alias("tp"),
+        F.sum((pred & (F.col("t_keep") == 0)).cast("long")).alias("fp"),
+        F.sum(((~pred) & (F.col("t_keep") == 1)).cast("long")).alias("fn"),
+    )
+    return agg.select(
+        "step",
+        round_port(t, 1).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        round_port(
+            F.when(F.col("tp") + F.col("fp") > 0,
+                   F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+                   ).otherwise(0.0), 6
+        ).alias("precision"),
+        round_port(
+            F.when(F.col("tp") + F.col("fn") > 0,
+                   F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+                   ).otherwise(0.0), 6
+        ).alias("recall"),
+    ).orderBy("step")
