@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = (
     "krippendorff_alpha",
     "classifier_pr_thresholds",
     "corpus_data_card",
+    "dp_daily_counts",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

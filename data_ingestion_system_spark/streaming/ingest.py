@@ -327,6 +327,57 @@ def run_windowed_stream(
     return query
 
 
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows — the native `F.session_window` twin of
+    operators/temporal.sessionization (batch gap-based sessions). State
+    per (user, open session) merges rows while gaps stay under
+    `gap_duration`; the watermark closes sessions and reclaims state, so
+    memory is bounded by *open* sessions, not history — the property
+    that matters on an unbounded 100-TB stream."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.session_window("ts", gap_duration).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    gap_duration: str = "30 minutes",
+):
+    """Drain a file-source stream through the session-window agg into a
+    parquet sink (append mode -> only watermark-closed sessions emit)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = sessionized_event_counts(stream, gap_duration)
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def run_api_ingestion(
     spark: SparkSession,
     paths: IngestPaths,

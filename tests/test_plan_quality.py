@@ -225,3 +225,44 @@ def test_sketch_refine_family_has_no_full_column_buffer(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "percentile(" not in plan, name  # exact-percentile buffer
         assert "CartesianProduct" not in plan, name
+
+
+def test_substring_dedup_no_cartesian_and_digest_keys(spark, sf_dir):
+    """The shingle count-back join must be a hash/SMJ on the digest —
+    never a cartesian — and spans shuffle as md5 digests, not text."""
+    df = REGISTRY["substring_dup_profile"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_spans_topk_is_take_ordered(spark, sf_dir):
+    df = REGISTRY["duplicated_spans_topk"].spark(spark, sf_dir)
+    assert is_take_ordered(df), "span top-k must compile to TakeOrderedAndProject"
+
+
+def test_sliding_rate_single_user_shuffle(spark, sf_dir):
+    """RANGE window + per-user rollup must not add extra exchanges: one
+    shuffle to partition by user_id (plus the final ordering)."""
+    from data_ingestion_system_spark.plans.inspect import count_shuffles
+
+    df = REGISTRY["sliding_rate_limit"].spark(spark, sf_dir)
+    # window partition + final orderBy range exchange; anything more means
+    # the rollup re-shuffled needlessly
+    assert count_shuffles(df) <= 3, simple_plan_str(df)
+
+
+def test_kfold_assignment_is_shuffle_free_expression(spark, sf_dir):
+    """Fold assignment itself must be a per-row expression: the only
+    exchanges in kfold_balance are the k-row aggregate and final sort."""
+    from data_ingestion_system_spark.operators.crossval import with_fold
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    folded = with_fold(docs, F.col("doc_id"))
+    from data_ingestion_system_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(folded) == 0, "fold id must not shuffle"
+
+
+def simple_plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()

@@ -316,3 +316,36 @@ def test_windowed_stream_with_watermark(spark, sf_dir, tmp_path):
     mismatches = joined.filter(F.col("g.n") != F.col("b.n")).count()
     assert mismatches == 0
     assert got.count() >= batch.count() * 0.5
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Native session windows (30-min gap) drained under availableNow must
+    match the batch F.session_window computation for every emitted
+    (watermark-closed) session."""
+    from data_ingestion_system_spark.streaming.ingest import run_session_window_stream
+
+    events = load_table(spark, sf_dir, "events").limit(1000).cache()
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    run_session_window_stream(
+        spark, src, out, str(tmp_path / "ckpt"), TESTDATA_SCHEMAS["events"]
+    )
+    got = spark.read.parquet(out)
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            F.col("total_value"),
+        )
+    )
+    joined = got.select("session_start", "user_id", "n_events").alias("g").join(
+        batch.select("session_start", "user_id", F.col("n_events").alias("bn")),
+        ["session_start", "user_id"],
+    )
+    assert joined.filter(F.col("n_events") != F.col("bn")).count() == 0
+    # availableNow + watermark: all but the stream-tail sessions emit
+    assert got.count() >= batch.count() * 0.5
