@@ -203,13 +203,17 @@ def sketch_refine_percentiles(
     eps3 = 3.0 / _SKETCH_ACC
     plos = [max(0.0, p - eps3) for p in pcts]
     phis = [min(1.0, p + eps3) for p in pcts]
+    # ONE percentile_approx over the concatenated lo+hi targets: two
+    # separate calls each build their own GK sketch of the full column
+    # (2x the insert cost, measured ~40% of the whole query); one call
+    # builds one sketch and queries it 2k times, then slice() splits
+    # the bounds back out.
+    k = len(pcts)
     bound_aggs = [
         F.expr(
-            f"percentile_approx({colname}, array({', '.join(map(str, plos))}), {_SKETCH_ACC})"
-        ).alias("los"),
-        F.expr(
-            f"percentile_approx({colname}, array({', '.join(map(str, phis))}), {_SKETCH_ACC})"
-        ).alias("his"),
+            f"percentile_approx({colname}, array({', '.join(map(str, plos + phis))}),"
+            f" {_SKETCH_ACC})"
+        ).alias("bnds"),
         F.count(colname).alias("n"),
     ]
     bounds = li.groupBy(*gcols).agg(*bound_aggs) if gcols else li.agg(*bound_aggs)
@@ -225,8 +229,8 @@ def sketch_refine_percentiles(
         *gcols,
         col.alias("_x"),
         "n",
-        *[F.element_at(F.col("los"), i + 1).alias(f"lo{i}") for i in range(len(pcts))],
-        *[F.element_at(F.col("his"), i + 1).alias(f"hi{i}") for i in range(len(pcts))],
+        *[F.element_at(F.col("bnds"), i + 1).alias(f"lo{i}") for i in range(k)],
+        *[F.element_at(F.col("bnds"), k + i + 1).alias(f"hi{i}") for i in range(k)],
     )
     x = F.col("_x")
     aggs = []
