@@ -72,10 +72,13 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
+        # non-eager: the convergence agg right below materializes the
+        # checkpoint in the SAME job — eager=True ran two jobs per round
+        # (checkpoint, then sum), doubling the per-iteration fixed cost
         labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

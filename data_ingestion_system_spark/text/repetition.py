@@ -34,7 +34,12 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     """(doc_id, n_words, top_word_frac, top_bigram_frac, dup_trigram_frac),
     fractions unrounded; n-gram fractions NULL when the doc is too short
     to form that gram."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    from data_ingestion_system_spark.tables import fan_out
+
+    # fan out BEFORE the three explode chains: a single-file scan yields
+    # one partition, and hashing by doc_id keeps each doc's grams
+    # co-located for the per-doc aggregates below (map-side combinable)
+    toks = fan_out(docs, "doc_id").select("doc_id", F.split("text", " ").alias("ts"))
     words = toks.select("doc_id", F.explode("ts").alias("w"))
     word_stats = (
         words.groupBy("doc_id", "w")
