@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = (
     "classifier_pr_thresholds",
     "corpus_data_card",
     "dp_daily_counts",
+    "mmr_diverse_topk",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

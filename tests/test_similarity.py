@@ -136,3 +136,64 @@ def test_training_beats_untrained_seed_on_corpus(spark):
     v.unpersist()
     assert r_trained >= r_untrained, (r_trained, r_untrained)
     assert r_trained > 0
+
+
+def test_mmr_breaks_up_near_duplicate_results(spark):
+    """Pool with a near-duplicate clique: 4 near-copies of the best
+    direction outrank 4 genuinely distinct directions on relevance, so
+    plain top-5 returns the clique; MMR must keep rank 1 (pure
+    relevance) but swap clique copies for the distinct directions,
+    strictly lowering mean pairwise similarity of the selected set."""
+    import numpy as np
+
+    from data_ingestion_system_spark.similarity.ann import cosine_topk
+    from data_ingestion_system_spark.similarity.mmr import mmr_topk
+
+    rng = np.random.default_rng(11)
+    d = 64
+    q = rng.normal(size=d); q /= np.linalg.norm(q)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    def with_rel(target_cos, seed_vec):
+        """Unit vector at the given cosine to q, perturbed along seed."""
+        orth = unit(seed_vec - (seed_vec @ q) * q)
+        return unit(target_cos * q + np.sqrt(1 - target_cos**2) * orth)
+
+    rows = [(0, [float(x) for x in q])]
+    base = rng.normal(size=d)
+    # vec_ids 10..13: a clique of near-copies, highest relevance (~0.90)
+    for i in range(4):
+        v = with_rel(0.90, base + 0.02 * rng.normal(size=d))
+        rows.append((10 + i, [float(x) for x in v]))
+    # vec_ids 20..23: distinct directions, slightly lower relevance (~0.85)
+    for i in range(4):
+        v = with_rel(0.85, rng.normal(size=d))
+        rows.append((20 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    queries = emb.filter(F.col("vec_id") == 0)
+    cands = emb.filter(F.col("vec_id") > 0)
+    mmr = mmr_topk(queries, cands, k=5, pool_k=8).collect()
+    plain = cosine_topk(queries, cands, 5).collect()
+
+    vecs = {r["vec_id"]: unit(np.array(r["embedding"], dtype=float)) for r in emb.collect()}
+
+    def mean_pairwise(ids):
+        vs = [vecs[i] for i in ids]
+        sims = [float(vs[i] @ vs[j]) for i in range(len(vs)) for j in range(i + 1, len(vs))]
+        return sum(sims) / len(sims)
+
+    m_ids = [r["cand_id"] for r in mmr]
+    p_ids = [r["cand_id"] for r in plain]
+    assert len(m_ids) == 5
+    # plain top-5 is dominated by the clique; MMR keeps the relevance
+    # argmax at rank 1 but diversifies the rest
+    m1 = next(r["cand_id"] for r in mmr if r["rank"] == 1)
+    p1 = next(r["cand_id"] for r in plain if r["rank"] == 1)
+    assert m1 == p1
+    assert sum(1 for i in p_ids if i < 20) == 4, "plain top-5 should take the clique"
+    assert sum(1 for i in m_ids if i >= 20) >= 3, "MMR should pull in distinct directions"
+    assert mean_pairwise(m_ids) < mean_pairwise(p_ids)
