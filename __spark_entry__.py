@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = (
     "corpus_data_card",
     "dp_daily_counts",
     "mmr_diverse_topk",
+    "bpe_merge_table",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

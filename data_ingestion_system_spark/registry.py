@@ -72,6 +72,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.text.datacard",
     "data_ingestion_system_spark.operators.privacy",
     "data_ingestion_system_spark.similarity.mmr",
+    "data_ingestion_system_spark.text.bpe",
     "data_ingestion_system_spark.sources.evolution",
     "data_ingestion_system_spark.text.lm",
     "data_ingestion_system_spark.text.pii",
