@@ -101,6 +101,8 @@ _DRIVER_PRIORITY = (
     "dp_daily_counts",
     "mmr_diverse_topk",
     "bpe_merge_table",
+    "funnel_within_window",
+    "common_event_paths",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -59,6 +59,10 @@ HEADLINE = [
     "semantic_dedup",
     "quality_classifier_scores",
     "hybrid_rrf_search",
+    # round-3 late additions: exact substring (k-token shingle) dedup —
+    # the remaining dedup modality — and the islands streak window
+    "substring_dup_profile",
+    "gap_islands",
 ]
 
 REPS = 3  # median-of-3 per query

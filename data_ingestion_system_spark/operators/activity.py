@@ -144,3 +144,128 @@ def sliding_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_burst_1h") > 1)
         .orderBy("user_id")
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+_WINDOWED_FUNNEL_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN v USING (user_id) JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_24h,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_24h,
+       ROUND((SELECT COUNT(*) FROM c) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM v), 0) * 1000000.0) / 1000000.0
+         AS view_to_click_24h,
+       ROUND((SELECT COUNT(*) FROM p) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM c), 0) * 1000000.0) / 1000000.0
+         AS click_to_purchase_24h
+"""
+
+
+@query("funnel_within_window", oracle=_WINDOWED_FUNNEL_ORACLE, survey="EXT-temporal")
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed strict funnel: view → click → purchase where every
+    later stage must land inside 24 h of the user's FIRST view (the
+    conversion-window form product analytics actually reports —
+    `funnel_conversion` is the unbounded first-touch variant).
+
+    Three conditional-MIN aggregation passes chained by user_id joins —
+    each stage's anchor time is an aggregate, so the stage predicate
+    can't collapse into one pass; all joins are key-partitioned, no
+    windows over the corpus, no self-join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    window_end = F.col("t_view") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= window_end))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= window_end))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_24h")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_24h")))
+    )
+    from data_ingestion_system_spark.functions.scalar import round_port
+
+    return counts.select(
+        "n_view",
+        "n_click_24h",
+        "n_purchase_24h",
+        round_port(
+            F.col("n_click_24h") / F.nullif(F.col("n_view"), F.lit(0)), 6
+        ).alias("view_to_click_24h"),
+        round_port(
+            F.col("n_purchase_24h") / F.nullif(F.col("n_click_24h"), F.lit(0)), 6
+        ).alias("click_to_purchase_24h"),
+    )
+
+
+PATH_TOP_N = 10
+
+_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT {PATH_TOP_N}
+"""
+
+
+@query("common_event_paths", oracle=_PATHS_ORACLE, survey="EXT-temporal,A6")
+def common_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths (per-user time order,
+    event_id tiebreak) — path mining over the behavioral log: which
+    trigram journeys dominate. One window per user (two LEADs share the
+    frame) + one aggregate + TakeOrdered top-k; no self-joins, no
+    per-user collection."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(PATH_TOP_N)
+    )
