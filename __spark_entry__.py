@@ -98,6 +98,10 @@ _DRIVER_PRIORITY = (
     "krippendorff_alpha",
     "classifier_pr_thresholds",
     "corpus_data_card",
+    # ---- positions 51+ (outside this round's 50-slot driver window):
+    # registered late in r3; rotate these to the FRONT of the list in
+    # round 4 so they get their first driver row (same staging pattern
+    # the r2->r3 rotation used). All have green pytest oracle rows.
     "dp_daily_counts",
     "mmr_diverse_topk",
     "bpe_merge_table",

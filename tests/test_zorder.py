@@ -106,13 +106,20 @@ def test_zorder_3col_prunes_every_clustered_column(spark, tmp_path):
         (F.col("id") / (side * side)).cast("int").alias("c"),
     )
     z_path = str(tmp_path / "z3")
-    write_zordered_n(cube, z_path, ["a", "b", "c"], bits=4, n_files=8)
+    write_zordered_n(cube, z_path, ["a", "b", "c"], bits=4, n_files=16)
     hits = {col: _matching_files(z_path, col, 9)[0] for col in ("a", "b", "c")}
     total = _matching_files(z_path, "a", 9)[1]
-    assert total == 8
-    # every column gets real pruning: no point filter touches all files
+    assert total == 16
+    # repartitionByRange boundaries come from reservoir sampling whose
+    # seed shifts with the session's RDD-id counter (flaked once under
+    # the full suite: a straddling boundary set let one column's point
+    # filter touch all files). The clustering property is statistical,
+    # so assert it statistically: every column prunes on average (the
+    # 3-column footprint is well under 3x), and no column degenerates
+    # to a full scan of MORE than what one straddle can explain.
+    assert sum(hits.values()) <= 2.0 * total, (hits, total)
     for col, hit in hits.items():
-        assert hit < total, (col, hit, total)
+        assert hit <= total - 2, (col, hit, total)
 
 
 def test_zorder_key_n_rejects_key_overflow(spark):
