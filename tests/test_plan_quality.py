@@ -266,3 +266,29 @@ def test_kfold_assignment_is_shuffle_free_expression(spark, sf_dir):
 
 def simple_plan_str(df):
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_windowed_funnel_stays_key_partitioned(spark, sf_dir):
+    """The stage joins (click->view anchor, purchase->both anchors) must
+    be hash joins on user_id with the time-box as residual predicate;
+    the only nested-loop joins allowed are the final 1x1x1 scalar-count
+    combines."""
+    df = REGISTRY["funnel_within_window"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan
+    hash_joins = plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) + plan.count("SortMergeJoin")
+    assert hash_joins >= 3, plan  # c->v, p->v, p->c all keyed on user_id
+    # the scalar combine may nested-loop 1-row sides; never more than the
+    # two crossJoins in the query text
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_event_paths_single_window_pass(spark, sf_dir):
+    """Both LEADs share one window frame: exactly one per-user sort, and
+    the top-k compiles to TakeOrdered."""
+    df = REGISTRY["common_event_paths"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert plan.count("Window") == 1, plan
+    assert is_take_ordered(df)
