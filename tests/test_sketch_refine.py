@@ -82,3 +82,59 @@ def test_grouped_form_exact_under_extreme_skew(spark):
         for r in sketch_refine_percentiles(df, "x", pcts, group_cols=["g"]).collect()
     }
     assert ns == {"big": 20000, "small": 100}
+
+
+# --- hypothesis fuzz: ∀ (column transform, percentile set):
+#     sketch_refine == single-buffer exact percentile, bit-for-bit -------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _TRANSFORMS = {
+        "raw": "l_extendedprice",
+        "neg": "-l_extendedprice",
+        "log": "ln(l_extendedprice)",
+        "mod": "l_quantity % 7",          # heavy value multiplicity
+        "affine": "l_quantity * 3.5 - 2.0",
+    }
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        tname=st.sampled_from(sorted(_TRANSFORMS)),
+        pcts=st.lists(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        ),
+    )
+    def test_fuzz_sketch_refine_matches_exact(spark, tname, pcts):
+        from pyspark.sql import functions as F
+
+        from data_ingestion_system_spark.operators.statistics import (
+            sketch_refine_percentiles,
+        )
+        from data_ingestion_system_spark.tables import load_table
+
+        li = (
+            load_table(spark, "/root/testdata/sf0.001", "lineitem")
+            .select(F.expr(_TRANSFORMS[tname]).alias("x"))
+            .filter(F.col("x").isNotNull())
+        )
+        pcts = sorted(pcts)
+        got = sketch_refine_percentiles(li, "x", pcts).collect()[0]["vals"]
+        arr = ", ".join(str(p) for p in pcts)
+        want_raw = li.agg(F.expr(f"percentile(x, array({arr}))").alias("ps")).collect()[0][
+            "ps"
+        ]
+        want = [round(v * 1e6) / 1e6 for v in want_raw]
+        assert list(got) == want, (tname, pcts, got, want)
