@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = (
     "bpe_merge_table",
     "funnel_within_window",
     "common_event_paths",
+    "token_budget_selection",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

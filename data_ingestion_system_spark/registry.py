@@ -73,6 +73,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.privacy",
     "data_ingestion_system_spark.similarity.mmr",
     "data_ingestion_system_spark.text.bpe",
+    "data_ingestion_system_spark.text.budget",
     "data_ingestion_system_spark.sources.evolution",
     "data_ingestion_system_spark.text.lm",
     "data_ingestion_system_spark.text.pii",
