@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = (
     "funnel_within_window",
     "common_event_paths",
     "token_budget_selection",
+    "confident_joint_matrix",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",
