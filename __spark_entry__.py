@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = (
     "common_event_paths",
     "token_budget_selection",
     "confident_joint_matrix",
+    "fold_leakage_audit",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -84,3 +84,69 @@ def kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def _leakage_oracle() -> str:
+    from data_ingestion_system_spark.dedup.minhash import JACCARD_THRESHOLD, PAIR_CTES
+
+    return f"""
+WITH {PAIR_CTES},
+dpairs AS (
+  SELECT doc_a, doc_b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+), folded AS (
+  SELECT doc_id,
+         CAST(({u52_terms_sql("strpos")}) % {K_FOLDS} AS INTEGER) AS fold
+  FROM (
+    SELECT doc_id, md5(concat('{FOLD_SEED}:', CAST(doc_id AS VARCHAR))) AS h
+    FROM documents
+  ) hashed
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(SUM(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_fold,
+       {oracle_round("AVG(CASE WHEN fa.fold <> fb.fold THEN 1.0 ELSE 0.0 END)", 6)}
+         AS leakage_rate
+FROM dpairs p
+JOIN folded fa ON fa.doc_id = p.doc_a
+JOIN folded fb ON fb.doc_id = p.doc_b
+"""
+
+
+@query("fold_leakage_audit", oracle=_leakage_oracle(), survey="M3-ext,EXT-dedup")
+def fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much near-duplicate leakage the hash-based k-fold split
+    admits: of the verified MinHash duplicate pairs, how many land in
+    DIFFERENT folds (a train-fold document whose near-copy sits in the
+    eval fold — the contamination mode Lee et al. 2022 show inflates
+    eval scores). Content-blind hashing expects ~(1 - 1/k) leakage;
+    the cluster-aware split (`cluster_aware_split_stats`) is the fix
+    this audit motivates, and this query is the measurement a pipeline
+    runs to decide it needs it.
+
+    Scale shape: the pair relation comes from the bounded LSH machinery
+    (never all-pairs); fold ids join on doc_id — two key-partitioned
+    joins and one scalar aggregate."""
+    from data_ingestion_system_spark.dedup.minhash import (
+        JACCARD_THRESHOLD,
+        band_keys,
+        candidate_pairs,
+        minhash_signatures,
+        token_sets,
+        verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    pairs = verified_pairs(
+        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+    )
+    folded = with_fold(docs.select("doc_id"), F.col("doc_id")).select("doc_id", "fold")
+    fa = folded.select(F.col("doc_id").alias("doc_a"), F.col("fold").alias("fold_a"))
+    fb = folded.select(F.col("doc_id").alias("doc_b"), F.col("fold").alias("fold_b"))
+    j = pairs.join(fa, "doc_a").join(fb, "doc_b")
+    cross = (F.col("fold_a") != F.col("fold_b")).cast("int")
+    return j.agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.sum(cross).cast("bigint").alias("n_cross_fold"),
+        round_port(F.avg(cross.cast("double")), 6).alias("leakage_rate"),
+    )
