@@ -110,6 +110,8 @@ _DRIVER_PRIORITY = (
     "token_budget_selection",
     "confident_joint_matrix",
     "fold_leakage_audit",
+    "daily_trend_slopes",
+    "cusum_changepoint",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",
