@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = (
     "fold_leakage_audit",
     "daily_trend_slopes",
     "cusum_changepoint",
+    "dedup_threshold_sweep",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

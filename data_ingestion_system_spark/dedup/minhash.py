@@ -389,3 +389,50 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+_SWEEP_ORACLE = f"""
+WITH {PAIR_CTES},
+x AS (
+  SELECT ROUND(u.t * 10.0) / 10.0 AS threshold, j.jac
+  FROM jacs j, LATERAL unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS u(t)
+)
+SELECT threshold,
+       CAST(SUM(CASE WHEN jac >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM x
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_SWEEP_ORACLE, survey="EXT-dedup,A15")
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pair counts at a ladder of Jaccard thresholds
+    (0.5 … 0.9) — the tuning curve a pipeline owner reads before fixing
+    the dedup cutoff (too low over-merges, too high leaves near-copies;
+    the curve's knee is the decision input). The exact-Jaccard relation
+    is computed ONCE over the LSH candidates; the ladder is a 5-way
+    literal explode of that pair-sized relation — no per-threshold
+    rescans of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = token_sets(docs).localCheckpoint(eager=False)
+    jacs = verified_pairs(
+        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), 0.0
+    )
+    x = jacs.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+        "jac",
+    )
+    return (
+        x.groupBy("threshold")
+        .agg(
+            F.sum((F.col("jac") >= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .orderBy("threshold")
+    )
