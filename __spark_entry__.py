@@ -113,6 +113,7 @@ _DRIVER_PRIORITY = (
     "daily_trend_slopes",
     "cusum_changepoint",
     "dedup_threshold_sweep",
+    "join_key_skew_profile",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -10,8 +10,10 @@ skewed joins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.registry import query
 
 
 def salted_agg_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
@@ -43,3 +45,86 @@ def salted_join_skew_side(
     small_replicated = small.select("*", salts)
     joined = big_salted.join(small_replicated, [key, "_salt"])
     return joined.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiling — the diagnostic that decides whether the
+# salting machinery above (or AQE skew-join) is needed for a key.
+# ---------------------------------------------------------------------------
+
+_SKEW_COLUMNS = [
+    ("events", "user_id"),
+    ("events", "event_type"),
+    ("lineitem", "l_suppkey"),
+]
+
+
+def _one_profile_sql(table: str, col: str) -> str:
+    return f"""
+  SELECT '{table}.{col}' AS join_key,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         ROUND(MAX(c) * 1.0 / SUM(c) * 1000000.0) / 1000000.0 AS top1_share,
+         ROUND(SUM(CASE WHEN rn <= 5 THEN c ELSE 0 END) * 1.0 / SUM(c) * 1000000.0)
+           / 1000000.0 AS top5_share,
+         ROUND(SUM(p * p) * 1000000.0) / 1000000.0 AS hhi
+  FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rn,
+           c * 1.0 / SUM(c) OVER () AS p
+    FROM (SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS c FROM {table} GROUP BY {col}) g
+  ) r
+"""
+
+
+_SKEW_ORACLE = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(_one_profile_sql(t, c) for t, c in _SKEW_COLUMNS)
+    + "\n) u ORDER BY join_key"
+)
+
+
+@query("join_key_skew_profile", oracle=_SKEW_ORACLE, survey="EXT-scale,A6")
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration profile of candidate join/aggregation keys:
+    distinct count, top-1/top-5 key share, and the Herfindahl index of
+    the key distribution — the numbers that decide between a plain
+    hash join, AQE skew splitting, and explicit salting
+    (`salted_join_skew_side` above). One groupBy per key column over a
+    key-count relation; the share/HHI math runs on the (small) count
+    table, never the fact table."""
+    from data_ingestion_system_spark.functions.scalar import round_port
+    from data_ingestion_system_spark.tables import load_table
+
+    outs = []
+    for table, col in _SKEW_COLUMNS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).cast("string").alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.orderBy(F.desc("c"), F.asc("k"))
+        wall = Window.partitionBy()
+        r = counts.select(
+            "c",
+            F.row_number().over(w).alias("rn"),
+            (F.col("c") * 1.0 / F.sum("c").over(wall)).alias("p"),
+        )
+        outs.append(
+            r.agg(
+                F.lit(f"{table}.{col}").alias("join_key"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                F.sum("c").cast("bigint").alias("n_rows"),
+                round_port(F.max("c") * 1.0 / F.sum("c"), 6).alias("top1_share"),
+                round_port(
+                    F.sum(F.when(F.col("rn") <= 5, F.col("c")).otherwise(0))
+                    * 1.0
+                    / F.sum("c"),
+                    6,
+                ).alias("top5_share"),
+                round_port(F.sum(F.col("p") * F.col("p")), 6).alias("hhi"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("join_key")

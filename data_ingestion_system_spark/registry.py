@@ -76,6 +76,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.text.budget",
     "data_ingestion_system_spark.text.noise",
     "data_ingestion_system_spark.operators.trends",
+    "data_ingestion_system_spark.operators.skew",
     "data_ingestion_system_spark.sources.evolution",
     "data_ingestion_system_spark.text.lm",
     "data_ingestion_system_spark.text.pii",
