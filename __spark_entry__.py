@@ -114,6 +114,13 @@ _DRIVER_PRIORITY = (
     "cusum_changepoint",
     "dedup_threshold_sweep",
     "join_key_skew_profile",
+    "fuzzy_linkage_pairs",
+    "linkage_block_profile",
+    "scd2_user_segments",
+    "scd2_churn_profile",
+    "chi2_lang_source",
+    "metric_correlation_matrix",
+    "ewma_daily_volume",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -76,6 +76,10 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.text.budget",
     "data_ingestion_system_spark.text.noise",
     "data_ingestion_system_spark.operators.trends",
+    "data_ingestion_system_spark.operators.linkage",
+    "data_ingestion_system_spark.operators.scd",
+    "data_ingestion_system_spark.operators.assoc",
+    "data_ingestion_system_spark.operators.smoothing",
     "data_ingestion_system_spark.operators.skew",
     "data_ingestion_system_spark.sources.evolution",
     "data_ingestion_system_spark.text.lm",
