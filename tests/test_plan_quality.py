@@ -292,3 +292,63 @@ def test_event_paths_single_window_pass(spark, sf_dir):
     plan = simple_plan_str(df)
     assert plan.count("Window") == 1, plan
     assert is_take_ordered(df)
+
+
+def test_fuzzy_linkage_is_block_keyed(spark, sf_dir):
+    """Levenshtein pair generation must be an equi-join on the
+    (lang, block_key) blocking key — the whole point of blocking is
+    that no corpus x corpus plan ever exists."""
+    df = REGISTRY["fuzzy_linkage_pairs"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "block_key" in plan
+    assert is_take_ordered(df)  # ORDER BY + LIMIT 200 never global-sorts
+
+
+def test_scd2_windows_stay_user_partitioned(spark, sf_dir):
+    """Every window in the SCD2 chain is PARTITIONed BY user_id: the
+    build is key-parallel, with no single-partition exchange before the
+    final (display-only) output ordering."""
+    df = REGISTRY["scd2_user_segments"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "windowspecdefinition(user_id" in plan, plan
+    # the only acceptable SinglePartition exchange is the final ORDER BY
+    # (rangepartitioning handles that); none may feed a Window
+    before_last_sort = plan.split("Sort [user_id")[0]
+    assert "Exchange SinglePartition" not in before_last_sort, plan
+
+
+def test_ewma_joins_daily_aggregate_not_events(spark, sf_dir):
+    """The 20-day kernel self-join runs on the daily aggregate (one row
+    per type x day), never on raw events: the plan must aggregate
+    (partial+final) BEFORE the join, and the join is event_type-keyed."""
+    df = REGISTRY["ewma_daily_volume"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(df)
+    join_free_tail = plan.split("Join")[-1]
+    assert "HashAggregate" in join_free_tail, (
+        "aggregation must happen upstream of (below) the self-join"
+    )
+
+
+def test_chi2_margins_broadcast(spark, sf_dir):
+    """Cells, margins, and the totals row are all aggregate-sized —
+    every join in the chi-squared plan must broadcast; shuffling the
+    margins would be wrong at any scale."""
+    df = REGISTRY["chi2_lang_source"].spark(spark, sf_dir)
+    assert count_sort_merge_joins(df) == 0
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_correlation_matrix_is_single_pass(spark, sf_dir):
+    """All ten moment sums come from ONE corpus aggregation; the three
+    output rows are unions over the same 1-row aggregate (Spark may
+    re-run the subtree per branch, but each branch must be a scan ->
+    aggregate with no join/shuffle beyond the final exchange)."""
+    df = REGISTRY["metric_correlation_matrix"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "Join" not in plan, plan
+    assert has_partial_aggregation(df)
