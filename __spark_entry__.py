@@ -121,6 +121,9 @@ _DRIVER_PRIORITY = (
     "chi2_lang_source",
     "metric_correlation_matrix",
     "ewma_daily_volume",
+    "cdc_apply_state",
+    "cdc_apply_audit",
+    "ks_test_click_purchase",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

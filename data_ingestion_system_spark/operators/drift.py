@@ -16,10 +16,10 @@ the one (source, lang) count shuffle is vocabulary-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_system_spark.functions.scalar import round_port
+from data_ingestion_system_spark.functions.scalar import oracle_round, round_port
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import fan_out, load_table
 
@@ -258,4 +258,97 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_port((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_term"),
         )
         .orderBy("bin")
+    )
+
+
+_KS_ORACLE = f"""
+WITH a AS (
+  SELECT value, COUNT(*) AS ca FROM events WHERE event_type = 'click'
+  GROUP BY value
+), b AS (
+  SELECT value, COUNT(*) AS cb FROM events WHERE event_type = 'purchase'
+  GROUP BY value
+), pooled AS (
+  SELECT COALESCE(a.value, b.value) AS v,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.value = b.value
+), cdf AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b
+  FROM pooled
+)
+SELECT {oracle_round(
+    "MAX(ABS(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b))", 6)}
+         AS ks_d,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       {oracle_round(
+           "1.358 * SQRT(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)"
+           " / (MAX(n_a) * MAX(n_b)))", 6)} AS crit_05
+FROM cdf
+"""
+
+
+@query("ks_test_click_purchase", oracle=_KS_ORACLE, survey="EXT-monitoring,A17")
+def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions: D = max |CDF_a - CDF_b| over the
+    pooled support, with the alpha=0.05 critical value for context.
+    PSI (psi_drift) needs binning; KS is the bin-free complement —
+    sensitive anywhere the CDFs separate, not just across bin edges.
+
+    Scale shape: each sample collapses to (value, count) first — the
+    CDF window runs over the pooled DISTINCT support, which is
+    bounded by value cardinality, not event count. The single-key
+    window is the documented trade-off: for a continuous column at
+    100 TB, pre-quantize values (as psi_drift's binning does) to
+    bound the support."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("value")
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(F.count("*").alias("cb"))
+    )
+    pooled = (
+        a.join(b, "value", "full_outer")
+        .select(
+            F.col("value").alias("v"),
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = pooled.select(
+        (F.sum("ca").over(w_cum).cast("double") / F.sum("ca").over(w_all)).alias(
+            "cdf_a"
+        ),
+        (F.sum("cb").over(w_cum).cast("double") / F.sum("cb").over(w_all)).alias(
+            "cdf_b"
+        ),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
+    )
+    return cdf.agg(
+        round_port(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_d"),
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        round_port(
+            F.lit(1.358)
+            * F.sqrt(
+                (F.max("n_a") + F.max("n_b")).cast("double")
+                / (F.max("n_a") * F.max("n_b"))
+            ),
+            6,
+        ).alias("crit_05"),
     )

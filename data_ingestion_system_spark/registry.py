@@ -80,6 +80,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.operators.scd",
     "data_ingestion_system_spark.operators.assoc",
     "data_ingestion_system_spark.operators.smoothing",
+    "data_ingestion_system_spark.operators.cdc",
     "data_ingestion_system_spark.operators.skew",
     "data_ingestion_system_spark.sources.evolution",
     "data_ingestion_system_spark.text.lm",

@@ -352,3 +352,26 @@ def test_correlation_matrix_is_single_pass(spark, sf_dir):
     plan = simple_plan_str(df)
     assert "Join" not in plan, plan
     assert has_partial_aggregation(df)
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    """CDC collapse is one shuffle on the key feeding one per-key window:
+    no join, no cartesian, no single-partition exchange before the final
+    output ordering."""
+    df = REGISTRY["cdc_apply_state"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "windowspecdefinition(key" in plan, plan
+    assert "Join" not in plan, plan
+    before_last_sort = plan.split("Sort [key")[0]
+    assert "Exchange SinglePartition" not in before_last_sort, plan
+
+
+def test_ks_cdf_window_runs_on_collapsed_support(spark, sf_dir):
+    """The KS CDF window must run over (value, count) aggregates — the
+    per-sample HashAggregates sit below the full-outer join and window,
+    so the single-key window sees support-sized input, never raw events."""
+    df = REGISTRY["ks_test_click_purchase"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert has_partial_aggregation(df)
+    join_tail = plan.split("Join")[-1]
+    assert "HashAggregate" in join_tail, plan  # aggregate below the join
