@@ -1,0 +1,101 @@
+"""Semantic tests for CDC apply and fuzzy linkage — properties the
+SQL oracle can't express: arrival-order invariance for CDC, and
+known-pair recall / blocking behavior for edit-distance linkage."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _collapse(feed):
+    """The cdc_apply_state collapse, applied to an arbitrary feed df."""
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "seq", "payload")
+    )
+
+
+def test_cdc_collapse_is_arrival_order_invariant(spark):
+    """Same feed in three arrival orders (sorted, reversed, hash-shuffled
+    across partitions) must collapse to the identical state — ordering is
+    by the source sequence number, never arrival."""
+    rows = [
+        (1, 10, "U", "a"),
+        (1, 30, "U", "c"),  # winner for key 1
+        (1, 20, "U", "b"),  # late-arriving middle change
+        (2, 5, "U", "x"),
+        (2, 9, "D", None),  # key 2 ends tombstoned
+        (3, 7, "D", None),
+        (3, 8, "U", "y"),  # un-delete after tombstone: U wins by seq
+    ]
+    base = spark.createDataFrame(rows, "key int, seq int, op string, payload string")
+    expected = {(1, 30, "c"), (3, 8, "y")}
+    for variant in (
+        base.orderBy("seq"),
+        base.orderBy(F.desc("seq")),
+        base.repartition(7, "payload"),
+    ):
+        got = {tuple(r) for r in _collapse(variant).collect()}
+        assert got == expected, got
+
+
+def test_cdc_collapse_is_replay_idempotent(spark):
+    """Replaying the feed (union with itself) yields the same state:
+    duplicated records tie on seq but carry identical payloads, so the
+    winner row's content is unchanged."""
+    rows = [(1, 10, "U", "a"), (1, 30, "U", "c"), (2, 9, "D", None)]
+    base = spark.createDataFrame(rows, "key int, seq int, op string, payload string")
+    once = {tuple(r) for r in _collapse(base).collect()}
+    twice = {tuple(r) for r in _collapse(base.unionAll(base)).collect()}
+    assert once == twice == {(1, 30, "c")}
+
+
+def test_linkage_catches_typo_pair_within_block(spark, sf_dir, monkeypatch):
+    """Two docs whose normalized 80-char keys differ by one character in
+    the tail share the 8-char block prefix and must link; a doc whose
+    FIRST characters differ falls in another block and must not (the
+    documented single-pass blocking recall trade-off)."""
+    from data_ingestion_system_spark.operators import linkage
+    from data_ingestion_system_spark import tables
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank", "en", "s", 64),
+            (2, "the quick brown fox jumps over the lazy dot near the river bank", "en", "s", 64),
+            (3, "a completely different opening that shares no prefix at all here", "en", "s", 64),
+            # same block as 1/2 but beyond edit distance 8
+            (4, "the quicksand swallowed every letter of this very different text entirely", "en", "s", 74),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        linkage, "load_table", lambda _spark, _sf, name: docs
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in linkage.fuzzy_linkage_pairs(spark, sf_dir).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert all(3 not in pair for pair in got), got
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_linkage_block_cap_drops_degenerate_block(spark, sf_dir, monkeypatch):
+    """A block larger than BLOCK_CAP generates NO pairs (the skew guard),
+    and the profile counts the dropped records instead of hiding them."""
+    from data_ingestion_system_spark.operators import linkage
+
+    n = linkage.BLOCK_CAP + 5
+    docs = spark.createDataFrame(
+        [(i, "identical prefix boilerplate row", "en", "s", 32) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(linkage, "load_table", lambda _spark, _sf, name: docs)
+    assert linkage.fuzzy_linkage_pairs(spark, sf_dir).count() == 0
+    prof = linkage.linkage_block_profile(spark, sf_dir).collect()[0]
+    assert prof.capped_blocks == 1
+    assert prof.capped_records == n
+    assert prof.candidate_pairs == 0
