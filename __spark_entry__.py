@@ -124,6 +124,8 @@ _DRIVER_PRIORITY = (
     "cdc_apply_state",
     "cdc_apply_audit",
     "ks_test_click_purchase",
+    "mann_whitney_u",
+    "weighted_median_by_flag",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

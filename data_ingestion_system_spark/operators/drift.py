@@ -352,3 +352,102 @@ def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("crit_05"),
     )
+
+
+_MWU_ORACLE = f"""
+WITH a AS (
+  SELECT value, COUNT(*) AS ca FROM events WHERE event_type = 'click'
+  GROUP BY value
+), b AS (
+  SELECT value, COUNT(*) AS cb FROM events WHERE event_type = 'purchase'
+  GROUP BY value
+), pooled AS (
+  SELECT COALESCE(a.value, b.value) AS v,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+         COALESCE(ca, 0) + COALESCE(cb, 0) AS nv
+  FROM a FULL OUTER JOIN b ON a.value = b.value
+), ranked AS (
+  SELECT ca, cb, nv,
+         COALESCE(SUM(nv) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM pooled
+), s AS (
+  -- 2*rank-sum stays exact BIGINT: avg tied rank = cum_before + (nv+1)/2
+  SELECT CAST(SUM(ca * (2 * cum_before + nv + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tie_term
+  FROM ranked
+)
+SELECT {oracle_round("CAST(r2_a AS DOUBLE) / 2 - CAST(n_a * (n_a + 1) AS DOUBLE) / 2", 6)} AS u_a,
+       n_a, n_b,
+       {oracle_round(
+           "(CAST(r2_a AS DOUBLE) / 2 - CAST(n_a * (n_a + 1) AS DOUBLE) / 2"
+           " - CAST(n_a * n_b AS DOUBLE) / 2)"
+           " / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0"
+           "   * ((n_a + n_b + 1) - CAST(tie_term AS DOUBLE)"
+           "      / ((n_a + n_b) * (n_a + n_b - 1.0))))", 6)} AS z
+FROM s
+"""
+
+
+@query("mann_whitney_u", oracle=_MWU_ORACLE, survey="EXT-monitoring,A17")
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the click and purchase
+    value distributions, tie-corrected: the location-shift complement
+    to the KS statistic's any-shape sensitivity. Every rank sum is kept
+    as an exact BIGINT (2x the tied-average rank is an integer), so
+    both engines derive U and the tie term from identical integers —
+    floats appear only in the final z ratio.
+
+    Scale shape: identical to ks_test_click_purchase — per-sample
+    (value, count) collapse first, one support-sized window."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("value")
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(F.count("*").alias("cb"))
+    )
+    pooled = a.join(b, "value", "full_outer").select(
+        F.col("value").alias("v"),
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("nv"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = pooled.withColumn(
+        "cum_before", F.coalesce(F.sum("nv").over(w_before), F.lit(0))
+    )
+    s = ranked.agg(
+        F.sum(F.col("ca") * (2 * F.col("cum_before") + F.col("nv") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    u_a = F.col("r2_a").cast("double") / 2 - (
+        F.col("n_a") * (F.col("n_a") + 1)
+    ).cast("double") / 2
+    n_tot = F.col("n_a") + F.col("n_b")
+    sigma = F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b") / 12.0
+        * (
+            (n_tot + 1)
+            - F.col("tie_term").cast("double") / (n_tot * (n_tot - 1.0))
+        )
+    )
+    return s.select(
+        round_port(u_a, 6).alias("u_a"),
+        "n_a",
+        "n_b",
+        round_port(
+            (u_a - (F.col("n_a") * F.col("n_b")).cast("double") / 2) / sigma, 6
+        ).alias("z"),
+    )

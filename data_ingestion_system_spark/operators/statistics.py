@@ -675,3 +675,65 @@ def grouped_percentiles_sketch_refine(spark: SparkSession, sf_dir: str) -> DataF
             for i, name in enumerate(_GROUPED_SR_NAMES)
         ],
     ).orderBy("l_returnflag")
+
+
+_WMEDIAN_ORACLE = """
+WITH vw AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v, SUM(l_quantity) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), cum AS (
+  SELECT grp, v, w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM vw
+)
+SELECT grp AS l_returnflag,
+       ROUND(MIN(v) * 1000000.0) / 1000000.0 AS weighted_median,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY grp
+ORDER BY grp
+"""
+
+
+@query("weighted_median_by_flag", oracle=_WMEDIAN_ORACLE, survey="A10,A12")
+def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the first value
+    whose cumulative weight reaches half the group total (lower weighted
+    median — the convention that needs no interpolation and keeps every
+    comparison in exact integer weights).
+
+    Scale shape: values collapse to (group, value, weight) first —
+    map-side combinable — and the cumulative window is PARTITIONed BY
+    group, so the sort is per-group over the collapsed support, never a
+    global order over raw rows. The unweighted exact-percentile path
+    (`exact_percentiles`) buffers a column per group; this one never
+    holds more than the distinct-value support."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vw = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = vw.select(
+        "grp",
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("grp").alias("l_returnflag"))
+        .agg(
+            round_port(F.min("v"), 6).alias("weighted_median"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

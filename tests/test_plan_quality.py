@@ -375,3 +375,14 @@ def test_ks_cdf_window_runs_on_collapsed_support(spark, sf_dir):
     assert has_partial_aggregation(df)
     join_tail = plan.split("Join")[-1]
     assert "HashAggregate" in join_tail, plan  # aggregate below the join
+
+
+def test_weighted_median_window_is_group_partitioned(spark, sf_dir):
+    """The cumulative-weight window must be PARTITIONed BY the group and
+    run over the collapsed (group, value, weight) support: partial+final
+    aggregation below the window, no single-partition exchange."""
+    df = REGISTRY["weighted_median_by_flag"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "windowspecdefinition(grp" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert has_partial_aggregation(df)
