@@ -126,6 +126,8 @@ _DRIVER_PRIORITY = (
     "ks_test_click_purchase",
     "mann_whitney_u",
     "weighted_median_by_flag",
+    "grouping_sets_profile",
+    "lang_listagg_by_source",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -154,3 +154,68 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "metric")
     )
+
+
+@query(
+    "grouping_sets_profile",
+    oracle="""
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(GROUPING(source) AS INTEGER) AS g_source,
+       CAST(GROUPING(lang) AS INTEGER) AS g_lang
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang))
+ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST
+""",
+    survey="A6-cube,A13",
+)
+def grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization CUBE/ROLLUP are sugar
+    for: the (source, lang), (source), (lang) margins in ONE pass with
+    GROUPING() flags disambiguating real NULLs from margin rows. The
+    reference computes each margin as a separate query
+    (deep_analysis.py:84-130); one grouping-sets pass reads the corpus
+    once for all three."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__gs_documents")
+    return spark.sql(
+        """
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(GROUPING(source) AS INTEGER) AS g_source,
+               CAST(GROUPING(lang) AS INTEGER) AS g_lang
+        FROM __gs_documents
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang))
+        ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST
+        """
+    )
+
+
+@query(
+    "lang_listagg_by_source",
+    oracle="""
+SELECT source,
+       string_agg(lang, ',' ORDER BY lang) AS langs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs
+FROM (SELECT DISTINCT source, lang FROM documents) t
+GROUP BY source
+ORDER BY source
+""",
+    survey="A6,EXT-reporting",
+)
+def lang_listagg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg reshape: the sorted comma-joined language list
+    per source — the report-friendly denormalization every SQL surface
+    ships. Deterministic by construction: collect_set is unordered, so
+    the list is array_sort-ed BEFORE joining (the only portable way to
+    hash-match an aggregated string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "lang")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("lang"))).alias("langs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
