@@ -232,3 +232,81 @@ def robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         dayofweek(CAST(ts AS DATE)) AS dow, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+  SELECT event_type, day, dow, n,
+         COUNT(*)   OVER w AS m,
+         SUM(n)     OVER w AS s1,
+         SUM(n * n) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type, dow ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(dow AS INTEGER) AS dow, CAST(n AS BIGINT) AS n,
+       CAST(m AS BIGINT) AS n_history,
+       ROUND(CAST(n * m - s1 AS DOUBLE) / SQRT(CAST(m * s2 - s1 * s1 AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS z_same_dow
+FROM scored
+WHERE m >= 3 AND m * s2 - s1 * s1 > 0
+  AND ABS(CAST(n * m - s1 AS DOUBLE) / SQRT(CAST(m * s2 - s1 * s1 AS DOUBLE))) >= 2.0
+ORDER BY event_type, day
+"""
+
+
+@query("seasonal_anomaly_flags", oracle=_SEASONAL_ORACLE, survey="T6,A17")
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: each day's count is
+    z-scored against PRIOR days of the SAME weekday (per event type) —
+    the upgrade over `anomaly_flags`' flat trailing window, which
+    false-alarms every weekend on any weekday-periodic source. Alert
+    when |z| >= 2 with at least 3 same-weekday priors.
+
+    The z ratio is assembled from exact BIGINT moment sums over the
+    expanding same-dow window ((n*m - s1) / sqrt(m*s2 - s1^2), the
+    population form), so both engines divide identical integers.
+
+    Scale shape: one map-side-combinable groupBy to the daily series,
+    then windows partitioned by (event_type, dow) — series-sized,
+    key-parallel, no global order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "n",
+        F.count("*").over(w).alias("m"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    var_m2 = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n") * F.col("m") - F.col("s1")).cast("double") / F.sqrt(
+        var_m2.cast("double")
+    )
+    return (
+        scored.filter((F.col("m") >= 3) & (var_m2 > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            "day",
+            F.col("dow").cast("int"),
+            F.col("n").cast("bigint"),
+            F.col("m").cast("bigint").alias("n_history"),
+            round_port(z, 6).alias("z_same_dow"),
+        )
+        .orderBy("event_type", "day")
+    )
