@@ -4,6 +4,8 @@ known-pair recall / blocking behavior for edit-distance linkage."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -99,3 +101,50 @@ def test_linkage_block_cap_drops_degenerate_block(spark, sf_dir, monkeypatch):
     assert prof.capped_blocks == 1
     assert prof.capped_records == n
     assert prof.candidate_pairs == 0
+
+
+_feed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),      # key
+        st.integers(min_value=1, max_value=40),     # seq
+        st.sampled_from(["U", "D"]),                # op
+        st.text(alphabet="abc", min_size=0, max_size=3),  # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_feed_rows)
+def test_cdc_collapse_matches_python_replay(spark, rows):
+    """∀ feeds: the windowed collapse equals a pure-Python replay that
+    sorts by seq and keeps the last op per key (ties on seq broken the
+    same way row_number breaks them: by the later-sorted duplicate, so
+    we drop exact (key, seq) duplicates first to keep the property
+    well-defined — duplicated (key, seq) with different payloads is a
+    source-corruption case the audit query counts, not a collapse
+    guarantee)."""
+    seen = {}
+    for k, s, op, p in rows:
+        seen[(k, s)] = (k, s, op, p)  # last writer wins for dup (key, seq)
+    rows = list(seen.values())
+
+    state = {}
+    for k, s, op, p in sorted(rows, key=lambda r: r[1]):
+        state[k] = (s, op, p)
+    expected = {
+        (k, s, p) for k, (s, op, p) in state.items() if op != "D"
+    }
+
+    if not rows:
+        return
+    feed = spark.createDataFrame(
+        rows, "key int, seq int, op string, payload string"
+    )
+    got = {tuple(r) for r in _collapse(feed).collect()}
+    assert got == expected, (got, expected)
