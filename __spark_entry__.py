@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = (
     "grouping_sets_profile",
     "lang_listagg_by_source",
     "seasonal_anomaly_flags",
+    "rolling_wau",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

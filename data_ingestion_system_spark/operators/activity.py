@@ -269,3 +269,82 @@ def common_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(PATH_TOP_N)
     )
+
+
+_WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+), spine AS (
+  SELECT CAST(d AS DATE) AS day
+  FROM bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(d)
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+)
+SELECT s.day,
+       COALESCE(d.dau, 0) AS dau,
+       COUNT(DISTINCT u.user_id) AS wau,
+       ROUND(CASE WHEN COUNT(DISTINCT u.user_id) > 0
+                  THEN CAST(COALESCE(d.dau, 0) AS DOUBLE)
+                       / COUNT(DISTINCT u.user_id)
+                  ELSE 0.0 END * 1000000.0) / 1000000.0 AS stickiness
+FROM spine s
+LEFT JOIN ud u ON u.day <= s.day AND u.day > s.day - INTERVAL 7 DAY
+LEFT JOIN dau d ON d.day = s.day
+GROUP BY s.day, d.dau
+ORDER BY s.day
+"""
+
+
+@query("rolling_wau", oracle=_WAU_ORACLE, survey="EXT-temporal,A5")
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per calendar day (WAU), daily actives
+    (DAU), and the DAU/WAU stickiness ratio — the engagement surface
+    every activity dashboard leads with. The calendar spine is complete
+    (gap days report their trailing window too, with dau=0).
+
+    Scale shape: events collapse to DISTINCT (user, day) first — the
+    only corpus-sized shuffle. Each presence row then EXPLODES into the
+    exactly-7 future days it keeps the user active for, making the
+    trailing window a plain equi-join on day (a raw interval predicate
+    would compile to a nested-loop against the spine); expansion factor
+    is exactly 7, nothing is ever quadratic. (The HLL twin for when
+    exact distinct is too hot at 100 TB is `approx_distinct_users`'
+    pattern — swap COUNT(DISTINCT) for approx_count_distinct.)"""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    u7 = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    wau = (
+        spine.join(u7, "day", "left")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    out = (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+        )
+    )
+    stick = F.when(
+        F.col("wau") > 0, F.col("dau").cast("double") / F.col("wau")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "day",
+        "dau",
+        "wau",
+        (F.round(stick * 1000000.0) / 1000000.0).alias("stickiness"),
+    ).orderBy("day")

@@ -386,3 +386,13 @@ def test_weighted_median_window_is_group_partitioned(spark, sf_dir):
     assert "windowspecdefinition(grp" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert has_partial_aggregation(df)
+
+
+def test_rolling_wau_window_is_equi_join(spark, sf_dir):
+    """The 7-day trailing window joins by exploded day keys — a raw
+    interval predicate would nested-loop every presence row against the
+    spine. No BroadcastNestedLoopJoin, no cartesian."""
+    df = REGISTRY["rolling_wau"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
