@@ -130,6 +130,7 @@ _DRIVER_PRIORITY = (
     "lang_listagg_by_source",
     "seasonal_anomaly_flags",
     "rolling_wau",
+    "rank_function_profile",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

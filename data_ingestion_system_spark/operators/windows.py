@@ -219,3 +219,59 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_orders", F.sum("n_orders").over(w).alias("cumulative_orders")
     ).orderBy("day")
+
+
+_RANK_PROFILE_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER()   OVER w AS rn,
+         RANK()         OVER w AS rnk,
+         DENSE_RANK()   OVER w AS drnk,
+         ROUND(PERCENT_RANK() OVER w * 1000000.0) / 1000000.0 AS pct_rank,
+         ROUND(CUME_DIST()    OVER w * 1000000.0) / 1000000.0 AS cume,
+         CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+)
+SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ROUND(l_extendedprice * 1000000.0) / 1000000.0 AS price,
+       CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,
+       CAST(drnk AS BIGINT) AS drnk, pct_rank, cume, quartile
+FROM ranked WHERE rn <= 5
+ORDER BY l_returnflag, rn
+"""
+
+
+@query("rank_function_profile", oracle=_RANK_PROFILE_ORACLE, survey="W1,W4")
+def rank_function_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one per-group window — five
+    priciest lineitems per return flag with row_number / rank /
+    dense_rank / percent_rank / cume_dist / ntile(4) side by side
+    (total order inside the partition via the (price, orderkey,
+    linenumber) tiebreak, so every rank is hash-stable).
+
+    Note percent_rank/cume_dist/ntile need the full partition ordered —
+    fine per group (partitions parallelize), the same reason the
+    global-order twin lives behind TakeOrdered top-k instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_orderkey").cast("bigint"),
+            F.col("l_linenumber").cast("bigint"),
+            round_port(F.col("l_extendedprice"), 6).alias("price"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            round_port(F.percent_rank().over(w), 6).alias("pct_rank"),
+            round_port(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("l_returnflag", "rn")
+    )
