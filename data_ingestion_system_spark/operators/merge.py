@@ -77,3 +77,78 @@ def upsert(
     merged = kept.unionByName(new_rows)
     _swap_write(merged, target_dir)
     return MergeResult(inserted=n_new - updated, updated=updated, skipped=0)
+
+
+@dataclass
+class FullMergeResult:
+    inserted: int
+    updated: int
+    deleted: int
+    untouched: int
+
+
+def merge_apply(
+    spark: SparkSession,
+    source: DataFrame,
+    target_dir: str,
+    key: str,
+    *,
+    update_condition=None,
+    delete_condition=None,
+    insert_condition=None,
+) -> FullMergeResult:
+    """Full three-clause MERGE onto a parquet target:
+
+        MERGE INTO target USING source ON target.key = source.key
+        WHEN MATCHED     [AND delete_condition] THEN DELETE
+        WHEN MATCHED     [AND update_condition] THEN UPDATE SET *
+        WHEN NOT MATCHED [AND insert_condition] THEN INSERT *
+
+    Clause precedence mirrors the SQL standard (and Delta/Iceberg):
+    DELETE is evaluated before UPDATE for matched rows; a matched row
+    satisfying neither condition is left untouched. Conditions are
+    Column predicates over the SOURCE row (pass None for
+    unconditional). The rewrite is two anti/semi joins + a union and
+    ONE atomic directory swap — never a per-row loop, and the target
+    is read once.
+
+    Counters are computed from the same joined frame that drives the
+    rewrite, so they cannot drift from what was written (the T3 audit
+    invariant). Source rows duplicated on the key are rejected — MERGE
+    semantics are undefined under multi-match (Delta raises; so do we).
+    """
+    dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"MERGE source has duplicate keys on {key!r}")
+
+    t_update = update_condition if update_condition is not None else F.lit(True)
+    t_delete = delete_condition if delete_condition is not None else F.lit(False)
+    t_insert = insert_condition if insert_condition is not None else F.lit(True)
+
+    if not os.path.exists(target_dir):
+        to_insert = source.filter(t_insert)
+        inserted = to_insert.count()
+        to_insert.write.mode("overwrite").parquet(target_dir)
+        return FullMergeResult(inserted=inserted, updated=0, deleted=0, untouched=0)
+
+    existing = spark.read.parquet(target_dir)
+    matched_src = source.join(existing.select(key), key, "left_semi")
+    deletes = matched_src.filter(t_delete).select(key)
+    updates = matched_src.filter(~t_delete & t_update)
+    inserts = source.join(existing.select(key), key, "left_anti").filter(t_insert)
+
+    n_del = deletes.count()
+    n_upd = updates.count()
+    n_ins = inserts.count()
+    n_matched = matched_src.count()
+
+    touched_keys = deletes.unionByName(updates.select(key))
+    survivors = existing.join(touched_keys, key, "left_anti")
+    merged = survivors.unionByName(updates).unionByName(inserts)
+    _swap_write(merged, target_dir)
+    return FullMergeResult(
+        inserted=n_ins,
+        updated=n_upd,
+        deleted=n_del,
+        untouched=n_matched - n_del - n_upd,
+    )

@@ -88,3 +88,70 @@ def test_queue_statistics_matrix(spark):
     stats = queue_statistics(current_state(ev)).collect()
     tier1 = next(r for r in stats if r.priority_tier == 1)
     assert tier1.completed == 2 and tier1.pending == 1
+
+
+def test_merge_apply_three_clauses(spark, tmp_path):
+    """DELETE-before-UPDATE precedence, conditional clauses, untouched
+    matched rows preserved, counters equal the written delta."""
+    from data_ingestion_system_spark.operators.merge import merge_apply
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k int, v string, score int",
+    )
+    base.write.parquet(target)
+
+    src = spark.createDataFrame(
+        [
+            (1, "a2", 11),   # matched, update (score < 100)
+            (2, "xx", 999),  # matched, delete wins over update
+            (3, "c2", 500),  # matched, neither clause -> untouched
+            (5, "e", 50),    # not matched, insert
+            (6, "f", 5000),  # not matched, insert condition rejects
+        ],
+        "k int, v string, score int",
+    )
+    from pyspark.sql import functions as F
+
+    res = merge_apply(
+        spark,
+        src,
+        target,
+        "k",
+        update_condition=F.col("score") < 100,
+        delete_condition=F.col("v") == "xx",
+        insert_condition=F.col("score") < 1000,
+    )
+    assert (res.inserted, res.updated, res.deleted, res.untouched) == (1, 1, 1, 1)
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        (1, "a2", 11),  # updated
+        (3, "c", 30),   # matched but untouched: ORIGINAL row survives
+        (4, "d", 40),   # unmatched target row survives
+        (5, "e", 50),   # inserted
+    }, got
+
+
+def test_merge_apply_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_ingestion_system_spark.operators.merge import merge_apply
+
+    src = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_apply(spark, src, str(tmp_path / "t2"), "k")
+
+
+def test_merge_apply_bootstrap_missing_target(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.operators.merge import merge_apply
+
+    src = spark.createDataFrame([(1, 5), (2, 5000)], "k int, score int")
+    res = merge_apply(
+        spark, src, str(tmp_path / "t3"), "k",
+        insert_condition=F.col("score") < 1000,
+    )
+    assert (res.inserted, res.updated, res.deleted, res.untouched) == (1, 0, 0, 0)
+    assert spark.read.parquet(str(tmp_path / "t3")).count() == 1
