@@ -164,3 +164,91 @@ def scd2_churn_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_changes")
     )
+
+
+def scd2_apply_segments(
+    spark: SparkSession, scd2_dir: str, new_segments: DataFrame
+) -> dict:
+    """Incrementally maintain a persisted SCD2 table with one new
+    observation day per user: `new_segments` is (user_id, day, segment)
+    — the dominant-segment rows `scd2_user_segments` derives for a
+    single day.
+
+    Semantics (the warehouse-standard Type-2 maintenance):
+      * user unseen before           -> open a new current row
+      * current segment unchanged    -> no-op (the run extends for free;
+        valid_to stays NULL)
+      * current segment changed      -> close the current row
+        (valid_to = day) and open a new current row
+      * day <= current valid_from    -> rejected: history is append-only,
+        late rewrites go through a rebuild, not maintenance
+
+    Implemented as one join of the k-row daily batch against ONLY the
+    is_current slice of the table, then a single atomic swap write —
+    closed history rows are never rewritten row-by-row, and the table
+    is read once. Returns counters {opened, closed, unchanged}.
+    """
+    import os
+
+    from data_ingestion_system_spark.operators.merge import _swap_write
+
+    cols = ["user_id", "segment", "valid_from", "valid_to", "is_current"]
+    new_rows = new_segments.select(
+        "user_id",
+        "segment",
+        F.col("day").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    if not os.path.exists(scd2_dir):
+        opened = new_rows.count()
+        new_rows.select(cols).write.mode("overwrite").parquet(scd2_dir)
+        return {"opened": opened, "closed": 0, "unchanged": 0}
+
+    table = spark.read.parquet(scd2_dir)
+    current = table.filter(F.col("is_current"))
+    batch = new_segments.select(
+        "user_id", F.col("segment").alias("new_segment"), "day"
+    )
+    joined = current.join(batch, "user_id", "full_outer")
+
+    late = joined.filter(
+        F.col("day").isNotNull() & (F.col("day") <= F.col("valid_from"))
+    )
+    if late.limit(1).count():
+        raise ValueError(
+            "scd2_apply_segments: batch day not after current valid_from — "
+            "history is append-only; rebuild instead"
+        )
+
+    changed = F.col("day").isNotNull() & (F.col("new_segment") != F.col("segment"))
+    unchanged = F.col("day").isNotNull() & (F.col("new_segment") == F.col("segment"))
+    fresh = F.col("segment").isNull()  # no current row for this user
+
+    # current rows: close if changed, keep as-is otherwise
+    kept_current = joined.filter(F.col("segment").isNotNull()).select(
+        "user_id",
+        "segment",
+        "valid_from",
+        F.when(changed, F.col("day")).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(changed, F.lit(False)).otherwise(F.col("is_current")).alias("is_current"),
+    )
+    opened_rows = joined.filter(changed | fresh).select(
+        "user_id",
+        F.col("new_segment").alias("segment"),
+        F.col("day").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    n_closed = joined.filter(changed).count()
+    n_opened = joined.filter(changed | fresh).count()
+    n_unchanged = joined.filter(unchanged).count()
+
+    history = table.filter(~F.col("is_current"))
+    merged = (
+        history.select(cols)
+        .unionByName(kept_current.select(cols))
+        .unionByName(opened_rows.select(cols))
+    )
+    _swap_write(merged, scd2_dir)
+    return {"opened": n_opened, "closed": n_closed, "unchanged": n_unchanged}
