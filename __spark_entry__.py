@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = (
     "seasonal_anomaly_flags",
     "rolling_wau",
     "rank_function_profile",
+    "keep_rate_wilson",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -189,3 +189,62 @@ def metric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("metric_a", "metric_b")
+
+
+_Z95 = 1.959963984540054  # two-sided 95% normal quantile
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n,
+         SUM(CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END) AS k
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS kept,
+       {oracle_round("CAST(k AS DOUBLE) / n", 6)} AS p_hat,
+       {oracle_round(
+           f"((CAST(k AS DOUBLE) / n) + {_Z95} * {_Z95} / (2 * n)"
+           f" - {_Z95} * SQRT((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n"
+           f"   + {_Z95} * {_Z95} / (4.0 * n * n)))"
+           f" / (1 + {_Z95} * {_Z95} / n)", 6)} AS wilson_lo,
+       {oracle_round(
+           f"((CAST(k AS DOUBLE) / n) + {_Z95} * {_Z95} / (2 * n)"
+           f" + {_Z95} * SQRT((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n"
+           f"   + {_Z95} * {_Z95} / (4.0 * n * n)))"
+           f" / (1 + {_Z95} * {_Z95} / n)", 6)} AS wilson_hi
+FROM s ORDER BY source
+"""
+
+
+@query("keep_rate_wilson", oracle=_WILSON_ORACLE, survey="EXT-monitoring,A16")
+def keep_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep rate (docs with >= 50 whitespace tokens) with the
+    95% Wilson score interval — the uncertainty band a data card should
+    print next to every rate, and the statistically-honest comparison
+    between a 300-doc source and a 30k-doc one (the Wald interval the
+    naive +/-1.96*sqrt(pq/n) gives collapses or overshoots at small n
+    and extreme p; Wilson stays inside [0,1] and centers correctly).
+
+    Both engines derive (n, k) as exact BIGINTs and evaluate the same
+    closed-form ratio; the interval is the only float."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.size(F.split(F.col("text"), " ")) >= 50, 1).otherwise(0)
+        ).alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    z2 = _Z95 * _Z95
+    denom = 1 + z2 / n
+    center = p + z2 / (2 * n)
+    half = F.lit(_Z95) * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    return s.select(
+        "source",
+        n.cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("kept"),
+        round_port(p, 6).alias("p_hat"),
+        round_port((center - half) / denom, 6).alias("wilson_lo"),
+        round_port((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")
