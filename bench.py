@@ -63,6 +63,13 @@ HEADLINE = [
     # the remaining dedup modality — and the islands streak window
     "substring_dup_profile",
     "gap_islands",
+    # round-3 late additions 2: the warehouse tier — blocked-Levenshtein
+    # linkage (block-join + edit distance), SCD2 interval build (the
+    # three-window chain over events), and rolling 7-day distinct users
+    # (explode-to-equi-join trailing window)
+    "fuzzy_linkage_pairs",
+    "scd2_user_segments",
+    "rolling_wau",
 ]
 
 REPS = 3  # median-of-3 per query
