@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = (
     "rolling_wau",
     "rank_function_profile",
     "keep_rate_wilson",
+    "join_cardinality_profile",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -370,3 +370,76 @@ def orphan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orphan_labels"))
         .orderBy("item_id")
     )
+
+
+_EDGES = (
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _edge_sql(child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}->{parent}' AS edge,
+       CAST((SELECT COUNT(DISTINCT {ck}) FROM {child}) AS BIGINT) AS child_keys,
+       CAST((SELECT COUNT(DISTINCT {pk}) FROM {parent}) AS BIGINT) AS parent_keys,
+       CAST(SUM(c.n * p.n) AS BIGINT) AS exact_join_rows,
+       CAST(MAX(c.n * p.n) AS BIGINT) AS max_key_contribution
+FROM (SELECT {ck} AS k, COUNT(*) AS n FROM {child} GROUP BY {ck}) c
+JOIN (SELECT {pk} AS k, COUNT(*) AS n FROM {parent} GROUP BY {pk}) p USING (k)
+"""
+
+
+_CARDINALITY_ORACLE = (
+    "\nUNION ALL\n".join(_edge_sql(*e) for e in _EDGES) + "\nORDER BY edge"
+)
+
+
+@query("join_cardinality_profile", oracle=_CARDINALITY_ORACLE, survey="EXT-integrity,J1")
+def join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing for the FK edges: the EXACT output
+    cardinality of each equi-join computed from per-key counts
+    (sum over shared keys of n_child x n_parent) without running the
+    join — plus the single hottest key's contribution, the number that
+    predicts shuffle skew before it happens. At 100 TB this is the
+    estimate you check before choosing broadcast vs shuffle vs salting
+    (the `join_key_skew_profile` query diagnoses one side's
+    concentration; this one prices the join itself). Both inputs
+    collapse to (key, count) aggregates, so the sizing join is
+    aggregate-on-aggregate — never row x row."""
+    frames = []
+    for child, ck, parent, pk in _EDGES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count("*").alias("cn"))
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .groupBy(F.col(pk).alias("k"))
+            .agg(F.count("*").alias("pn"))
+        )
+        contrib = F.col("cn") * F.col("pn")
+        frames.append(
+            c.join(p, "k").agg(
+                F.lit(f"{child}->{parent}").alias("edge"),
+                F.sum(contrib).cast("bigint").alias("exact_join_rows"),
+                F.max(contrib).cast("bigint").alias("max_key_contribution"),
+            ).crossJoin(
+                c.agg(F.count("*").cast("bigint").alias("child_keys"))
+            ).crossJoin(
+                p.agg(F.count("*").cast("bigint").alias("parent_keys"))
+            ).select(
+                "edge",
+                "child_keys",
+                "parent_keys",
+                "exact_join_rows",
+                "max_key_contribution",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("edge")
