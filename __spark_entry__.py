@@ -133,6 +133,8 @@ _DRIVER_PRIORITY = (
     "rank_function_profile",
     "keep_rate_wilson",
     "join_cardinality_profile",
+    "event_transition_matrix",
+    "interarrival_burstiness",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -348,3 +348,127 @@ def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.round(stick * 1000000.0) / 1000000.0).alias("stickiness"),
     ).orderBy("day")
+
+
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), margins AS (
+  SELECT from_type, SUM(n) AS m FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       ROUND(CAST(p.n AS DOUBLE) / m.m * 1000000.0) / 1000000.0 AS p_next
+FROM pairs p JOIN margins m USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE, survey="EXT-temporal,A6")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys: P(next event type | current), from adjacent pairs in
+    (ts, event_id) order — the journey model behind next-step
+    prediction and funnel-leak diagnosis (`common_event_paths` mines
+    the top trigrams; this is the full one-step kernel).
+
+    Scale shape: one window pass partitioned by user_id (the tie-broken
+    total order makes adjacency deterministic), then a type x type
+    aggregate — the matrix is |types|^2 regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_m = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint"),
+            (F.round(F.col("n").cast("double") / F.sum("n").over(w_m) * 1000000.0)
+             / 1000000.0).alias("p_next"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_BURSTINESS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         SUM(gap_s) AS s1, SUM(gap_s * gap_s) AS s2
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 5
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(CAST(s1 AS DOUBLE) / n_gaps) * 1000000.0) / 1000000.0
+         AS mean_gap_s,
+       ROUND(AVG((SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                  - CAST(s1 AS DOUBLE) / n_gaps)
+                 / (SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                    + CAST(s1 AS DOUBLE) / n_gaps)) * 1000000.0) / 1000000.0
+         AS mean_burstiness,
+       CAST(SUM(CASE WHEN SQRT(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                          > CAST(s1 AS DOUBLE) / n_gaps
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bursty_users
+FROM per_user
+"""
+
+
+@query("interarrival_burstiness", oracle=_BURSTINESS_ORACLE, survey="EXT-temporal,A17")
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness profile (Goh-Barabási B = (σ−μ)/(σ+μ)
+    over per-user event gaps, users with ≥5 gaps): B→−1 is metronome
+    traffic (bots), B≈0 Poisson, B→+1 bursty humans — the traffic-shape
+    signal rate thresholds miss. Per-user σ and μ come from exact
+    BIGINT second-gap moment sums; B is the only float.
+
+    Scale shape: one lag window per user (key-parallel), then per-user
+    3-sum aggregates and a constant-width global rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sigma = (
+        F.sqrt((F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        / F.col("n_gaps")
+    )
+    b = (sigma - mu) / (sigma + mu)
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        (F.round(F.avg(mu) * 1000000.0) / 1000000.0).alias("mean_gap_s"),
+        (F.round(F.avg(b) * 1000000.0) / 1000000.0).alias("mean_burstiness"),
+        F.sum(F.when(sigma > mu, 1).otherwise(0)).cast("bigint").alias("bursty_users"),
+    )
