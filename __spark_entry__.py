@@ -135,6 +135,8 @@ _DRIVER_PRIORITY = (
     "join_cardinality_profile",
     "event_transition_matrix",
     "interarrival_burstiness",
+    "histogram_2d",
+    "user_entropy_profile",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

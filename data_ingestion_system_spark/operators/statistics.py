@@ -737,3 +737,112 @@ def weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_HIST2D_BINS = 8
+_HIST2D_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(l_extendedprice) AS plo, MAX(l_extendedprice) AS phi,
+         MIN(l_quantity) AS qlo, MAX(l_quantity) AS qhi
+  FROM lineitem
+), g AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - b.plo) / ((b.phi - b.plo) / {_HIST2D_BINS}))
+                    AS INTEGER), {_HIST2D_BINS - 1}) AS price_bin,
+         LEAST(CAST(FLOOR((l_quantity - b.qlo) / ((b.qhi - b.qlo) / {_HIST2D_BINS}))
+                    AS INTEGER), {_HIST2D_BINS - 1}) AS qty_bin
+  FROM lineitem, b
+)
+SELECT price_bin, qty_bin, COUNT(*) AS n
+FROM g GROUP BY price_bin, qty_bin
+ORDER BY price_bin, qty_bin
+"""
+
+
+@query("histogram_2d", oracle=_HIST2D_ORACLE, survey="A11")
+def histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid 2-D density of (price, quantity): the joint-
+    distribution heat grid the two 1-D histograms can't show (a
+    correlation hides in the diagonal). 8x8 equal-width bins from the
+    global min/max (broadcast, one extra scan-free aggregate); the top
+    edge folds into the last bin. Bin math is the same IEEE expression
+    in both engines, so assignment is hash-stable.
+
+    Scale shape: min/max aggregate + one binned groupBy — two corpus
+    passes, 64-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+    )
+    nb = F.lit(_HIST2D_BINS)
+    pbin = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("plo"))
+                / ((F.col("phi") - F.col("plo")) / nb)).cast("int"),
+        F.lit(_HIST2D_BINS - 1),
+    )
+    qbin = F.least(
+        F.floor((F.col("l_quantity") - F.col("qlo"))
+                / ((F.col("qhi") - F.col("qlo")) / nb)).cast("int"),
+        F.lit(_HIST2D_BINS - 1),
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(pbin.alias("price_bin"), qbin.alias("qty_bin"))
+        .groupBy("price_bin", "qty_bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("price_bin", "qty_bin")
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  GROUP BY user_id, event_type
+), u AS (
+  SELECT user_id, SUM(n) AS tot,
+         COUNT(*) AS n_types,
+         SUM(n * ln(CAST(n AS DOUBLE))) AS s_nlogn
+  FROM ut GROUP BY user_id
+), h AS (
+  SELECT user_id, n_types,
+         ln(CAST(tot AS DOUBLE)) - s_nlogn / tot AS entropy
+  FROM u
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(entropy) * 1000000.0) / 1000000.0 AS mean_entropy,
+       ROUND(MAX(entropy) * 1000000.0) / 1000000.0 AS max_entropy
+FROM h GROUP BY n_types ORDER BY n_types
+"""
+
+
+@query("user_entropy_profile", oracle=_ENTROPY_ORACLE, survey="A6,EXT-temporal")
+def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-diversity profile: Shannon entropy of each user's
+    event-type distribution (H = ln(tot) − Σ n·ln(n)/tot — one log per
+    distinct type, never per event), rolled up by how many types the
+    user touches. Monoculture users (H=0) vs explorers (H→ln k): the
+    segmentation axis raw counts can't see.
+
+    Scale shape: (user, type) counts → per-user 3-sum aggregate →
+    |types|-row rollup; the entropy identity keeps everything
+    map-side-combinable (no per-user probability vectors)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    u = ut.groupBy("user_id").agg(
+        F.sum("n").alias("tot"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("s_nlogn"),
+    )
+    entropy = F.log(F.col("tot").cast("double")) - F.col("s_nlogn") / F.col("tot")
+    return (
+        u.groupBy(F.col("n_types").cast("bigint").alias("n_types"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            (F.round(F.avg(entropy) * 1000000.0) / 1000000.0).alias("mean_entropy"),
+            (F.round(F.max(entropy) * 1000000.0) / 1000000.0).alias("max_entropy"),
+        )
+        .orderBy("n_types")
+    )
