@@ -137,6 +137,8 @@ _DRIVER_PRIORITY = (
     "interarrival_burstiness",
     "histogram_2d",
     "user_entropy_profile",
+    "neyman_allocation",
+    "vocab_chao1_estimate",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -386,3 +386,70 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag AS stratum,
+         COUNT(*) AS nh,
+         SUM(l_quantity) AS s1,
+         SUM(l_quantity * l_quantity) AS s2
+  FROM lineitem GROUP BY l_returnflag
+), w AS (
+  -- N_h * sigma_h with sigma_h = sqrt(nh*s2 - s1^2)/nh: the nh cancels
+  SELECT stratum, nh,
+         SQRT(CAST(nh * s2 - s1 * s1 AS DOUBLE)) AS weight
+  FROM s
+), t AS (
+  SELECT SUM(weight) AS total_w FROM w
+)
+SELECT w.stratum,
+       CAST(w.nh AS BIGINT) AS stratum_size,
+       ROUND(w.weight / t.total_w * 1000000.0) / 1000000.0 AS alloc_share,
+       CAST(FLOOR({NEYMAN_BUDGET} * w.weight / t.total_w) AS BIGINT)
+         AS alloc_samples
+FROM w, t
+ORDER BY w.stratum
+"""
+
+
+@query("neyman_allocation", oracle=_NEYMAN_ORACLE, survey="M1,A20")
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: stratum shares
+    proportional to N_h * sigma_h (size x spread), minimizing the
+    variance of the stratified mean at a fixed budget — the
+    statistically-optimal upgrade over `stratified_tiered_sample`'s
+    fixed tiers. sigma_h comes from exact BIGINT quantity moments per
+    stratum (N_h * sqrt(N_h*s2 - s1^2) / N_h keeps the population-sd
+    algebra identical in both engines); floor() of the budget share
+    gives the integer per-stratum sample count.
+
+    Scale shape: one grouped-moments pass plus constant-size
+    arithmetic — allocation for any corpus costs one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count("*").alias("nh"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+    )
+    # N_h * sigma_h with sigma_h = sqrt(nh*s2 - s1^2)/nh: the nh cancels
+    weight = F.sqrt(
+        (F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    w = s.select("stratum", "nh", weight.alias("weight"))
+    t = w.agg(F.sum("weight").alias("total_w"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "stratum",
+            F.col("nh").cast("bigint").alias("stratum_size"),
+            (F.round(F.col("weight") / F.col("total_w") * 1000000.0) / 1000000.0)
+            .alias("alloc_share"),
+            F.floor(NEYMAN_BUDGET * F.col("weight") / F.col("total_w"))
+            .cast("bigint")
+            .alias("alloc_samples"),
+        )
+        .orderBy("stratum")
+    )

@@ -314,3 +314,65 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_CHAO_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+), f AS (
+  SELECT COUNT(*) AS v,
+         SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+         SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2,
+         SUM(n) AS total_tokens
+  FROM tf
+)
+SELECT CAST(v AS BIGINT) AS observed_vocab,
+       CAST(f1 AS BIGINT) AS singletons,
+       CAST(f2 AS BIGINT) AS doubletons,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       ROUND((v + CAST(f1 * f1 AS DOUBLE) / (2 * NULLIF(f2, 0)))
+             * 1000000.0) / 1000000.0 AS chao1_estimate,
+       ROUND(CAST(f1 AS DOUBLE) / v * 1000000.0) / 1000000.0 AS singleton_rate
+FROM f
+"""
+
+
+@query("vocab_chao1_estimate", oracle=_CHAO_ORACLE, survey="EXT-text,A5")
+def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate: V + f1^2/(2*f2) from the
+    singleton/doubleton frequencies-of-frequencies — how much
+    vocabulary the corpus HASN'T seen yet, the coverage answer
+    `vocab_coverage`'s top-K curve can't give (that ranks what was
+    observed; this extrapolates what wasn't). A high singleton rate
+    says sampling more data will keep growing the vocabulary — the
+    tokenizer-budget early-warning.
+
+    Scale shape: token explode -> (token, count) -> a 4-sum
+    frequency-of-frequencies aggregate; the estimate is one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        fan_out(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    f = tf.agg(
+        F.count("*").alias("v"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("f2"),
+        F.sum("n").alias("total_tokens"),
+    )
+    chao1 = F.col("v") + (F.col("f1") * F.col("f1")).cast("double") / (
+        2 * F.nullif(F.col("f2"), F.lit(0))
+    )
+    return f.select(
+        F.col("v").cast("bigint").alias("observed_vocab"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        F.col("total_tokens").cast("bigint"),
+        (F.round(chao1 * 1000000.0) / 1000000.0).alias("chao1_estimate"),
+        (F.round(F.col("f1").cast("double") / F.col("v") * 1000000.0) / 1000000.0)
+        .alias("singleton_rate"),
+    )
