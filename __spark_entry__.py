@@ -139,6 +139,7 @@ _DRIVER_PRIORITY = (
     "user_entropy_profile",
     "neyman_allocation",
     "vocab_chao1_estimate",
+    "source_vocab_jaccard",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -376,3 +376,79 @@ def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("f1").cast("double") / F.col("v") * 1000000.0) / 1000000.0)
         .alias("singleton_rate"),
     )
+
+
+_SOURCE_JACCARD_ORACLE = """
+WITH st AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  ) t
+), sizes AS (
+  SELECT source, COUNT(*) AS v FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       CAST(sa.v AS BIGINT) AS vocab_a,
+       CAST(sb.v AS BIGINT) AS vocab_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       ROUND(CAST(i.n_common AS DOUBLE) / (sa.v + sb.v - i.n_common)
+             * 1000000.0) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_vocab_jaccard", oracle=_SOURCE_JACCARD_ORACLE, survey="EXT-text,EXT-monitoring")
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: which sources speak
+    the same language (literally) and which bring genuinely new tokens —
+    the composition map read before setting mixture weights, next to
+    `token_kl_drift`'s per-source divergence (KL measures frequency
+    shift on shared vocabulary; this measures the vocabulary sets
+    themselves).
+
+    Scale shape: the corpus collapses to DISTINCT (source, token) —
+    vocabulary-sized — once; the pair join is vocab x sources keyed on
+    token, and the output is |sources| choose 2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        fan_out(docs, "doc_id")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("v"))
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        st.select(F.col("source").alias("source_a"), "token")
+        .join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("bigint"),
+            F.col("vocab_b").cast("bigint"),
+            F.col("n_common").cast("bigint"),
+            (
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
