@@ -436,3 +436,76 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+_SIG_MATCH = " + ".join(
+    f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+_EST_ERROR_ORACLE = f"""
+WITH {PAIR_CTES},
+est AS (
+  SELECT j.doc_a, j.doc_b, j.jac,
+         CAST({_SIG_MATCH} AS DOUBLE) / {N_HASHES} AS est_jac
+  FROM jacs j
+  JOIN sigs sa ON sa.doc_id = j.doc_a
+  JOIN sigs sb ON sb.doc_id = j.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jac) * 1000000.0) / 1000000.0 AS mean_exact,
+       ROUND(AVG(est_jac) * 1000000.0) / 1000000.0 AS mean_estimate,
+       ROUND(AVG(ABS(est_jac - jac)) * 1000000.0) / 1000000.0 AS mean_abs_err,
+       ROUND(MAX(ABS(est_jac - jac)) * 1000000.0) / 1000000.0 AS max_abs_err,
+       CAST(SUM(CASE WHEN est_jac >= {JACCARD_THRESHOLD} AND jac < {JACCARD_THRESHOLD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS would_false_accept,
+       CAST(SUM(CASE WHEN est_jac < {JACCARD_THRESHOLD} AND jac >= {JACCARD_THRESHOLD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS would_false_reject
+FROM est
+"""
+
+
+@query("minhash_estimation_error", oracle=_EST_ERROR_ORACLE, survey="EXT-dedup,A15")
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the sketch: over every LSH candidate pair, the 8-hash
+    signature-agreement estimate of Jaccard vs the exact value — mean/
+    max absolute error plus the pairs a sketch-only threshold would
+    false-accept or false-reject. This is the audit that justifies (or
+    rejects) skipping exact verification at 100 TB: if
+    would_false_accept stays 0 at your threshold, the verify pass can
+    be sampled instead of exhaustive.
+
+    Scale shape: everything downstream of the existing candidate
+    generation — signatures join back per candidate pair (pair-sized),
+    one aggregate row out."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = token_sets(docs)
+    sigs = minhash_signatures(tokens)
+    cand = candidate_pairs(band_keys(sigs))
+    exact = verified_pairs(tokens, cand, 0.0)  # all candidates, unfiltered
+    matches = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        exact.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "jac",
+            (matches.cast("double") / N_HASHES).alias("est_jac"),
+        )
+    )
+    thr = JACCARD_THRESHOLD
+    err = F.abs(F.col("est_jac") - F.col("jac"))
+    return est.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        round_port(F.avg("jac"), 6).alias("mean_exact"),
+        round_port(F.avg("est_jac"), 6).alias("mean_estimate"),
+        round_port(F.avg(err), 6).alias("mean_abs_err"),
+        round_port(F.max(err), 6).alias("max_abs_err"),
+        F.sum(
+            F.when((F.col("est_jac") >= thr) & (F.col("jac") < thr), 1).otherwise(0)
+        ).cast("bigint").alias("would_false_accept"),
+        F.sum(
+            F.when((F.col("est_jac") < thr) & (F.col("jac") >= thr), 1).otherwise(0)
+        ).cast("bigint").alias("would_false_reject"),
+    )
