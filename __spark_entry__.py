@@ -141,6 +141,7 @@ _DRIVER_PRIORITY = (
     "vocab_chao1_estimate",
     "source_vocab_jaccard",
     "minhash_estimation_error",
+    "session_bounce_stats",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -300,3 +300,79 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_k")
     )
+
+
+_BOUNCE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts)
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, CAST(ts AS DATE) AS start_day, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id,
+         MIN(start_day) AS day, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*) * 1000000.0) / 1000000.0 AS bounce_rate,
+       ROUND(AVG(CAST(n_events AS DOUBLE)) * 1000000.0) / 1000000.0
+         AS avg_session_events
+FROM per_session GROUP BY day ORDER BY day
+"""
+
+
+@query("session_bounce_stats", oracle=_BOUNCE_ORACLE, survey="EXT-temporal,A2")
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over gap-based sessions (30-min inactivity): a
+    bounce is a single-event session, attributed to the day the session
+    STARTED — the engagement-health headline next to raw volume
+    (volume can grow while every new session bounces).
+
+    Scale shape: the same one-shuffle-per-user session assignment as
+    `sessionization`, then two aggregations — per-session, then
+    per-day; nothing is ever wider than the session table."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > SESSION_GAP_MIN * 60)
+    ).cast("int")
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("start_day"),
+        new_session.alias("new_session"),
+    ).withColumn("session_id", F.sum("new_session").over(wsum))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("start_day").alias("day"), F.count("*").alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            (F.round(bounce * 1.0 / F.count("*") * 1000000.0) / 1000000.0)
+            .alias("bounce_rate"),
+            (F.round(F.avg(F.col("n_events").cast("double")) * 1000000.0) / 1000000.0)
+            .alias("avg_session_events"),
+        )
+        .orderBy("day")
+    )

@@ -396,3 +396,23 @@ def test_rolling_wau_window_is_equi_join(spark, sf_dir):
     plan = simple_plan_str(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_histogram_2d_bounds_broadcast(spark, sf_dir):
+    """The min/max bounds row is 1-row — the bin-assignment scan joins
+    it broadcast; the binned groupBy must map-side combine."""
+    df = REGISTRY["histogram_2d"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_partial_aggregation(df)
+
+
+def test_source_vocab_jaccard_joins_on_token(spark, sf_dir):
+    """The pair stage must be a token-keyed join of the DISTINCT
+    (source, token) relation with itself — never a cartesian of
+    vocabularies; size lookups broadcast."""
+    df = REGISTRY["source_vocab_jaccard"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "token" in plan
+    assert count_broadcast_joins(df) >= 2
