@@ -142,6 +142,7 @@ _DRIVER_PRIORITY = (
     "source_vocab_jaccard",
     "minhash_estimation_error",
     "session_bounce_stats",
+    "readability_by_source",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

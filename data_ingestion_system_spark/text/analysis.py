@@ -188,3 +188,73 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("fingerprint").cast("double") / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+_READABILITY_ORACLE = """
+WITH m AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT)
+           AS sentences,
+         CAST(GREATEST(len(regexp_extract_all(LOWER(text), '[aeiouy]+', 0)), 1)
+              AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(words AS DOUBLE) / sentences) * 1000000.0) / 1000000.0
+         AS mean_words_per_sentence,
+       ROUND(AVG(CAST(syllables AS DOUBLE) / words) * 1000000.0) / 1000000.0
+         AS mean_syllables_per_word,
+       ROUND(AVG(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words))
+             * 1000000.0) / 1000000.0 AS mean_flesch
+FROM m GROUP BY source ORDER BY source
+"""
+
+
+@query("readability_by_source", oracle=_READABILITY_ORACLE, survey="EXT-text,P9")
+def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source (vowel-group syllable
+    heuristic, [.!?]+ sentence split, both floored at 1 so empty-ish
+    docs stay defined): the complexity axis next to the length/
+    repetition quality signals — a source whose Flesch collapses is
+    boilerplate or machine-generated, not prose. The heuristic syllable
+    counter is the standard no-dictionary approximation; every count is
+    a JVM-side regex, no UDFs.
+
+    Scale shape: three regex counts per document in one scan, then a
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    syllables = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    m = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables").cast("double") / F.col("words")
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.round(F.avg(wps) * 1000000.0) / 1000000.0).alias(
+                "mean_words_per_sentence"
+            ),
+            (F.round(F.avg(spw) * 1000000.0) / 1000000.0).alias(
+                "mean_syllables_per_word"
+            ),
+            (
+                F.round(F.avg(206.835 - 1.015 * wps - 84.6 * spw) * 1000000.0)
+                / 1000000.0
+            ).alias("mean_flesch"),
+        )
+        .orderBy("source")
+    )
