@@ -143,6 +143,7 @@ _DRIVER_PRIORITY = (
     "minhash_estimation_error",
     "session_bounce_stats",
     "readability_by_source",
+    "revenue_rollup_nation_year",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

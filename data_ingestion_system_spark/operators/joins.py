@@ -273,3 +273,77 @@ def context_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(25)
     )
+
+
+_REVENUE_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+         l.l_extendedprice * (1 - l.l_discount) AS revenue
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+)
+SELECT region, nation, order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(revenue) * 100.0) / 100.0 AS revenue,
+       CAST(GROUPING(nation) AS INTEGER) AS g_nation,
+       CAST(GROUPING(order_year) AS INTEGER) AS g_year
+FROM base
+GROUP BY ROLLUP (region, nation, order_year)
+HAVING GROUPING(region) = 0
+ORDER BY region, g_nation, nation NULLS FIRST, g_year, order_year NULLS FIRST
+"""
+
+
+@query("revenue_rollup_nation_year", oracle=_REVENUE_ROLLUP_ORACLE, survey="J2,A2,A6-cube")
+def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table revenue ROLLUP region -> nation -> year: the widest
+    relational shape in the catalog (fact x 4 dims, all dims broadcast)
+    with hierarchy subtotals from ONE pass — year rows, nation
+    subtotals, region totals, GROUPING() flags separating levels.
+    Revenue sums are rounded at cents (the discount product is the only
+    float; its per-level sums agree across engines at 1e-2 because each
+    leaf value is an exact-decimal-times-discount double).
+
+    Scale shape: lineitem shuffles once for the rollup aggregate;
+    orders joins on the fact key and customer/nation/region broadcast —
+    asserted in the plan suite for the 4-way twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+    out = (
+        base.rollup("region", "nation", "order_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            (F.round(F.sum("revenue") * 100.0) / 100.0).alias("revenue"),
+            F.grouping("nation").cast("int").alias("g_nation"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+        )
+        .filter(F.grouping("region") == 0)
+    )
+    return out.select(
+        "region", "nation", "order_year", "n_items", "revenue", "g_nation", "g_year"
+    ).orderBy(
+        "region",
+        "g_nation",
+        F.col("nation").asc_nulls_first(),
+        "g_year",
+        F.col("order_year").asc_nulls_first(),
+    )
