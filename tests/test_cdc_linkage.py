@@ -4,10 +4,13 @@ known-pair recall / blocking behavior for edit-distance linkage."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+from conftest import assert_df_matches_oracle
 
 
 def _collapse(feed):
@@ -148,3 +151,39 @@ def test_cdc_collapse_matches_python_replay(spark, rows):
     )
     got = {tuple(r) for r in _collapse(feed).collect()}
     assert got == expected, (got, expected)
+
+
+@pytest.mark.parametrize("cap,max_dist", [(4, 2), (16, 5), (256, 12)])
+def test_linkage_param_family_matches_oracle(spark, duck, sf_dir, cap, max_dist, monkeypatch):
+    """The linkage query is a parameter FAMILY (block cap, distance
+    threshold); the registered query pins one point. Sweep other points
+    and regenerate the SQL for each — ∀ params, Spark(params) ≡
+    SQL(params), the same differential property the dynamic-filter
+    family gets in test_property_fuzz."""
+    from data_ingestion_system_spark.operators import linkage
+
+    monkeypatch.setattr(linkage, "BLOCK_CAP", cap)
+    monkeypatch.setattr(linkage, "MAX_DIST", max_dist)
+    df = linkage.fuzzy_linkage_pairs(spark, sf_dir)
+    sql = f"""
+WITH keyed AS ({linkage._KEYED_SQL}),
+blocks AS (
+  SELECT lang, block_key FROM keyed
+  GROUP BY lang, block_key
+  HAVING COUNT(*) BETWEEN 2 AND {cap}
+),
+pairs AS (
+  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.link_key, b.link_key) AS edit_dist
+  FROM keyed a
+  JOIN keyed b ON a.lang = b.lang AND a.block_key = b.block_key
+              AND a.doc_id < b.doc_id
+  JOIN blocks bl ON bl.lang = a.lang AND bl.block_key = a.block_key
+)
+SELECT lang, CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(edit_dist AS BIGINT) AS edit_dist
+FROM pairs WHERE edit_dist <= {max_dist}
+ORDER BY edit_dist, doc_a, doc_b
+LIMIT 200
+"""
+    assert_df_matches_oracle(df, duck, sql)
