@@ -144,6 +144,7 @@ _DRIVER_PRIORITY = (
     "session_bounce_stats",
     "readability_by_source",
     "revenue_rollup_nation_year",
+    "linkage_entities",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -180,3 +180,86 @@ def linkage_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_LINK_CLUSTER_ORACLE = f"""
+WITH RECURSIVE keyed AS ({_KEYED_SQL}),
+blocks AS (
+  SELECT lang, block_key FROM keyed
+  GROUP BY lang, block_key
+  HAVING COUNT(*) BETWEEN 2 AND {BLOCK_CAP}
+),
+linked AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a
+  JOIN keyed b ON a.lang = b.lang AND a.block_key = b.block_key
+              AND a.doc_id < b.doc_id
+  JOIN blocks bl ON bl.lang = a.lang AND bl.block_key = a.block_key
+  WHERE levenshtein(a.link_key, b.link_key) <= {MAX_DIST}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM linked
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM linked
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), walk(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.doc_id
+), comp AS (
+  SELECT doc_id, MIN(label) AS entity_id FROM walk GROUP BY doc_id
+), csizes AS (
+  SELECT entity_id, COUNT(*) AS entity_size FROM comp GROUP BY entity_id
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.entity_id AS BIGINT) AS entity_id,
+       CAST(s.entity_size AS BIGINT) AS entity_size,
+       c.doc_id = c.entity_id AS is_canonical
+FROM comp c JOIN csizes s USING (entity_id)
+ORDER BY c.doc_id
+"""
+
+
+@query("linkage_entities", oracle=_LINK_CLUSTER_ORACLE, survey="EXT-dedup,A15")
+def linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: transitive closure of the edit-distance link
+    graph — A~B and B~C merge into one entity even when A and C differ
+    by more than the threshold (the chaining behavior that makes record
+    linkage RESOLUTION, not just pair matching). min-doc_id is the
+    canonical record; reuses the distributed min-label-propagation of
+    dedup/clusters.py, so the iteration cost bounds match the MinHash
+    cluster query's."""
+    from data_ingestion_system_spark.dedup.clusters import connected_components
+
+    keyed = _keyed(spark, sf_dir)
+    blocks = (
+        keyed.groupBy("lang", "block_key")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= BLOCK_CAP))
+        .drop("count")
+    )
+    a = keyed.join(blocks, ["lang", "block_key"])
+    b = a.select(
+        "lang",
+        "block_key",
+        F.col("doc_id").alias("doc_b"),
+        F.col("link_key").alias("key_b"),
+    )
+    pairs = (
+        a.join(b, ["lang", "block_key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .filter(F.levenshtein(F.col("link_key"), F.col("key_b")) <= MAX_DIST)
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("entity_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.col("cluster_id").cast("bigint").alias("entity_id"),
+            F.col("entity_size").cast("bigint"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
