@@ -145,6 +145,9 @@ _DRIVER_PRIORITY = (
     "readability_by_source",
     "revenue_rollup_nation_year",
     "linkage_entities",
+    "daily_growth_rates",
+    "new_user_share",
+    "funnel_time_to_convert",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -376,3 +376,72 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), d AS (
+  SELECT date_diff('second', v.t_view, p.t_purchase) / 60.0 AS minutes
+  FROM p JOIN v USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       ROUND(quantile_cont(minutes, 0.25) * 1000000.0) / 1000000.0 AS p25_min,
+       ROUND(quantile_cont(minutes, 0.50) * 1000000.0) / 1000000.0 AS p50_min,
+       ROUND(quantile_cont(minutes, 0.90) * 1000000.0) / 1000000.0 AS p90_min,
+       ROUND(AVG(minutes) * 1000000.0) / 1000000.0 AS mean_min
+FROM d
+"""
+
+
+@query("funnel_time_to_convert", oracle=_TTC_ORACLE, survey="EXT-temporal,A10")
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long conversion takes, not just whether it happens: exact
+    p25/p50/p90 and mean minutes from first view to first subsequent
+    purchase among converters — the latency companion to
+    `funnel_conversion`'s rate. Durations are exact second diffs
+    scaled to minutes; percentiles use the same exact-interpolation
+    aggregate as `exact_percentiles` (the converter set is
+    user-bounded, far below the sketch-refine cutover).
+
+    Scale shape: two conditional-MIN per-user aggregates joined on
+    user_id; the percentile buffer holds one value per converter."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = p.join(v, "user_id").select(
+        (
+            (
+                F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+            ).cast("double")
+            / 60.0
+        ).alias("minutes")
+    )
+    pcts = d.agg(
+        F.count("*").cast("bigint").alias("n_converters"),
+        F.expr("percentile(minutes, array(0.25, 0.50, 0.90))").alias("ps"),
+        (F.round(F.avg("minutes") * 1000000.0) / 1000000.0).alias("mean_min"),
+    )
+    return pcts.select(
+        "n_converters",
+        (F.round(F.col("ps")[0] * 1000000.0) / 1000000.0).alias("p25_min"),
+        (F.round(F.col("ps")[1] * 1000000.0) / 1000000.0).alias("p50_min"),
+        (F.round(F.col("ps")[2] * 1000000.0) / 1000000.0).alias("p90_min"),
+        "mean_min",
+    )

@@ -160,3 +160,107 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_GROWTH_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '{EPOCH_DAY}', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, CAST(x AS BIGINT) AS day_offset, CAST(y AS BIGINT) AS n,
+       {oracle_round(
+           "CASE WHEN LAG(y, 1) OVER w IS NOT NULL"
+           " THEN CAST(y - LAG(y, 1) OVER w AS DOUBLE) / LAG(y, 1) OVER w END", 6)}
+         AS dod_growth,
+       {oracle_round(
+           "CASE WHEN LAG(y, 7) OVER w IS NOT NULL"
+           " THEN CAST(y - LAG(y, 7) OVER w AS DOUBLE) / LAG(y, 7) OVER w END", 6)}
+         AS wow_growth
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY x)
+ORDER BY event_type, x
+"""
+
+
+@query("daily_growth_rates", oracle=_GROWTH_ORACLE, survey="EXT-monitoring,A17")
+def daily_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week growth per event type — the two
+    deltas a volume dashboard headlines (`daily_trend_slopes` fits the
+    long-run line; these are the short-horizon derivatives). LAG(7) is
+    offset-based, so a calendar gap shows as NULL rather than silently
+    comparing to the wrong week.
+
+    Scale shape: one daily aggregate, two lags in one window frame."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    lag1 = F.lag("y", 1).over(w)
+    lag7 = F.lag("y", 7).over(w)
+    return (
+        daily.select(
+            "event_type",
+            F.col("x").cast("bigint").alias("day_offset"),
+            F.col("y").cast("bigint").alias("n"),
+            round_port((F.col("y") - lag1).cast("double") / lag1, 6).alias(
+                "dod_growth"
+            ),
+            round_port((F.col("y") - lag7).cast("double") / lag7, 6).alias(
+                "wow_growth"
+            ),
+        )
+        .orderBy("event_type", "day_offset")
+    )
+
+
+_NEW_USER_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), daily AS (
+  SELECT CAST(e.ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END)
+           AS events_from_new,
+         COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                             THEN e.user_id END) AS n_new_users
+  FROM events e JOIN first_seen f USING (user_id)
+  GROUP BY CAST(e.ts AS DATE)
+)
+SELECT day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_new_users AS BIGINT) AS n_new_users,
+       ROUND(CAST(events_from_new AS DOUBLE) / n_events * 1000000.0) / 1000000.0
+         AS new_user_event_share
+FROM daily ORDER BY day
+"""
+
+
+@query("new_user_share", oracle=_NEW_USER_ORACLE, survey="EXT-monitoring,A2")
+def new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day cold-start profile: users seen for the first time and the
+    share of the day's events they generate — a growth/bot dashboard
+    split (`cohort_retention` tracks them after; this is day zero).
+
+    Scale shape: first-seen is one groupBy(user) aggregate joined back
+    on user_id; everything after is a daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    joined = ev.join(first_seen, "user_id").select(
+        F.to_date("ts").alias("day"),
+        "user_id",
+        (F.to_date("ts") == F.col("first_day")).alias("is_new"),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct(F.when(F.col("is_new"), F.col("user_id")))
+            .cast("bigint")
+            .alias("n_new_users"),
+            round_port(
+                F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("new_user_event_share"),
+        )
+        .orderBy("day")
+    )
