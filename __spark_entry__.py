@@ -148,6 +148,8 @@ _DRIVER_PRIORITY = (
     "daily_growth_rates",
     "new_user_share",
     "funnel_time_to_convert",
+    "brand_revenue_share",
+    "supplier_concentration_hhi",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -13,7 +13,7 @@ lookups (db_manager.py:674-691). Spark-first mapping:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
@@ -346,4 +346,118 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nation").asc_nulls_first(),
         "g_year",
         F.col("order_year").asc_nulls_first(),
+    )
+
+
+_BRAND_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT p.p_brand AS brand,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), tot AS (SELECT SUM(revenue) AS t FROM rev)
+SELECT brand,
+       CAST(n_items AS BIGINT) AS n_items,
+       ROUND(revenue * 100.0) / 100.0 AS revenue,
+       ROUND(revenue / t.t * 1000000.0) / 1000000.0 AS revenue_share,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, brand ASC) AS BIGINT)
+         AS revenue_rank
+FROM rev, tot t
+ORDER BY revenue_rank
+"""
+
+
+@query("brand_revenue_share", oracle=_BRAND_SHARE_ORACLE, survey="J1,A16")
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share by part brand: discounted revenue, share of total,
+    and rank — the part-dimension rollup (fact x part broadcast join,
+    share against a 1-row broadcast total). The brand window is
+    brand-count-sized, never corpus-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_raw"
+            ),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+    tot = rev.agg(F.sum("revenue_raw").alias("t"))
+    w = Window.orderBy(F.desc("revenue_raw"), F.asc("brand"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_items",
+            (F.round(F.col("revenue_raw") * 100.0) / 100.0).alias("revenue"),
+            (F.round(F.col("revenue_raw") / F.col("t") * 1000000.0) / 1000000.0)
+            .alias("revenue_share"),
+            F.row_number().over(w).cast("bigint").alias("revenue_rank"),
+        )
+        .orderBy("revenue_rank")
+    )
+
+
+_HHI_ORACLE = """
+WITH srev AS (
+  SELECT n.n_name AS nation, l.l_suppkey,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+), ntot AS (
+  SELECT nation, SUM(revenue) AS t, COUNT(*) AS n_suppliers FROM srev
+  GROUP BY nation
+)
+SELECT s.nation,
+       CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(POWER(s.revenue / t.t, 2)) * 1000000.0) / 1000000.0 AS hhi,
+       ROUND(MAX(s.revenue / t.t) * 1000000.0) / 1000000.0 AS top_supplier_share
+FROM srev s JOIN ntot t USING (nation)
+GROUP BY s.nation
+ORDER BY s.nation
+"""
+
+
+@query("supplier_concentration_hhi", oracle=_HHI_ORACLE, survey="J2,A16")
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl-Hirschman index
+    (sum of squared revenue shares; 1/n_suppliers = perfectly even,
+    1.0 = monopoly) plus the top supplier's share — the supply-risk
+    readout over the supplier dimension. One fact shuffle on
+    (nation, suppkey); everything after is supplier-count-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    ntot = srev.groupBy("nation").agg(
+        F.sum("revenue").alias("t"), F.count("*").alias("n_suppliers")
+    )
+    share = F.col("revenue") / F.col("t")
+    return (
+        srev.join(F.broadcast(ntot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+            (F.round(F.sum(F.pow(share, F.lit(2))) * 1000000.0) / 1000000.0)
+            .alias("hhi"),
+            (F.round(F.max(share) * 1000000.0) / 1000000.0).alias(
+                "top_supplier_share"
+            ),
+        )
+        .orderBy("nation")
     )
