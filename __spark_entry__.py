@@ -150,6 +150,7 @@ _DRIVER_PRIORITY = (
     "funnel_time_to_convert",
     "brand_revenue_share",
     "supplier_concentration_hhi",
+    "shipping_delay_profile",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -461,3 +461,54 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_SHIP_DELAY_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(AVG(CAST(delay_days AS DOUBLE)) * 1000000.0) / 1000000.0
+         AS mean_delay_days,
+       ROUND(quantile_cont(delay_days, 0.50) * 1000000.0) / 1000000.0 AS p50,
+       ROUND(quantile_cont(delay_days, 0.95) * 1000000.0) / 1000000.0 AS p95,
+       CAST(SUM(CASE WHEN delay_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_60d
+FROM d GROUP BY priority ORDER BY priority
+"""
+
+
+@query("shipping_delay_profile", oracle=_SHIP_DELAY_ORACLE, survey="J1,A10,scalar-date")
+def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency by priority: mean, exact p50/p95, and the
+    over-60-day tail count — the SLA table that tells whether 'urgent'
+    orders actually ship faster. Day diffs are exact integers; the
+    per-priority percentile buffer holds one int per item within the
+    group (the sketch-refine grouped twin is the 100-TB path, same as
+    the other exact-percentile queries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("delay_days"),
+    )
+    out = d.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (F.round(F.avg(F.col("delay_days").cast("double")) * 1000000.0) / 1000000.0)
+        .alias("mean_delay_days"),
+        F.expr("percentile(delay_days, array(0.50, 0.95))").alias("ps"),
+        F.sum(F.when(F.col("delay_days") > 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_60d"),
+    )
+    return out.select(
+        "priority",
+        "n_items",
+        "mean_delay_days",
+        (F.round(F.col("ps")[0] * 1000000.0) / 1000000.0).alias("p50"),
+        (F.round(F.col("ps")[1] * 1000000.0) / 1000000.0).alias("p95"),
+        "n_over_60d",
+    ).orderBy("priority")
