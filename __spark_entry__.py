@@ -151,6 +151,8 @@ _DRIVER_PRIORITY = (
     "brand_revenue_share",
     "supplier_concentration_hhi",
     "shipping_delay_profile",
+    "customer_rfm_segments",
+    "segment_priority_mix",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -512,3 +512,119 @@ def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("ps")[1] * 1000000.0) / 1000000.0).alias("p95"),
         "n_over_60d",
     ).orderBy("priority")
+
+
+_RFM_ORACLE = """
+WITH anchor AS (
+  SELECT MAX(o_orderdate) AS max_d FROM orders
+), cust AS (
+  SELECT o.o_custkey AS custkey,
+         date_diff('day', MAX(o.o_orderdate), a.max_d) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(o.o_totalprice) AS monetary
+  FROM orders o CROSS JOIN anchor a
+  GROUP BY o.o_custkey, a.max_d
+), scored AS (
+  SELECT custkey,
+         NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m_quartile
+  FROM cust
+)
+SELECT CAST(r_quartile AS INTEGER) AS r_quartile,
+       CAST(f_quartile AS INTEGER) AS f_quartile,
+       CAST(m_quartile AS INTEGER) AS m_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_ORACLE, survey="J4,A16,W4")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer (custkey tiebreaks make every NTILE deterministic), rolled
+    up to segment-cell counts — the 64-cell customer-value map CRM
+    pipelines start from.
+
+    Scale note: the NTILE runs over the CUSTOMER aggregate (dimension-
+    sized, one row per customer), not the fact table; at 100 TB the
+    equivalent scale path is quartile cut points from
+    `sketch_refine_percentiles` + a bucket join, the same swap
+    `equi_depth_buckets_approx` demonstrates."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"), "max_d")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .select(
+            "custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    scored = cust.select(
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
+
+
+_SEGMENT_MIX_ORACLE = """
+WITH m AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         COUNT(*) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+), tot AS (
+  SELECT segment, SUM(n) AS t FROM m GROUP BY segment
+)
+SELECT m.segment, m.priority, CAST(m.n AS BIGINT) AS n_orders,
+       ROUND(CAST(m.n AS DOUBLE) / t.t * 1000000.0) / 1000000.0 AS share
+FROM m JOIN tot t USING (segment)
+ORDER BY m.segment, m.priority
+"""
+
+
+@query("segment_priority_mix", oracle=_SEGMENT_MIX_ORACLE, survey="J1,A3,A16")
+def segment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix within each market segment (within-segment
+    shares summing to 1): do BUILDING customers place more URGENT
+    orders than MACHINERY — the normalized composition view the raw
+    pivot counts don't give."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("segment")
+    return (
+        m.select(
+            "segment",
+            "priority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            (F.round(F.col("n").cast("double") / F.sum("n").over(w) * 1000000.0)
+             / 1000000.0).alias("share"),
+        )
+        .orderBy("segment", "priority")
+    )
