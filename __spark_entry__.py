@@ -153,6 +153,8 @@ _DRIVER_PRIORITY = (
     "shipping_delay_profile",
     "customer_rfm_segments",
     "segment_priority_mix",
+    "customer_spend_gini",
+    "brand_basket_lift",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -628,3 +628,81 @@ def segment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "priority")
     )
+
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_orders AS (
+  SELECT COUNT(DISTINCT okey) AS n FROM items
+), brand_n AS (
+  SELECT brand, COUNT(*) AS nb FROM items GROUP BY brand
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_together
+  FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a, p.brand_b,
+       CAST(p.n_together AS BIGINT) AS n_together,
+       ROUND(CAST(p.n_together AS DOUBLE) * t.n / (na.nb * nb.nb)
+             * 1000000.0) / 1000000.0 AS lift
+FROM pairs p
+JOIN brand_n na ON na.brand = p.brand_a
+JOIN brand_n nb ON nb.brand = p.brand_b
+CROSS JOIN n_orders t
+WHERE p.n_together >= 5
+ORDER BY lift DESC, p.brand_a, p.brand_b
+LIMIT 50
+"""
+
+
+@query("brand_basket_lift", oracle=_BASKET_ORACLE, survey="J3,A6,EXT-similarity")
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over orders: brand pairs bought together
+    with lift = P(a,b)/(P(a)·P(b)) — the relational twin of
+    `token_cooccurrence`'s within-document pairs. Support floor (5
+    co-orders) plays the Apriori prefilter role; the pair self-join is
+    keyed on orderkey, so per-order work is items-per-order squared
+    (single digits), never corpus-quadratic; top-50 compiles to
+    TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    brand_n = items.groupBy("brand").agg(F.count("*").alias("nb"))
+    b = items.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        items.join(b, "okey")
+        .filter(F.col("brand") < F.col("brand_b"))
+        .groupBy(F.col("brand").alias("brand_a"), "brand_b")
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= 5)
+    )
+    na = brand_n.select(F.col("brand").alias("brand_a"), F.col("nb").alias("na_n"))
+    nb = brand_n.select(F.col("brand").alias("brand_b"), F.col("nb").alias("nb_n"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_together").cast("bigint"),
+            (
+                F.round(
+                    F.col("n_together").cast("double")
+                    * F.col("n")
+                    / (F.col("na_n") * F.col("nb_n"))
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(50)
+    )

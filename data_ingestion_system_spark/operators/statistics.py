@@ -846,3 +846,55 @@ def user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_types")
     )
+
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS custkey, SUM(o_totalprice) AS x FROM orders
+  GROUP BY o_custkey
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, custkey ASC) AS i,
+         COUNT(*) OVER () AS n, SUM(x) OVER () AS t
+  FROM spend
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(MAX(t) * 100.0) / 100.0 AS total_spend,
+       ROUND((2.0 * SUM(i * x) / (MAX(n) * MAX(t)) - (MAX(n) + 1.0) / MAX(n))
+             * 1000000.0) / 1000000.0 AS gini
+FROM ranked
+"""
+
+
+@query("customer_spend_gini", oracle=_GINI_ORACLE, survey="A16,W8")
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the whale-concentration
+    number (0 = everyone spends equally, →1 = a few customers carry the
+    business), from the exact rank formula G = 2·Σi·x_i/(n·Σx) − (n+1)/n
+    over the ascending-spend order (custkey tiebreak → deterministic
+    ranks). The revenue-side complement to `supplier_concentration_hhi`.
+
+    Scale note: the rank runs over the per-customer aggregate
+    (dimension-sized); at 100 TB the same number comes from the
+    sketch-refine Lorenz-bucket approximation, the standard swap."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w_rank = Window.orderBy(F.asc("x"), F.asc("custkey"))
+    ranked = spend.select(
+        "x", F.row_number().over(w_rank).alias("i")
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        (F.round(F.sum("x") * 100.0) / 100.0).alias("total_spend"),
+        (
+            F.round(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+                    - (F.count("*") + 1.0) / F.count("*")
+                )
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("gini"),
+    )
