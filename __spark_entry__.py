@@ -155,6 +155,8 @@ _DRIVER_PRIORITY = (
     "segment_priority_mix",
     "customer_spend_gini",
     "brand_basket_lift",
+    "lorenz_spend_deciles",
+    "abc_brand_classification",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

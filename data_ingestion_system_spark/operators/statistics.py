@@ -898,3 +898,111 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("gini"),
     )
+
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS custkey, SUM(o_totalprice) AS x FROM orders
+  GROUP BY o_custkey
+), ranked AS (
+  SELECT x, NTILE(10) OVER (ORDER BY x ASC, custkey ASC) AS decile,
+         SUM(x) OVER () AS t
+  FROM spend
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(x) * 100.0) / 100.0 AS spend,
+       ROUND(SUM(x) / MAX(t) * 1000000.0) / 1000000.0 AS spend_share
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+@query("lorenz_spend_deciles", oracle=_LORENZ_ORACLE, survey="A16,A11")
+def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz table: spend share per ascending-spend customer decile —
+    the curve behind `customer_spend_gini`'s scalar (the top decile's
+    share IS the 90/10 concentration headline). NTILE over the
+    customer aggregate with the same custkey tiebreak as the Gini
+    rank, so both queries describe the identical ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w_rank = Window.orderBy(F.asc("x"), F.asc("custkey"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = spend.select(
+        "x",
+        F.ntile(10).over(w_rank).alias("decile"),
+        F.sum("x").over(w_all).alias("t"),
+    )
+    return (
+        ranked.groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (F.round(F.sum("x") * 100.0) / 100.0).alias("spend"),
+            (F.round(F.sum("x") / F.max("t") * 1000000.0) / 1000000.0)
+            .alias("spend_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+_ABC_ORACLE = """
+WITH prev AS (
+  SELECT p.p_brand AS brand,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+), ranked AS (
+  SELECT brand, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, brand ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(revenue) OVER () AS t
+  FROM prev
+), classed AS (
+  SELECT brand, revenue,
+         CASE WHEN cum_rev / t <= 0.8 THEN 'A'
+              WHEN cum_rev / t <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_brands,
+       ROUND(SUM(revenue) * 100.0) / 100.0 AS revenue
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@query("abc_brand_classification", oracle=_ABC_ORACLE, survey="A16,W8")
+def abc_brand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of brands by cumulative revenue share (A:
+    first 80%, B: to 95%, C: tail) — the inventory-management standard
+    for where attention goes; the cumulative-threshold bucketing runs
+    over the brand aggregate (brand-count rows) in a deterministic
+    (revenue desc, brand) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    share = F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all)
+    classed = rev.select(
+        "revenue",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_brands"),
+            (F.round(F.sum("revenue") * 100.0) / 100.0).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
