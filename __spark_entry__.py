@@ -157,6 +157,8 @@ _DRIVER_PRIORITY = (
     "brand_basket_lift",
     "lorenz_spend_deciles",
     "abc_brand_classification",
+    "order_size_distribution",
+    "repeat_purchase_interval",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",

@@ -13,7 +13,7 @@ referenced columns. Dimension joins are explicitly broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
@@ -313,4 +313,77 @@ def ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_port(F.col("n_events").cast("double") / (F.col("span_seconds") / 60.0), 4).alias(
             "events_per_min"
         ),
+    )
+
+
+_ORDER_SIZE_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY n_items ORDER BY n_items
+"""
+
+
+@query("order_size_distribution", oracle=_ORDER_SIZE_ORACLE, survey="A6,A13")
+def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out distribution of the fact key: orders by line-item count —
+    the two-level count-of-counts (A13) that sizes the join multiplicity
+    `join_cardinality_profile` prices in aggregate. Two
+    map-side-combinable groupBys, output bounded by max items/order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return (
+        per_order.groupBy(F.col("n_items").cast("bigint").alias("n_items"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("n_items")
+    )
+
+
+_REPEAT_INTERVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+       ROUND(AVG(CAST(gap_days AS DOUBLE)) * 1000000.0) / 1000000.0
+         AS mean_gap_days,
+       ROUND(quantile_cont(gap_days, 0.50) * 1000000.0) / 1000000.0 AS p50,
+       ROUND(quantile_cont(gap_days, 0.90) * 1000000.0) / 1000000.0 AS p90
+FROM gaps WHERE gap_days IS NOT NULL
+"""
+
+
+@query("repeat_purchase_interval", oracle=_REPEAT_INTERVAL_ORACLE, survey="A10,W6,EXT-temporal")
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag window, order
+    key tiebreak), rolled up to mean and exact p50/p90 — the
+    repurchase-cadence number retention campaigns are timed against.
+    Intervals are exact integer day diffs; the window is
+    customer-partitioned, key-parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    out = gaps.agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_repeat_customers"),
+        (F.round(F.avg(F.col("gap_days").cast("double")) * 1000000.0) / 1000000.0)
+        .alias("mean_gap_days"),
+        F.expr("percentile(gap_days, array(0.50, 0.90))").alias("ps"),
+    )
+    return out.select(
+        "n_intervals",
+        "n_repeat_customers",
+        "mean_gap_days",
+        (F.round(F.col("ps")[0] * 1000000.0) / 1000000.0).alias("p50"),
+        (F.round(F.col("ps")[1] * 1000000.0) / 1000000.0).alias("p90"),
     )
