@@ -38,70 +38,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 catalog entries per round (registration
-# order).  Round 1 covered the relational core, round 2 the LLM-pipeline /
-# reference-view block (CORRECTNESS_r01/r02: 0 red rows).  Round 3 window:
-# the 10 queries registered late in r2 (no driver row yet) first, then
-# queries new in round 3, then r02-green entries re-fill the remaining
-# slots (harmless re-verification).  The full catalog keeps its pytest
-# oracle gate regardless (tests/test_oracle_parity.py parametrizes ALL
-# registered queries).
+# order).  Rounds 1-3 accumulated 149 green driver rows (0 red ever).
+# Round 4 window: the 57 queries registered late in round 3 (no driver row
+# yet) rotate to the front — the first 50 land in CORRECTNESS_r04; the 7
+# that spill (positions 51-57: segment_priority_mix, customer_spend_gini,
+# brand_basket_lift, lorenz_spend_deciles, abc_brand_classification,
+# order_size_distribution, repeat_purchase_interval) plus anything new in
+# round 4 are staged immediately after for the r5 window.  The full
+# catalog keeps its pytest oracle gate regardless
+# (tests/test_oracle_parity.py parametrizes ALL registered queries).
 _DRIVER_PRIORITY = (
-    # registered late in r2 — first driver row this round
-    "range_join_events",
-    "source_drift_metrics",
-    "multires_rollup",
-    "tfidf_top_terms",
-    "vocab_zipf_stats",
-    "label_centroid_confusion",
-    "token_cooccurrence",
-    "kmeans_cluster_profile",
-    "equi_depth_buckets",
-    "heavy_hitters",
-    # new in round 3
-    "equi_depth_buckets_approx",
-    "orphan_labels",
-    "orphan_check_matrix",
-    "invalid_rows_profile",
-    "validated_events",
-    "schema_evolution_read",
-    "bigram_lm_scores",
-    "bpe_pair_counts",
-    "mixture_weights",
-    "pii_redaction",
-    "pack_training_sequences",
-    "boilerplate_chunks",
-    "time_travel_snapshot",
-    "semantic_dedup",
-    "quality_classifier_scores",
-    "token_kl_drift",
-    "hybrid_rrf_search",
-    "winsorized_stats",
-    "grouped_percentiles_sketch_refine",
-    "robust_outlier_profile",
-    "ann_filtered_topk",
-    "vocab_coverage",
-    "contrastive_pairs",
-    "psi_drift",
-    "nb_weak_label_confusion",
-    "cluster_aware_split_stats",
-    "unpivot_metrics",
-    "funnel_conversion",
-    "cohort_retention",
-    "mixture_epoch_sample",
-    "cross_source_dup_matrix",
-    "classifier_calibration",
-    "gap_islands",
-    "sliding_rate_limit",
-    "substring_dup_profile",
-    "duplicated_spans_topk",
-    "kfold_balance",
-    "krippendorff_alpha",
-    "classifier_pr_thresholds",
-    "corpus_data_card",
-    # ---- positions 51+ (outside this round's 50-slot driver window):
-    # registered late in r3; rotate these to the FRONT of the list in
-    # round 4 so they get their first driver row (same staging pattern
-    # the r2->r3 rotation used). All have green pytest oracle rows.
+    # registered late in r3 — first driver row this round (50-slot window)
     "dp_daily_counts",
     "mmr_diverse_topk",
     "bpe_merge_table",
@@ -152,6 +99,9 @@ _DRIVER_PRIORITY = (
     "supplier_concentration_hhi",
     "shipping_delay_profile",
     "customer_rfm_segments",
+    # ---- positions 51+ (outside this round's 50-slot driver window):
+    # the 7 spill-over from the 57-query r3 backlog, then queries new in
+    # round 4 — together these are the front of the r5 rotation.
     "segment_priority_mix",
     "customer_spend_gini",
     "brand_basket_lift",
@@ -159,6 +109,60 @@ _DRIVER_PRIORITY = (
     "abc_brand_classification",
     "order_size_distribution",
     "repeat_purchase_interval",
+    # new in round 4 (staged for the r5 driver window)
+    "incremental_daily_view",
+    "reservoir_sample",
+    # ---- r03-green entries (first driver row in CORRECTNESS_r03) ----
+    "range_join_events",
+    "source_drift_metrics",
+    "multires_rollup",
+    "tfidf_top_terms",
+    "vocab_zipf_stats",
+    "label_centroid_confusion",
+    "token_cooccurrence",
+    "kmeans_cluster_profile",
+    "equi_depth_buckets",
+    "heavy_hitters",
+    "equi_depth_buckets_approx",
+    "orphan_labels",
+    "orphan_check_matrix",
+    "invalid_rows_profile",
+    "validated_events",
+    "schema_evolution_read",
+    "bigram_lm_scores",
+    "bpe_pair_counts",
+    "mixture_weights",
+    "pii_redaction",
+    "pack_training_sequences",
+    "boilerplate_chunks",
+    "time_travel_snapshot",
+    "semantic_dedup",
+    "quality_classifier_scores",
+    "token_kl_drift",
+    "hybrid_rrf_search",
+    "winsorized_stats",
+    "grouped_percentiles_sketch_refine",
+    "robust_outlier_profile",
+    "ann_filtered_topk",
+    "vocab_coverage",
+    "contrastive_pairs",
+    "psi_drift",
+    "nb_weak_label_confusion",
+    "cluster_aware_split_stats",
+    "unpivot_metrics",
+    "funnel_conversion",
+    "cohort_retention",
+    "mixture_epoch_sample",
+    "cross_source_dup_matrix",
+    "classifier_calibration",
+    "gap_islands",
+    "sliding_rate_limit",
+    "substring_dup_profile",
+    "duplicated_spans_topk",
+    "kfold_balance",
+    "krippendorff_alpha",
+    "classifier_pr_thresholds",
+    "corpus_data_card",
     # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",
