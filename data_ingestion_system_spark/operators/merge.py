@@ -121,9 +121,16 @@ def merge_apply(
     if dup:
         raise ValueError(f"MERGE source has duplicate keys on {key!r}")
 
-    t_update = update_condition if update_condition is not None else F.lit(True)
-    t_delete = delete_condition if delete_condition is not None else F.lit(False)
-    t_insert = insert_condition if insert_condition is not None else F.lit(True)
+    # SQL clause conditions treat NULL as false (a NULL WHEN MATCHED AND
+    # <cond> does not fire the clause but DOES cascade to the next one),
+    # so each predicate is null-guarded: otherwise ~t_delete & t_update
+    # would itself be NULL and silently drop the row from UPDATE.
+    def _guarded(cond, default):
+        return F.coalesce(cond, F.lit(False)) if cond is not None else F.lit(default)
+
+    t_update = _guarded(update_condition, True)
+    t_delete = _guarded(delete_condition, False)
+    t_insert = _guarded(insert_condition, True)
 
     if not os.path.exists(target_dir):
         to_insert = source.filter(t_insert)

@@ -17,7 +17,10 @@ Per batch: collapse the batch by (key, seq DESC), join the k-key delta
 against the mirror, keep only strictly-newer changes, rewrite with one
 atomic swap. The mirror is read once per batch and the shuffle key is
 the entity key. Counters (upserted / deleted / skipped_stale) are
-derived from the same joined frame that drives the rewrite.
+derived from the same joined frame that drives the rewrite;
+skipped_stale is the arithmetic remainder fetched - upserted - deleted,
+so within-batch duplicates collapsed by the rn>1 window count as
+skipped and the audit invariant holds for every batch shape.
 """
 
 from __future__ import annotations
@@ -36,7 +39,21 @@ def cdc_apply_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> di
     """Apply one micro-batch of change records to the mirror table.
 
     Returns {"upserted": n, "deleted": n, "skipped_stale": n}.
+
+    Counter semantics (identical on bootstrap and steady state, so the
+    T3 audit invariant fetched == upserted + deleted + skipped_stale
+    holds for every batch, including batches with within-batch
+    duplicate keys):
+
+      * rows superseded by a newer record for the same key WITHIN the
+        batch (the rn>1 collapse) count as skipped_stale — they were
+        fetched but not applied;
+      * a delete whose key is absent from the mirror (or a first-batch
+        delete winner) counts as deleted — the delete applied, to
+        nothing;
+      * rows at-or-below the mirror's last_seq count as skipped_stale.
     """
+    n_batch = batch.count()
     w = Window.partitionBy("key").orderBy(F.desc("seq"))
     delta = (
         batch.withColumn("rn", F.row_number().over(w))
@@ -52,18 +69,18 @@ def cdc_apply_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> di
             "payload_value",
         )
         upserted = fresh.count()
+        deleted = delta.count() - upserted  # first-batch delete winners
         fresh.write.mode("overwrite").parquet(state_dir)
         return {
             "upserted": upserted,
-            "deleted": 0,
-            "skipped_stale": delta.count() - upserted,
+            "deleted": deleted,
+            "skipped_stale": n_batch - upserted - deleted,
         }
 
     state = spark.read.parquet(state_dir)
     joined = delta.join(state.select("key", "last_seq"), "key", "left")
     stale = F.col("last_seq").isNotNull() & (F.col("seq") <= F.col("last_seq"))
     live = joined.filter(~stale)
-    n_stale = joined.filter(stale).count()
     deletes = live.filter(F.col("op") == "D").select("key")
     upserts = live.filter(F.col("op") != "D").select(
         "key",
@@ -77,7 +94,12 @@ def cdc_apply_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> di
     touched = deletes.unionByName(upserts.select("key"))
     survivors = state.join(touched, "key", "left_anti")
     _swap_write(survivors.select(STATE_COLS).unionByName(upserts), state_dir)
-    return {"upserted": n_up, "deleted": n_del, "skipped_stale": n_stale}
+    # skipped = cross-batch stale + within-batch collapsed duplicates
+    return {
+        "upserted": n_up,
+        "deleted": n_del,
+        "skipped_stale": n_batch - n_up - n_del,
+    }
 
 
 FEED_SCHEMA = (

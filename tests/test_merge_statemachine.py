@@ -133,6 +133,31 @@ def test_merge_apply_three_clauses(spark, tmp_path):
     }, got
 
 
+def test_merge_apply_null_clause_condition_cascades(spark, tmp_path):
+    """A NULL clause condition is FALSE per the SQL standard: a matched
+    row whose delete_condition evaluates to NULL must cascade to the
+    UPDATE clause (and fire it if t_update holds), never be silently
+    skipped by a NULL ~t_delete & t_update."""
+    from data_ingestion_system_spark.operators.merge import merge_apply
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, v string, score int"
+    ).write.parquet(target)
+
+    # v NULL for key 1 -> delete_condition (v == 'xx') is NULL -> UPDATE fires
+    src = spark.createDataFrame(
+        [(1, None, 11), (2, "xx", 22)], "k int, v string, score int"
+    )
+    res = merge_apply(
+        spark, src, target, "k",
+        delete_condition=F.col("v") == "xx",
+    )
+    assert (res.inserted, res.updated, res.deleted, res.untouched) == (0, 1, 1, 0)
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, None, 11)}, got
+
+
 def test_merge_apply_rejects_duplicate_source_keys(spark, tmp_path):
     import pytest as _pytest
 
