@@ -33,7 +33,7 @@ N_BANDS = 4  # 2 rows per band
 JACCARD_THRESHOLD = 0.5
 
 
-def token_sets(docs: DataFrame) -> DataFrame:
+def token_sets(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — 3-word shingle sets.
 
     Shingling (not unigrams) is what makes MinHash discriminative: the
@@ -41,8 +41,16 @@ def token_sets(docs: DataFrame) -> DataFrame:
     are all nearly identical (Jaccard≈1 for most pairs → LSH degenerates
     to all-pairs, measured 126 s at sf0.1); 3-gram shingle space is
     ~27k, restoring locality. Documents shorter than 3 tokens use the
-    whole text as their single shingle."""
-    toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    whole text as their single shingle.
+
+    `toks` optionally supplies a pre-tokenized (doc_id, ts) relation
+    shared with other pipeline stages (text/pipeline.py)."""
+    if toks is None:
+        toks = fan_out(docs, "doc_id").select(
+            "doc_id", F.split(F.col("text"), " ").alias("ts")
+        )
+    else:
+        toks = toks.select("doc_id", "ts")
     return toks.select(
         "doc_id",
         F.explode(

@@ -111,13 +111,49 @@ def hashed_weight_table(spark: SparkSession, n_buckets: int = N_BUCKETS) -> Data
     )
 
 
-def score_documents(docs: DataFrame, weights: DataFrame) -> DataFrame:
+def score_documents(
+    docs: DataFrame,
+    weights: DataFrame,
+    toks: DataFrame | None = None,
+    wcounts: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, source, n_tokens, score, keep): hashed-unigram logistic
     score per document. The weight lookup is a broadcast hash join onto
-    the exploded token stream — the model never shuffles the corpus."""
+    the exploded token stream — the model never shuffles the corpus.
+
+    `toks` optionally supplies a pre-tokenized (doc_id, source, ts)
+    relation shared with other pipeline stages; `wcounts` goes further
+    and supplies the per-(doc_id, source, word) count relation `c`
+    (text/repetition.word_counts) so a composed pipeline pays for ONE
+    unigram explode+shuffle shared with the repetition filters — the
+    mean bucket weight over the token stream equals the c-weighted mean
+    over distinct words: sum(c·w)/sum(c)."""
+    if wcounts is not None:
+        feats = wcounts.select(
+            "doc_id",
+            "source",
+            "c",
+            F.md5(F.concat(F.lit("qc:"), F.col("w"))).alias("h"),
+        ).select("doc_id", "source", "c", F.expr(_bucket_sql("instr")).alias("bucket"))
+        mean_w = F.sum(F.col("c") * F.col("w")) / F.sum("c")
+        return (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.sum("c").alias("n_tokens"),
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-GAIN) * mean_w))).alias("score"),
+                F.when(mean_w > 0, 1).otherwise(0).alias("keep"),
+            )
+        )
+    tokenized = (
+        fan_out(docs, "doc_id").select(
+            "doc_id", "source", F.split("text", " ").alias("ts")
+        )
+        if toks is None
+        else toks.select("doc_id", "source", "ts")
+    )
     feats = (
-        fan_out(docs, "doc_id")
-        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        tokenized.select("doc_id", "source", F.explode("ts").alias("tok"))
         .select(
             "doc_id",
             "source",

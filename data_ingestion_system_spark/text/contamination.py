@@ -30,14 +30,23 @@ BENCH_MOD = 25      # doc_id % BENCH_MOD == 0 → benchmark slice
 FLAG_FRAC = 0.10    # contaminated when ≥10% of grams overlap the benchmark
 
 
-def doc_ngrams(docs: DataFrame, n: int = CONTAM_N) -> DataFrame:
+def doc_ngrams(
+    docs: DataFrame, n: int = CONTAM_N, toks: DataFrame | None = None
+) -> DataFrame:
     """Distinct (doc_id, gram) word-n-grams; docs shorter than n words
-    contribute no grams."""
+    contribute no grams.
+
+    `toks` optionally supplies a pre-tokenized (doc_id, ts) relation
+    shared with other pipeline stages (text/pipeline.py)."""
     inner = ", ' ', ".join(f"ts[i + {j}]" for j in range(n))
     parts = f"concat({inner})"
-    return (
+    tokenized = (
         fan_out(docs, "doc_id").select("doc_id", F.split("text", " ").alias("ts"))
-        .filter(F.size("ts") >= n)
+        if toks is None
+        else toks.select("doc_id", "ts")
+    )
+    return (
+        tokenized.filter(F.size("ts") >= n)
         .select(
             "doc_id",
             F.explode(

@@ -125,9 +125,13 @@ ORDER BY c.source
 """
 
 
-def stage_quality_ids(docs: DataFrame) -> DataFrame:
+def stage_quality_ids(
+    docs: DataFrame,
+    toks: DataFrame | None = None,
+    wcounts: DataFrame | None = None,
+) -> DataFrame:
     """Stage 1: doc_ids passing the Gopher repetition filters."""
-    m = repetition_metrics(docs)
+    m = repetition_metrics(docs, toks=toks, wcounts=wcounts)
     rep_keep = (
         (F.col("top_word_frac") <= TOP_WORD_MAX)
         & F.coalesce(F.col("top_bigram_frac") <= TOP_BIGRAM_MAX, F.lit(True))
@@ -136,20 +140,26 @@ def stage_quality_ids(docs: DataFrame) -> DataFrame:
     return m.filter(rep_keep).select("doc_id")
 
 
-def stage_clf_keep_ids(docs: DataFrame) -> DataFrame:
+def stage_clf_keep_ids(
+    docs: DataFrame,
+    toks: DataFrame | None = None,
+    wcounts: DataFrame | None = None,
+) -> DataFrame:
     """Stage 2: doc_ids the model-based quality gate keeps (fixture
     weights — production loads an exported model)."""
     return (
-        score_documents(docs, hashed_weight_table(docs.sparkSession))
+        score_documents(
+            docs, hashed_weight_table(docs.sparkSession), toks=toks, wcounts=wcounts
+        )
         .filter(F.col("keep") == 1)
         .select("doc_id")
     )
 
 
-def stage_contaminated(docs: DataFrame) -> DataFrame:
+def stage_contaminated(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """Stage 4: doc_ids whose n-gram overlap with the eval slice crosses
     the contamination threshold."""
-    grams = doc_ngrams(docs).localCheckpoint(eager=False)
+    grams = doc_ngrams(docs, toks=toks).localCheckpoint(eager=False)
     is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
     train_grams = grams.filter(~is_bench)
@@ -169,11 +179,11 @@ def stage_contaminated(docs: DataFrame) -> DataFrame:
     )
 
 
-def stage_dup_drop(docs: DataFrame) -> DataFrame:
+def stage_dup_drop(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """Stage 3: doc_ids dropped as non-canonical members of near-dup
     clusters (closure over the FULL corpus — a doc whose cluster canon
     is an eval doc is dropped, same as the SQL)."""
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    tokens = token_sets(docs, toks=toks).localCheckpoint(eager=False)
     pairs = verified_pairs(
         tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
     )
@@ -187,11 +197,50 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval slice) → docs surviving quality + dedup + decontamination →
     chunks and tokens emitted."""
     docs = load_table(spark, sf_dir, "documents")
-    quality_ids = stage_quality_ids(docs)
-    clf_keep_ids = stage_clf_keep_ids(docs)
-    dup_drop = stage_dup_drop(docs)
+    # Stage materialization is PARALLEL: the four filter stages are
+    # independent DAGs, and the dup stage's serial chain (shingles →
+    # signatures → banded pairs → verify → iterative closure) is the
+    # critical path — running it in its own thread overlaps it with the
+    # quality/classifier/contamination passes instead of queueing them
+    # behind it (Spark schedules concurrently-submitted jobs across the
+    # same executors; on a cluster this is straight utilization).
+    #
+    # Within the token-based stages the corpus is tokenized ONCE
+    # (fan_out + split, checkpointed) and the unigram explode+count is
+    # shared between the repetition filters and the classifier's
+    # feature stream (the round-3 bench showed the classifier stage
+    # re-tokenizing what stage 1 had already tokenized). The dup stage
+    # tokenizes independently so it can start at t=0 instead of behind
+    # the toks checkpoint.
+    from concurrent.futures import ThreadPoolExecutor
 
-    contaminated = stage_contaminated(docs)
+    from data_ingestion_system_spark.tables import fan_out
+    from data_ingestion_system_spark.text.repetition import word_counts
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs)))
+
+        toks = _ckpt(
+            fan_out(docs, "doc_id").select(
+                "doc_id", "source", F.split("text", " ").alias("ts")
+            )
+        )
+        wcounts = _ckpt(word_counts(toks, "source"))
+        q_fut = pool.submit(
+            lambda: _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
+        )
+        clf_fut = pool.submit(
+            lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
+        )
+        contam_fut = pool.submit(lambda: _ckpt(stage_contaminated(docs, toks=toks)))
+
+        quality_ids = q_fut.result()
+        clf_keep_ids = clf_fut.result()
+        contaminated = contam_fut.result()
+        dup_drop = dup_fut.result()
 
     candidates = docs.filter(~(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0))
     # materialize the filtered corpus once: survivors feeds the kept

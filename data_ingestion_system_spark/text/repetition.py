@@ -30,23 +30,46 @@ TOP_BIGRAM_MAX = 0.18   # Gopher: most frequent 2-gram ≤ 18%
 DUP_TRIGRAM_MAX = 0.60  # fraction of 3-gram occurrences that are repeats
 
 
-def repetition_metrics(docs: DataFrame) -> DataFrame:
+def word_counts(toks: DataFrame, *extra: str) -> DataFrame:
+    """Per-(doc_id, [*extra,] word) occurrence counts `c` from a
+    (doc_id, [*extra,] ts) token relation — the shared base of the
+    unigram statistics here and the classifier's feature stream
+    (text/classifier.py): a composed pipeline computes this ONE
+    explode+groupBy and feeds both consumers. Extra columns must be
+    functionally dependent on doc_id (e.g. source) so they never change
+    the counts."""
+    return (
+        toks.select("doc_id", *extra, F.explode("ts").alias("w"))
+        .groupBy("doc_id", *extra, "w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    toks: DataFrame | None = None,
+    wcounts: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, n_words, top_word_frac, top_bigram_frac, dup_trigram_frac),
     fractions unrounded; n-gram fractions NULL when the doc is too short
-    to form that gram."""
+    to form that gram.
+
+    `toks` optionally supplies a pre-tokenized (doc_id, ts) relation so a
+    composed pipeline can tokenize the corpus ONCE and share the relation
+    across stages (text/pipeline.py checkpoints it); when None the corpus
+    is tokenized here."""
     from data_ingestion_system_spark.tables import fan_out
 
     # fan out BEFORE the three explode chains: a single-file scan yields
     # one partition, and hashing by doc_id keeps each doc's grams
     # co-located for the per-doc aggregates below (map-side combinable)
-    toks = fan_out(docs, "doc_id").select("doc_id", F.split("text", " ").alias("ts"))
-    words = toks.select("doc_id", F.explode("ts").alias("w"))
+    if toks is None:
+        toks = fan_out(docs, "doc_id").select("doc_id", F.split("text", " ").alias("ts"))
+    else:
+        toks = toks.select("doc_id", "ts")
     word_stats = (
-        words.groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_w"), F.sum("c").alias("n_words"))
-    )
+        word_counts(toks) if wcounts is None else wcounts
+    ).groupBy("doc_id").agg(F.max("c").alias("top_w"), F.sum("c").alias("n_words"))
     bigrams = toks.filter(F.size("ts") >= 2).select(
         "doc_id",
         F.explode(
