@@ -87,6 +87,7 @@ _OPERATOR_MODULES = (
     "data_ingestion_system_spark.text.pii",
     "data_ingestion_system_spark.text.packing",
     "data_ingestion_system_spark.streaming.timetravel",
+    "data_ingestion_system_spark.streaming.twins",
     "data_ingestion_system_spark.dedup.embedding",
     "data_ingestion_system_spark.dedup.semdedup",
     "data_ingestion_system_spark.text.classifier",
