@@ -70,6 +70,14 @@ HEADLINE = [
     "fuzzy_linkage_pairs",
     "scd2_user_segments",
     "rolling_wau",
+    # round-4 additions: the widest join shape in the catalog (lineitem ⋈
+    # orders ⋈ customer ⋈ nation ⋈ region rollup), CDC feed collapse +
+    # state apply (single key shuffle), and iterative entity-resolution
+    # closure (blocked linkage pairs → min-label propagation) — the three
+    # staged r3 shapes most likely to misbehave at scale
+    "revenue_rollup_nation_year",
+    "cdc_apply_state",
+    "linkage_entities",
 ]
 
 REPS = 3  # median-of-3 per query
