@@ -309,8 +309,12 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf value is an exact-decimal-times-discount double).
 
     Scale shape: lineitem shuffles once for the rollup aggregate;
-    orders joins on the fact key and customer/nation/region broadcast —
-    asserted in the plan suite for the 4-way twin."""
+    orders joins on the fact key. nation/region carry explicit broadcast
+    hints (bounded at 25/5 rows at every scale); customer deliberately
+    does NOT — it is customer-count-sized, so the right physical join
+    flips from broadcast (small SF: AQE still picks broadcast from
+    stats) to shuffle (100 TB: a forced broadcast hint would OOM the
+    executors), and the hint must not pin the small-scale choice."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -318,7 +322,7 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
