@@ -66,7 +66,7 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
 
     regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
     _write(out_dir, "region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int64()),
+        "r_regionkey": pa.array(range(5), pa.int32()),
         "r_name": regions,
     }))
     _write(out_dir, "nation", pa.table({
