@@ -3,8 +3,22 @@
 The semantic-dedup modality: two items are near-dups if their embedding
 cosine exceeds a threshold. Candidates come from the same deterministic
 sign-projection LSH buckets as similarity.ann (vectors in the same
-bucket agree on all 8 hyperplane signs → high-cosine pairs land together
+bucket agree on the hyperplane signs → high-cosine pairs land together
 with high probability); the exact cosine check runs only inside buckets.
+
+Bucket granularity is ADAPTIVE: every vector gets a MAX_PLANES(16)-bit
+sign bucket, coarsened to the low P bits with `% 2^P`, where
+2^P ≈ corpus / TARGET_PER_BUCKET (a CASE ladder over COUNT(*) — pure
+integer thresholds, identical in both engines, so the static oracle
+stays hash-exact at every scale factor). A fixed 8-plane bucket kept
+only 256 buckets and went quadratic as the corpus grew (measured 48x
+wall at 10x corpus); adaptive P holds expected bucket membership ~16,
+making the candidate join ~linear until the 2^16 cap (raise MAX_PLANES
+for corpora beyond ~1M vectors — at true 100 TB scale the IVF cell
+route in dedup/semdedup.py is the production path).
+
+At driver scales (n ≤ 4096) P = 8, so results are identical to the
+fixed-plane form this replaces.
 """
 
 from __future__ import annotations
@@ -23,13 +37,38 @@ from data_ingestion_system_spark.similarity.ann import (
 from data_ingestion_system_spark.tables import load_table
 
 COSINE_THRESHOLD = 0.9
+MAX_PLANES = 16
+TARGET_PER_BUCKET = 16
+
+# divisor = 2^P with P = clamp(ceil(log2(n / TARGET_PER_BUCKET)), 8, 16),
+# written as an integer CASE ladder so both engines derive the identical
+# power of two from the identical COUNT(*) — no float log anywhere
+_THRESHOLDS = [(TARGET_PER_BUCKET * (1 << p), 1 << p) for p in range(8, MAX_PLANES)]
+
+
+def _divisor_for(n: int) -> int:
+    for bound, div in _THRESHOLDS:
+        if n <= bound:
+            return div
+    return 1 << MAX_PLANES
+
+
+def _divisor_case_sql(n_sql: str) -> str:
+    arms = "\n    ".join(
+        f"WHEN {n_sql} <= {bound} THEN {div}" for bound, div in _THRESHOLDS
+    )
+    return f"(CASE {arms} ELSE {1 << MAX_PLANES} END)"
 
 
 _ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), p AS (
+  SELECT {_divisor_case_sql("COUNT(*)")} AS divisor FROM v
 ), bucketed AS (
-  SELECT vec_id, ev, {lsh_bucket_expr("ev", "strpos", "//")} AS bucket FROM v
+  SELECT vec_id, ev,
+         ({lsh_bucket_expr("ev", "strpos", "//", MAX_PLANES)}) % (SELECT divisor FROM p) AS bucket
+  FROM v
 ), pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     list_sum(list_transform(range(1, {DIM} + 1), i -> a.ev[i] * b.ev[i]))
@@ -49,13 +88,24 @@ ORDER BY vec_a, vec_b
 def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.9 within sign-projection LSH
     buckets. At 100 TB the bucket join is the only shuffle; bucket width
-    (number of planes) trades recall vs candidate volume."""
+    scales with the corpus (low-P-bits coarsening of a 16-plane bucket,
+    P from an integer CASE ladder on COUNT(*)) so per-bucket membership
+    — and the quadratic in-bucket term — stays ~constant."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    # materialized once — the sign expression is huge and feeds both join sides
-    bucketed = v.withColumn(
-        "bucket", F.expr(lsh_bucket_expr("ev", "instr", "div"))
-    ).localCheckpoint(eager=False)
+    # ONE corpus pass materializes the full-width bucket AND the vector
+    # norm: the norm is sqrt of the same double dot both engines compute,
+    # hoisted out of the pair join (3 dots/pair -> 1), and the divisor
+    # comes from counting the already-checkpointed relation instead of a
+    # second scan
+    bucketed = v.select(
+        "vec_id",
+        "ev",
+        F.expr(f"({lsh_bucket_expr('ev', 'instr', 'div', MAX_PLANES)})").alias("bfull"),
+        F.sqrt(_dot(F.col("ev"), F.col("ev"))).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    divisor = _divisor_for(bucketed.count())
+    bucketed = bucketed.withColumn("bucket", F.pmod("bfull", F.lit(divisor)))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -65,11 +115,7 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         (
-            _dot(F.col("a.ev"), F.col("b.ev"))
-            / (
-                F.sqrt(_dot(F.col("a.ev"), F.col("a.ev")))
-                * F.sqrt(_dot(F.col("b.ev"), F.col("b.ev")))
-            )
+            _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
         ).alias("cosine"),
     )
     return (

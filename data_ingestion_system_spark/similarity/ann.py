@@ -32,7 +32,7 @@ DIM = 64
 
 
 def _dot(a, b):
-    """Sequential-fold dot product over two double arrays."""
+    """Sequential-fold dot product over two double arrays (any length)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -104,23 +104,36 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plane_sign_sql(p: int, j: int, instr_fn: str) -> str:
-    """Deterministic ±1 hyperplane entry: parity of the first hex digit of
-    md5('plane:p:j'). p and j are literals, so the md5 argument inlines
-    (Spark rejects CAST(... AS VARCHAR) without a length)."""
-    nib = f"({instr_fn}('0123456789abcdef', substr(md5('plane:{p}:{j}'), 1, 1)) - 1)"
-    return f"(CASE WHEN ({nib}) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    """Deterministic ±1 hyperplane entry: parity of the first hex digit
+    of md5('plane:p:j'), evaluated HERE at expression-build time and
+    inlined as a ±1.0 literal. Both engines receive the same literal, so
+    cross-engine parity is trivial — and neither engine computes
+    planes×dims md5 calls per row (the in-SQL md5 form was measured at
+    seconds per pass once the bucket widened to 16 planes: Spark does
+    not constant-fold through the CASE, so every row re-hashed 1024
+    constants)."""
+    import hashlib
+
+    del instr_fn  # literal is dialect-independent; kept for call symmetry
+    digest = hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()
+    return "1.0" if int(digest[0], 16) % 2 == 0 else "-1.0"
 
 
-def lsh_bucket_expr(vec_col: str, instr_fn: str, intdiv: str) -> str:
-    """SQL expression: 8-bit sign-projection bucket of a double[] column.
+def lsh_bucket_expr(
+    vec_col: str, instr_fn: str, intdiv: str, n_planes: int = N_PLANES
+) -> str:
+    """SQL expression: n_planes-bit sign-projection bucket of a double[]
+    column (default 8 — the ANN serving shape).
 
     bit p = sign(Σ_j v[j] · s_pj), s_pj ∈ {±1} from md5 parity. Shared
     shape between Spark SQL and DuckDB (1-based element access in both:
-    Spark `element_at`, DuckDB `v[i]`)."""
+    Spark `element_at`, DuckDB `v[i]`). Plane p lands on bit 2^p, so a
+    caller can widen to MAX planes and coarsen with `% 2^P` — the
+    adaptive-granularity trick dedup/embedding.py uses."""
     del intdiv  # same construction for both dialects; kept for symmetry
     elem = "element_at({v}, {j})" if instr_fn == "instr" else "{v}[{j}]"
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         terms = " + ".join(
             f"{elem.format(v=vec_col, j=j + 1)} * {_plane_sign_sql(p, j, instr_fn)}"
             for j in range(DIM)
