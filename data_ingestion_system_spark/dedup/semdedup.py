@@ -42,6 +42,8 @@ from data_ingestion_system_spark.similarity.ivf import (
     _cos,
     _kmeans_ctes,
     _with_norm,
+    adaptive_cells,
+    adaptive_cells_case_sql,
     dataset_cache_key,
     train_centroids,
 )
@@ -56,8 +58,10 @@ SEM_THRESHOLD = 0.30
 _SEMDEDUP_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), kp AS (
+  SELECT {adaptive_cells_case_sql("COUNT(*)")} AS k FROM v
 ),
-{_kmeans_ctes()},
+{_kmeans_ctes("(SELECT k FROM kp)")},
 centroids AS (
   SELECT cell_id, cv FROM c{N_ITERS}
 ), assigned AS (
@@ -96,28 +100,34 @@ def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
     KEEPS the member→centroid cosine — SemDeDup's keep rule ranks on it.
     Argmax as a max_by hash aggregate, not a sort window (the same
     tie rule — cosine DESC, cell_id ASC — as lexicographic struct max;
-    train_centroids' documented shape)."""
-    vn = _with_norm(v, "ev", "nrm")
+    train_centroids' documented shape).
+
+    The n×K scoring relation is SKINNY (vec_id, cell_id, ccos) — the
+    64-double ev array joins back after the argmax collapses n×K rows
+    to n, the same restructure that fixed large-K training
+    (train_centroids): shuffling arrays through the scored relation was
+    the dominant cost at K=256."""
+    vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=False)
     cn = _with_norm(cents, "cv", "cnrm")
-    return (
-        vn.crossJoin(F.broadcast(cn))
+    best = (
+        vn.select("vec_id", "ev", "nrm")
+        .crossJoin(F.broadcast(cn))
         .select(
             "vec_id",
-            "ev",
-            "nrm",
             "cell_id",
             (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
         )
         .groupBy("vec_id")
         .agg(
-            F.any_value("ev").alias("ev"),
-            F.any_value("nrm").alias("nrm"),
             F.max_by(
                 F.struct("cell_id", "ccos"),
                 F.struct(F.col("ccos"), (-F.col("cell_id")).alias("neg")),
             ).alias("best"),
         )
-        .select("vec_id", "ev", "nrm", F.col("best.cell_id").alias("cell_id"), F.col("best.ccos").alias("ccos"))
+        .select("vec_id", F.col("best.cell_id").alias("cell_id"), F.col("best.ccos").alias("ccos"))
+    )
+    return best.join(vn, "vec_id").select(
+        "vec_id", "ev", "nrm", "cell_id", "ccos"
     )
 
 
@@ -170,7 +180,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup pass — which clusters concentrate the redundancy."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir))
+    # corpus-adaptive K (smallest power of two >= sqrt(n), the FAISS
+    # rule): the in-cell pairwise term is n²/K, so K must grow with the
+    # corpus or the quadratic wins — a fixed K=16 measured 80x wall at
+    # 10x corpus. Same ladder evaluates inside the oracle's kp CTE.
+    cents = train_centroids(
+        v, cache_key=dataset_cache_key(sf_dir), n_cells=adaptive_cells(emb.count())
+    )
     # assignment feeds three consumers (members / both pair sides) —
     # materialize it once instead of re-scoring the corpus per branch
     assigned = assign_with_centroid_cosine(v, cents).localCheckpoint(eager=False)

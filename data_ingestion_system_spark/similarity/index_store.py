@@ -27,6 +27,7 @@ from pyspark.sql import SparkSession
 from data_ingestion_system_spark.similarity.ivf import (
     CENT_SCHEMA,
     _index_cache,
+    N_CELLS,
     dataset_cache_key,
     warm_index_cache,
 )
@@ -44,7 +45,10 @@ def save_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     meta = {"fingerprint": key, "artifacts": {}}
     for kind, schema in (("centroids", CENT_SCHEMA), ("codebooks", CODES_SCHEMA)):
-        rows = cache[(kind, key)]
+        # the ANN index's coarse quantizer is the fixed-K (N_CELLS) one;
+        # its session memo carries the cell count (adaptive-K SemDeDup
+        # quantizers memoize separately and are retrained per corpus)
+        rows = cache[(kind, key, N_CELLS) if kind == "centroids" else (kind, key)]
         with open(os.path.join(out_dir, f"{kind}.json"), "w") as fh:
             json.dump(rows, fh)
         meta["artifacts"][kind] = {"n_rows": len(rows), "schema": schema}
@@ -73,5 +77,6 @@ def load_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
         with open(os.path.join(index_dir, f"{kind}.json")) as fh:
             rows = json.load(fh)
         # JSON round-trips tuples as lists — restore the (id, vec) shape
-        cache[(kind, key)] = [tuple(r) for r in rows]
+        memo = (kind, key, N_CELLS) if kind == "centroids" else (kind, key)
+        cache[memo] = [tuple(r) for r in rows]
     return meta

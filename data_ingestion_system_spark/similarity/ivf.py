@@ -44,6 +44,30 @@ NPROBE = 2
 N_ITERS = 3  # Lloyd iterations
 TRAIN_MOD = 4  # train the quantizer on vec_id % TRAIN_MOD == 0
 
+# Corpus-adaptive cell count (FAISS practice: K ≈ sqrt(N)) as an integer
+# CASE ladder — smallest power of two ≥ sqrt(n), clamped [16, 256] — so
+# the static DuckDB oracle derives the identical K from the identical
+# COUNT(*) with no float log/sqrt anywhere. SemDeDup uses this (its
+# in-cell pairwise term is n²/K, which a FIXED K lets grow quadratically:
+# measured 80x wall at 10x corpus); the ANN serving index keeps fixed
+# N_CELLS. Raise the cap for corpora beyond ~65k vectors.
+ADAPTIVE_CELL_LADDER = tuple((4**p, 2**p) for p in range(4, 8))  # (n≤4^p, K=2^p)
+ADAPTIVE_CELL_CAP = 256
+
+
+def adaptive_cells(n: int) -> int:
+    for bound, k in ADAPTIVE_CELL_LADDER:
+        if n <= bound:
+            return k
+    return ADAPTIVE_CELL_CAP
+
+
+def adaptive_cells_case_sql(n_sql: str) -> str:
+    arms = " ".join(
+        f"WHEN {n_sql} <= {bound} THEN {k}" for bound, k in ADAPTIVE_CELL_LADDER
+    )
+    return f"(CASE {arms} ELSE {ADAPTIVE_CELL_CAP} END)"
+
 _COSINE = """
 list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))
   / (sqrt(list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {a}[i])))
@@ -102,12 +126,19 @@ def warm_index_cache(spark: SparkSession, sf_dir: str) -> None:
     key = dataset_cache_key(sf_dir)
     train_centroids(v, cache_key=key)
     train_codebooks(v, cache_key=key)
+    # SemDeDup's corpus-adaptive quantizer is a separate trained artifact
+    # (different K) — warm it too, so semantic_dedup measures serving
+    train_centroids(v, cache_key=key, n_cells=adaptive_cells(emb.count()))
 
 
-def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
+def train_centroids(
+    v: DataFrame, cache_key: str | None = None, n_cells: int = N_CELLS
+) -> DataFrame:
     """Spherical k-means over the 1-in-TRAIN_MOD sample: N_ITERS ×
     (cosine-argmax assign → rounded element-wise mean). Empty cells keep
     their previous centroid. Returns a K-row (cell_id, cv) DataFrame.
+    K = ``n_cells`` (default the ANN index's fixed N_CELLS; SemDeDup
+    passes the corpus-adaptive `adaptive_cells` count).
 
     Each iteration localCheckpoints the K updated centroids so plans stay
     one-iteration deep (a lazily chained 3-iteration plan measurably
@@ -123,33 +154,36 @@ def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
 
     spark = v.sparkSession
     cache = _index_cache(spark) if cache_key is not None else None
-    memo = ("centroids", cache_key)
+    memo = ("centroids", cache_key, n_cells)
     if cache is not None and memo in cache:
         return replay_rows_df(spark, cache[memo], CENT_SCHEMA)
     vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=True)
     vt = vn.filter(F.pmod("vec_id", F.lit(TRAIN_MOD)) == 0).localCheckpoint(eager=True)
     cents = vn.filter(
-        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + N_CELLS)
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + n_cells)
     ).select(
         (F.col("vec_id") - CENTROID_BASE).alias("cell_id"),
         F.col("ev").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
     for _ in range(N_ITERS):
+        # score SKINNY rows (vec_id, cell_id, c) — carrying the 64-double
+        # ev array through the sample×K relation and its groupBy shuffle
+        # is what made large-K training memory-bound (measured 3x at
+        # K=256); the vectors join back AFTER the argmax collapses the
+        # relation to one row per training vector
         scored = vt.crossJoin(F.broadcast(cents)).select(
             "vec_id",
-            "ev",
-            "cell_id",
             (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+            "cell_id",
         )
         # argmax by (cosine DESC, cell_id ASC) as a hash-agg max_by — no
         # sort window needed; lexicographic struct max == the tie order
         assigned = scored.groupBy("vec_id").agg(
-            F.any_value("ev").alias("ev"),
             F.max_by(
                 "cell_id", F.struct(F.col("c"), (-F.col("cell_id")).alias("neg"))
             ).alias("cell_id"),
-        )
+        ).join(vt.select("vec_id", "ev"), "vec_id")
         # element-wise mean via posexplode + one avg — a narrow codegen
         # aggregate instead of DIM parallel agg expressions
         means = (
@@ -178,10 +212,12 @@ def train_centroids(v: DataFrame, cache_key: str | None = None) -> DataFrame:
     return cents.select("cell_id", "cv")
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(n_cells_sql: str | int = N_CELLS) -> str:
     """Unrolled k-means iterations as DuckDB CTEs — the SQL twin of
     `train_centroids` (same sample, init, argmax ties, rounding, and
-    empty-cell carryover)."""
+    empty-cell carryover). ``n_cells_sql`` is the cell count as an int
+    literal or an SQL snippet (e.g. a scalar subquery over a CASE ladder
+    for corpus-adaptive K)."""
     avgs = ", ".join(
         f"ROUND(AVG(ev[{j + 1}]) * 1000000.0) / 1000000.0" for j in range(DIM)
     )
@@ -190,7 +226,7 @@ def _kmeans_ctes() -> str:
   SELECT vec_id, ev FROM v WHERE vec_id % {TRAIN_MOD} = 0
 ), c0 AS (
   SELECT vec_id - {CENTROID_BASE} AS cell_id, ev AS cv FROM v
-  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + N_CELLS}
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE} + {n_cells_sql}
 )"""
     ]
     for it in range(1, N_ITERS + 1):
