@@ -179,28 +179,59 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the block tables shuffle-partition cleanly by (t, bkey), and
     recall stays exact as long as HAMMING_MAX < number of blocks.
 
+    Like `near_dup_simhash`, the candidate search runs over DISTINCT
+    fingerprint VALUES (the shipped corpora repeat ~45% of values), so
+    the block join and the Hamming filter touch the collapsed value
+    relation; doc pairs are recovered by two value-keyed joins, and the
+    cross/same split makes the expansion duplicate-free WITHOUT the
+    pair-level DISTINCT the doc-level join needed over its (answer ×
+    shared-blocks) blowup.
+
     Reference parity: extends docs/summery_deck.md's near-dup goal
     (reference has no simhash; cited for the dedup requirement only)."""
     docs = load_table(spark, sf_dir, "documents")
     hashes = simhash_fingerprints(docs, MB_BITS).localCheckpoint(eager=False)
-    blocks = simhash_blocks(hashes)
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    pairs = (
+    vals = hashes.select("simhash").distinct()
+    vblocks = simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash"))
+    a = vblocks.alias("a")
+    b = vblocks.alias("b")
+    # distinct value pairs sharing >= 1 block, within the Hamming bound
+    vp = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("va"),
+            F.col("b.simhash").alias("vb"),
             F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
         )
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= HAMMING_MAX).orderBy("doc_a", "doc_b")
+    x = hashes.alias("x")
+    y = hashes.alias("y")
+    cross = (
+        vp.join(x, F.col("x.simhash") == F.col("va"))
+        .join(y, F.col("y.simhash") == F.col("vb"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    same = x.join(
+        y,
+        (F.col("x.simhash") == F.col("y.simhash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
 @query("near_dup_simhash", oracle=_oracle(), survey="EXT-dedup")
