@@ -416,3 +416,43 @@ def test_source_vocab_jaccard_joins_on_token(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "token" in plan
     assert count_broadcast_joins(df) >= 2
+
+
+def test_simhash_candidates_join_on_fingerprint_value(spark, sf_dir):
+    """Both simhash variants search candidates over the DISTINCT
+    fingerprint-value relation and expand via value-keyed equi-joins —
+    the plan must carry the distinct aggregate and simhash-keyed joins,
+    and never a cartesian (the doc-level self-join this replaced went
+    quadratic as the value space saturated)."""
+    for name in ("near_dup_simhash", "near_dup_simhash_multiblock"):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = simple_plan_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert "simhash" in plan, name
+        assert "HashAggregate" in plan, name  # the distinct-value collapse
+
+
+def test_embedding_dedup_bucket_join_is_adaptive_pmod(spark, sf_dir):
+    """The near-dup pair stage must equi-join on the pmod-coarsened
+    bucket of the checkpointed full-width LSH key — no cartesian, no
+    per-pair norm recomputation (norms are checkpoint columns)."""
+    df = REGISTRY["near_dup_embedding_cosine"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "pmod" in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_linkage_levenshtein_is_bounded(spark, sf_dir):
+    """The pair stage must call the 3-arg (thresholded) levenshtein —
+    the O(len·k) early-exit form — never the unbounded O(len²) one.
+    (linkage_entities shares the pair builder, but its levenshtein runs
+    inside the closure's eager edge checkpoint, so only the pair query's
+    lazy plan can be inspected.)"""
+    df = REGISTRY["fuzzy_linkage_pairs"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "levenshtein" in plan, plan
+    # the threshold renders as the third Some(k) argument
+    import re as _re
+
+    assert _re.search(r"levenshtein\([^)]*,[^)]*,\s*Some\(\d+\)", plan), plan
