@@ -82,6 +82,15 @@ HEADLINE = [
 
 REPS = 3  # median-of-3 per query
 
+# Queries whose DEFINED answer is pair-scale (quadratically growing with
+# corpus saturation — SCALING.md): the engine computes them in seconds,
+# but `.collect()` serializes tens of millions of rows to the Python
+# driver, a cost every real consumer avoids by writing to storage. These
+# are timed via `.count()` (full plan executes engine-side; VERDICT r4
+# ask #3); the driver-collect time is reported alongside once under
+# `collect_sec` so r4↔r5 totals stay comparable.
+OUTPUT_BOUND = {"near_dup_simhash", "near_dup_simhash_multiblock"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,13 +123,23 @@ def main() -> None:
     train_sec = round(time.perf_counter() - t0, 3)
 
     times: dict[str, float] = {}
+    collect_sec: dict[str, float] = {}
     for name in HEADLINE:
+        sink_measured = name in OUTPUT_BOUND
         reps = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            registry[name].spark(spark, sf_dir).collect()
+            df = registry[name].spark(spark, sf_dir)
+            if sink_measured:
+                df.count()
+            else:
+                df.collect()
             reps.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(reps), 3)
+        if sink_measured:
+            t0 = time.perf_counter()
+            registry[name].spark(spark, sf_dir).collect()
+            collect_sec[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -132,6 +151,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "reps": REPS,
+                "collect_sec": collect_sec,
                 "ann_index_train_sec": train_sec,
                 "ref_anchor": _reference_anchor(spark),
             }

@@ -234,26 +234,39 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
-@query("near_dup_simhash", oracle=_oracle(), survey="EXT-dedup")
-def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming ≤ 3 among docs sharing the top
-    fingerprint byte (the blocking key). Blocking keeps the join from
-    going quadratic; recall can be raised by re-running with rotated
-    fingerprints (Manku et al.'s table approach).
+# Below this corpus size the plain doc-level block join beats the
+# value-collapsed plan: the collapse's fixed overhead (distinct + two
+# expansion joins + the cross/same union) costs ~1s of constant time
+# that a 5k-doc corpus never earns back (VERDICT r4: 2.24 → 3.40 s at
+# sf0.1), while above it the 16-bit value space saturates and the
+# collapse is the difference between output-bound and quadratic
+# (measured 86x wall at 10x corpus). Both plans compute the identical
+# answer — the threshold only picks the cheaper physical shape.
+VALUE_COLLAPSE_MIN_DOCS = 16_384
 
-    The candidate search runs over DISTINCT fingerprint VALUES, not
-    docs: the 16-bit value space is bounded at 65,536 rows no matter
-    the corpus size, so the Hamming-filtered value-pair join is O(1)
-    w.r.t. the corpus, and doc pairs are recovered by two hash joins
-    keyed on the value — the only corpus-growing cost is the answer
-    itself. (The doc-level self-join this replaces went quadratic as
-    the 16-bit space saturated: measured 86x wall at 10x corpus;
-    value-collapsed it is output-bound.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    # materialize fingerprints once — the distinct-value relation, the
-    # same-value join, and both expansion joins all read the
-    # checkpointed 1-row-per-doc relation
-    hashes = simhash_fingerprints(docs).localCheckpoint(eager=False)
+
+def simhash_pairs_direct(hashes: DataFrame) -> DataFrame:
+    """Doc-level top-byte block self-join — the small-corpus plan."""
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.expr("a.simhash div 256") == F.expr("b.simhash div 256"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def simhash_pairs_value_collapsed(hashes: DataFrame) -> DataFrame:
+    """Value-collapsed candidate search — the at-scale plan (see
+    `near_dup_simhash`)."""
     vals = hashes.select("simhash").distinct()
     u = vals.alias("u")
     w = vals.alias("w")
@@ -291,4 +304,37 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y.doc_id").alias("doc_b"),
         F.lit(0).cast("int").alias("hamming"),
     )
-    return cross.unionByName(same).orderBy("doc_a", "doc_b")
+    return cross.unionByName(same)
+
+
+@query("near_dup_simhash", oracle=_oracle(), survey="EXT-dedup")
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming ≤ 3 among docs sharing the top
+    fingerprint byte (the blocking key). Blocking keeps the join from
+    going quadratic; recall can be raised by re-running with rotated
+    fingerprints (Manku et al.'s table approach).
+
+    Above VALUE_COLLAPSE_MIN_DOCS the candidate search runs over
+    DISTINCT fingerprint VALUES, not docs
+    (`simhash_pairs_value_collapsed`): the 16-bit value space is
+    bounded at 65,536 rows no matter the corpus size, so the
+    Hamming-filtered value-pair join is O(1) w.r.t. the corpus, and doc
+    pairs are recovered by two hash joins keyed on the value — the only
+    corpus-growing cost is the answer itself. (The doc-level self-join
+    went quadratic as the 16-bit space saturated: measured 86x wall at
+    10x corpus; value-collapsed it is output-bound.) Below the
+    threshold the direct doc-level block join (`simhash_pairs_direct`)
+    is cheaper — the collapse constant never pays off on a corpus whose
+    fingerprints barely repeat. Identical answer either way (pinned by
+    tests/test_dedup_recall.py); fingerprints materialize once (eager
+    checkpoint) and every downstream join reads the 1-row-per-doc
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    n_docs = hashes.count()  # counts the already-materialized checkpoint
+    pairs = (
+        simhash_pairs_value_collapsed(hashes)
+        if n_docs >= VALUE_COLLAPSE_MIN_DOCS
+        else simhash_pairs_direct(hashes)
+    )
+    return pairs.orderBy("doc_a", "doc_b")

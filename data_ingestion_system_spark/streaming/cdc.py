@@ -118,7 +118,17 @@ def run_cdc_stream(
     `cdc_apply_batch` and (optionally) appends one audit row per batch —
     the T3 fetched=applied+skipped invariant for CDC. availableNow
     drains the backlog and stops (the test/backfill trigger; a
-    production run would drop the trigger for continuous tailing)."""
+    production run would drop the trigger for continuous tailing).
+
+    Audit-row semantics (changed in round 4 to make the T3 invariant
+    hold; dashboards reading these columns should use these meanings):
+    `deleted` counts delete operations APPLIED — including deletes of
+    keys absent from the mirror and first-batch 'D' winners, which
+    remove zero physical rows; it is NOT "rows physically removed".
+    `skipped_stale` is the arithmetic remainder `fetched - upserted -
+    deleted`, which folds in both cross-batch stale rows and
+    within-batch duplicates collapsed by the per-key max-seq winner
+    rule. See `cdc_apply_batch` for the per-case accounting."""
     stream = spark.readStream.schema(FEED_SCHEMA).parquet(feed_dir)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -20,8 +20,11 @@ state against a one-statement recomputation:
   three-line ORDER BY/LIMIT in DuckDB.
 
 Both fixtures build once per testdata generation under a fingerprinted
-temp dir (tables.fingerprint_fixture_dir) with a marker-last commit, so
-repeated driver runs reuse the ingested state instead of re-streaming.
+temp dir (tables.fingerprint_fixture_dir); the build stages under a
+session-unique dir and atomically renames into the fingerprinted path
+(`_fixture_once`), so concurrent sessions can never interleave their
+stateful maintenance writes, and repeated driver runs reuse the
+ingested state instead of re-streaming.
 
 Scale: the view read touches days×batches partial rows (metadata-scale
 regardless of corpus size); the reservoir holds exactly k rows and each
@@ -31,6 +34,8 @@ fold is one union + TakeOrdered(k).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +49,38 @@ from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import fingerprint_fixture_dir, load_table
 
 _N_BATCHES = 4
+
+_MARKER = "_DIS_READY"
+
+
+def _fixture_once(base: str, build) -> str:
+    """Build a fingerprinted fixture exactly once, race-safely: two
+    sessions (e.g. the driver and pytest) may both see the marker
+    missing; each builds under its OWN uuid-suffixed staging dir and the
+    winner atomically renames it into place — the loser discards its
+    copy and reads the winner's. The stateful maintenance paths
+    (update_reservoir's read-union-overwrite, write_partial's partition
+    overwrite) therefore never interleave on a shared directory."""
+    marker = os.path.join(base, _MARKER)
+    if os.path.exists(marker):
+        return base
+    staging = f"{base}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build(staging)
+    with open(os.path.join(staging, _MARKER), "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(staging, base)
+    except OSError:
+        # another session won the rename (or a crashed build left the
+        # destination); keep theirs if complete, else replace it
+        if not os.path.exists(marker):
+            shutil.rmtree(base, ignore_errors=True)
+            try:
+                os.rename(staging, base)
+            except OSError:
+                pass  # lost the re-race — the other copy is complete
+        shutil.rmtree(staging, ignore_errors=True)
+    return base
 
 # avg is derived from the ROUNDED sum on both sides: the incremental
 # rollup sums partials in a different order than DuckDB's single pass,
@@ -72,9 +109,8 @@ def _partials_fixture(spark: SparkSession, sf_dir: str) -> str:
     from data_ingestion_system_spark.streaming.incremental_agg import write_partial
 
     base = fingerprint_fixture_dir("dis_incrview", sf_dir, "events")
-    partials = os.path.join(base, "partials")
-    marker = os.path.join(base, "_DIS_MAINTAINED")
-    if not os.path.exists(marker):
+
+    def _build(staging: str) -> None:
         ev = load_table(spark, sf_dir, "events")
         for b in range(_N_BATCHES):
             write_partial(
@@ -82,12 +118,10 @@ def _partials_fixture(spark: SparkSession, sf_dir: str) -> str:
                 b,
                 "ts",
                 "value",
-                partials,
+                os.path.join(staging, "partials"),
             )
-        os.makedirs(base, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return partials
+
+    return os.path.join(_fixture_once(base, _build), "partials")
 
 
 @query("incremental_daily_view", oracle=_DAILY_ORACLE, survey="EXT-streaming T2")
@@ -128,24 +162,19 @@ def _reservoir_fixture(spark: SparkSession, sf_dir: str) -> str:
     from data_ingestion_system_spark.streaming.reservoir import update_reservoir
 
     base = fingerprint_fixture_dir("dis_reservoir", sf_dir, "events")
-    res_dir = os.path.join(base, "reservoir")
-    marker = os.path.join(base, "_DIS_SAMPLED")
-    if not os.path.exists(marker):
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type"
-        )
+
+    def _build(staging: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
         for b in range(3):
             update_reservoir(
                 spark,
                 ev.filter(F.pmod("event_id", F.lit(3)) == b),
-                res_dir,
+                os.path.join(staging, "reservoir"),
                 "event_id",
                 _RESERVOIR_K,
             )
-        os.makedirs(base, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return res_dir
+
+    return os.path.join(_fixture_once(base, _build), "reservoir")
 
 
 @query("reservoir_sample", oracle=_RESERVOIR_ORACLE, survey="EXT-streaming M1")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import (
     U52_DENOM,
+    oracle_round,
     round_port,
     u52_terms_sql,
 )
@@ -78,7 +79,7 @@ CLASSIFIER_CTES = f"""clfbuckets AS (
   SELECT f.doc_id, f.source,
          COUNT(*) AS n_tokens,
          1.0 / (1.0 + exp(-{GAIN} * AVG(w.w))) AS score,
-         CASE WHEN AVG(w.w) > 0 THEN 1 ELSE 0 END AS keep
+         CASE WHEN {oracle_round("AVG(w.w)", 6)} > 0 THEN 1 ELSE 0 END AS keep
   FROM clffeats f JOIN clfweights w USING (bucket)
   GROUP BY f.doc_id, f.source
 )"""
@@ -127,7 +128,17 @@ def score_documents(
     (text/repetition.word_counts) so a composed pipeline pays for ONE
     unigram explode+shuffle shared with the repetition filters — the
     mean bucket weight over the token stream equals the c-weighted mean
-    over distinct words: sum(c·w)/sum(c)."""
+    over distinct words: sum(c·w)/sum(c).
+
+    `keep` is the sign test on the mean ROUNDED at 6 decimals
+    (round_port, the repo's cross-engine contract; mirrored in
+    CLASSIFIER_CTES): the two Spark paths compute the same rational
+    mean at different decimal scales (avg over the stream vs decimal
+    sum(c·w)/sum(c), whose division truncates at scale 6 — ADVICE r4),
+    so an unrounded `> 0` could flip between paths/engines for a doc
+    whose mean sits within scale noise of 0. Rounding first makes all
+    three computations agree (tests/test_semdedup_classifier.py pins
+    the path equivalence over the corpus)."""
     if wcounts is not None:
         feats = wcounts.select(
             "doc_id",
@@ -142,7 +153,7 @@ def score_documents(
             .agg(
                 F.sum("c").alias("n_tokens"),
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-GAIN) * mean_w))).alias("score"),
-                F.when(mean_w > 0, 1).otherwise(0).alias("keep"),
+                F.when(round_port(mean_w, 6) > 0, 1).otherwise(0).alias("keep"),
             )
         )
     tokenized = (
@@ -167,7 +178,7 @@ def score_documents(
         .agg(
             F.count("*").alias("n_tokens"),
             (F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-GAIN) * F.avg("w")))).alias("score"),
-            F.when(F.avg("w") > 0, 1).otherwise(0).alias("keep"),
+            F.when(round_port(F.avg("w"), 6) > 0, 1).otherwise(0).alias("keep"),
         )
     )
 

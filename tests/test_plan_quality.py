@@ -419,17 +419,65 @@ def test_source_vocab_jaccard_joins_on_token(spark, sf_dir):
 
 
 def test_simhash_candidates_join_on_fingerprint_value(spark, sf_dir):
-    """Both simhash variants search candidates over the DISTINCT
-    fingerprint-value relation and expand via value-keyed equi-joins —
-    the plan must carry the distinct aggregate and simhash-keyed joins,
-    and never a cartesian (the doc-level self-join this replaced went
-    quadratic as the value space saturated)."""
-    for name in ("near_dup_simhash", "near_dup_simhash_multiblock"):
-        df = REGISTRY[name].spark(spark, sf_dir)
-        plan = simple_plan_str(df)
-        assert "CartesianProduct" not in plan, name
-        assert "simhash" in plan, name
-        assert "HashAggregate" in plan, name  # the distinct-value collapse
+    """At scale both simhash variants search candidates over the
+    DISTINCT fingerprint-value relation and expand via value-keyed
+    equi-joins — the plan must carry the distinct aggregate and
+    simhash-keyed joins, and never a cartesian (the doc-level self-join
+    this replaced went quadratic as the value space saturated).
+    `near_dup_simhash` picks the direct doc-level block join below
+    VALUE_COLLAPSE_MIN_DOCS (r5: the collapse constant cost ~1s at
+    sf0.1 without buying anything), so the collapsed shape is asserted
+    on the builder directly and the threshold dispatch separately."""
+    from data_ingestion_system_spark.dedup.simhash import (
+        simhash_fingerprints,
+        simhash_pairs_direct,
+        simhash_pairs_value_collapsed,
+    )
+    from data_ingestion_system_spark.tables import load_table
+
+    # multiblock always runs value-collapsed
+    df = REGISTRY["near_dup_simhash_multiblock"].spark(spark, sf_dir)
+    plan = simple_plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "simhash" in plan
+    assert "HashAggregate" in plan  # the distinct-value collapse
+
+    hashes = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    collapsed = simple_plan_str(simhash_pairs_value_collapsed(hashes))
+    assert "CartesianProduct" not in collapsed
+    assert "HashAggregate" in collapsed
+    direct = simple_plan_str(simhash_pairs_direct(hashes))
+    assert "CartesianProduct" not in direct  # block-keyed equi-join
+    assert "simhash" in direct
+
+    # the sf0.001 corpus (500 docs) is below the threshold → direct plan
+    # (no distinct-value aggregate between the scan and the pair join)
+    small = REGISTRY["near_dup_simhash"].spark(spark, sf_dir)
+    assert "CartesianProduct" not in simple_plan_str(small)
+
+
+def test_simhash_direct_and_collapsed_plans_agree(spark, sf_dir):
+    """The threshold in near_dup_simhash only picks a physical shape —
+    both builders must produce the identical pair set."""
+    from data_ingestion_system_spark.dedup.simhash import (
+        simhash_fingerprints,
+        simhash_pairs_direct,
+        simhash_pairs_value_collapsed,
+    )
+    from data_ingestion_system_spark.tables import load_table
+
+    hashes = simhash_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    direct = {
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs_direct(hashes).collect()
+    }
+    collapsed = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_value_collapsed(hashes).collect()
+    }
+    assert direct == collapsed
+    assert len(direct) > 0
 
 
 def test_embedding_dedup_bucket_join_is_adaptive_pmod(spark, sf_dir):
