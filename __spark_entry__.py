@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = (
     # new in round 4 (staged for the r5 driver window)
     "incremental_daily_view",
     "reservoir_sample",
+    # new in round 5 (staged for the r6 driver window)
+    "semantic_dedup_hier",
     # ---- r03-green entries (first driver row in CORRECTNESS_r03) ----
     "range_join_events",
     "source_drift_metrics",

@@ -78,6 +78,12 @@ HEADLINE = [
     "revenue_rollup_nation_year",
     "cdc_apply_state",
     "linkage_entities",
+    # round-5 additions (VERDICT r4 ask #6): the two remaining
+    # scale-interesting shapes, tracked round-over-round — the exact-recall
+    # 32-bit simhash (output-bound, sink-measured) and the hierarchical
+    # SemDeDup twin (the fix for the flat op's inherent n^1.5)
+    "near_dup_simhash_multiblock",
+    "semantic_dedup_hier",
 ]
 
 REPS = 3  # median-of-3 per query

@@ -68,6 +68,68 @@ def adaptive_cells_case_sql(n_sql: str) -> str:
     )
     return f"(CASE {arms} ELSE {ADAPTIVE_CELL_CAP} END)"
 
+
+# Two-level (hierarchical) split of the adaptive cell count, for the
+# SemDeDup scale twin: K_total = Kc·Kf = smallest power of two ≥ sqrt(n)
+# with the same 4^p bounds as ADAPTIVE_CELL_LADDER but a higher cap —
+# the flat quantizer's n×K assignment pass is what capped K at 256
+# (n^1.5 overall); two-level assignment costs n×(Kc+Kf) ≈ 2n·n^(1/4),
+# so the total cell count can keep growing with the corpus and the
+# in-cell pair term n²/K_total stays ≈ n^1.5/sqrt-free. Kc ≥ Kf so the
+# coarse k-means (trained on the corpus sample) carries the larger half.
+HIER_CELL_LADDER = tuple(
+    (4**p, 2 ** ((p + 1) // 2), 2 ** (p // 2)) for p in range(4, 12)
+)
+HIER_CELL_CAP = (64, 64)  # K_total 4096 beyond ~4M vectors
+
+
+def hier_cells(n: int) -> tuple[int, int]:
+    for bound, kc, kf in HIER_CELL_LADDER:
+        if n <= bound:
+            return kc, kf
+    return HIER_CELL_CAP
+
+
+# Corpus-adaptive TRAINING SAMPLE (VERDICT r4 ask #5): k-means cost is
+# sample×K per Lloyd round, so a fixed 1-in-4 sample makes index
+# training grow linearly with the corpus (measured 8.5 → 28.7 s warm-up
+# at 10x data). The mod ladder bounds the training set at ~1-4k vectors
+# regardless of corpus size — FAISS's sampled-training practice (it
+# trains IVF on a bounded per-centroid sample, not the corpus). Same
+# integer CASE ladder in the oracle CTEs, keyed on COUNT(*) of the
+# vector relation, so both engines derive the identical sample at any
+# corpus size; at the shipped test scales (n ≤ 16384) the mod stays 4
+# and every existing oracle result is bit-unchanged.
+TRAIN_MOD_LADDER = ((16_384, TRAIN_MOD), (65_536, 16), (262_144, 64))
+TRAIN_MOD_CAP = 256
+
+
+def adaptive_train_mod(n: int) -> int:
+    for bound, mod in TRAIN_MOD_LADDER:
+        if n <= bound:
+            return mod
+    return TRAIN_MOD_CAP
+
+
+def adaptive_train_mod_case_sql(n_sql: str = "(SELECT COUNT(*) FROM v)") -> str:
+    arms = " ".join(
+        f"WHEN {n_sql} <= {bound} THEN {mod}" for bound, mod in TRAIN_MOD_LADDER
+    )
+    return f"(CASE {arms} ELSE {TRAIN_MOD_CAP} END)"
+
+
+def hier_cells_case_sql(n_sql: str) -> tuple[str, str]:
+    kc_arms = " ".join(
+        f"WHEN {n_sql} <= {bound} THEN {kc}" for bound, kc, _ in HIER_CELL_LADDER
+    )
+    kf_arms = " ".join(
+        f"WHEN {n_sql} <= {bound} THEN {kf}" for bound, _, kf in HIER_CELL_LADDER
+    )
+    return (
+        f"(CASE {kc_arms} ELSE {HIER_CELL_CAP[0]} END)",
+        f"(CASE {kf_arms} ELSE {HIER_CELL_CAP[1]} END)",
+    )
+
 _COSINE = """
 list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))
   / (sqrt(list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {a}[i])))
@@ -118,17 +180,38 @@ def warm_index_cache(spark: SparkSession, sf_dir: str) -> None:
     """Train the IVF centroids and PQ codebooks for ``sf_dir`` into the
     session index cache, so subsequent ANN queries measure SERVING, not
     training — an index is built once and queried many times, and bench
-    numbers should reflect that steady state."""
+    numbers should reflect that steady state.
+
+    The artifacts (fixed-K IVF quantizer, PQ codebooks, SemDeDup's
+    adaptive-K quantizer, the hierarchical twin's coarse quantizer) are
+    INDEPENDENT job DAGs over the same corpus — they train concurrently
+    from a thread pool, so warm-up wall-clock is the slowest single
+    training, not the sum (the Lloyd loops are scheduling-overhead
+    bound, ~2 s/iteration regardless of sample size, so sequential
+    training pays that constant 8-9 times over)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_ingestion_system_spark.similarity.pq import train_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _as_double("embedding").alias("ev"))
     key = dataset_cache_key(sf_dir)
-    train_centroids(v, cache_key=key)
-    train_codebooks(v, cache_key=key)
-    # SemDeDup's corpus-adaptive quantizer is a separate trained artifact
-    # (different K) — warm it too, so semantic_dedup measures serving
-    train_centroids(v, cache_key=key, n_cells=adaptive_cells(emb.count()))
+    n = emb.count()
+    kc, _ = hier_cells(n)
+    jobs = [
+        lambda: train_centroids(v, cache_key=key),
+        lambda: train_codebooks(v, cache_key=key),
+        # SemDeDup's corpus-adaptive quantizer is a separate trained
+        # artifact (different K) — warm it too
+        lambda: train_centroids(v, cache_key=key, n_cells=adaptive_cells(n)),
+    ]
+    if kc != N_CELLS:
+        # the hierarchical twin's coarse quantizer (only when its cell
+        # count diverges from the fixed-K artifact's memo)
+        jobs.append(lambda: train_centroids(v, cache_key=key, n_cells=kc))
+    with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        for fut in [ex.submit(j) for j in jobs]:
+            fut.result()
 
 
 def train_centroids(
@@ -158,7 +241,10 @@ def train_centroids(
     if cache is not None and memo in cache:
         return replay_rows_df(spark, cache[memo], CENT_SCHEMA)
     vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=True)
-    vt = vn.filter(F.pmod("vec_id", F.lit(TRAIN_MOD)) == 0).localCheckpoint(eager=True)
+    # bounded training sample: the mod ladder keeps Lloyd cost
+    # corpus-size-independent (counts the materialized checkpoint)
+    mod = adaptive_train_mod(vn.count())
+    vt = vn.filter(F.pmod("vec_id", F.lit(mod)) == 0).localCheckpoint(eager=True)
     cents = vn.filter(
         (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + n_cells)
     ).select(
@@ -223,7 +309,7 @@ def _kmeans_ctes(n_cells_sql: str | int = N_CELLS) -> str:
     )
     ctes = [
         f"""vt AS (
-  SELECT vec_id, ev FROM v WHERE vec_id % {TRAIN_MOD} = 0
+  SELECT vec_id, ev FROM v WHERE vec_id % {adaptive_train_mod_case_sql()} = 0
 ), c0 AS (
   SELECT vec_id - {CENTROID_BASE} AS cell_id, ev AS cv FROM v
   WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE} + {n_cells_sql}

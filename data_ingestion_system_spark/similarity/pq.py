@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.similarity.ivf import dataset_cache_key
+from data_ingestion_system_spark.similarity.ivf import (
+    adaptive_train_mod,
+    adaptive_train_mod_case_sql,
+    dataset_cache_key,
+)
 from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _as_double, _dot
 from data_ingestion_system_spark.tables import load_table
 
@@ -94,9 +98,10 @@ def train_codebooks(
         return replay_rows_df(spark, cache[memo], CODES_SCHEMA)
     if sv is None:
         sv = subvectors(v).localCheckpoint(eager=True)
-    train = sv.filter(F.pmod("vec_id", F.lit(PQ_TRAIN_MOD)) == 0).localCheckpoint(
-        eager=True
-    )
+    # bounded training sample, same mod ladder as the IVF quantizer
+    # (sv is checkpointed: n_vectors = rows / M subspaces, counted cheap)
+    mod = adaptive_train_mod(sv.count() // M_SUB)
+    train = sv.filter(F.pmod("vec_id", F.lit(mod)) == 0).localCheckpoint(eager=True)
     codes = sv.filter(
         (F.col("vec_id") >= PQ_CODE_BASE) & (F.col("vec_id") < PQ_CODE_BASE + K_CODES)
     ).select("m", (F.col("vec_id") - PQ_CODE_BASE).alias("code"), F.col("sv").alias("cv"))
@@ -232,7 +237,7 @@ def _codebook_ctes() -> list[str]:
     avgs = ", ".join(f"ROUND(AVG(sv[{j + 1}]) * 1000000.0) / 1000000.0" for j in range(SD))
     ctes = [
         f"sub AS (\n  {sub}\n)",
-        f"ptrain AS (SELECT * FROM sub WHERE vec_id % {PQ_TRAIN_MOD} = 0)",
+        f"ptrain AS (SELECT * FROM sub WHERE vec_id % {adaptive_train_mod_case_sql()} = 0)",
         f"""pcb0 AS (
   SELECT m, vec_id - {PQ_CODE_BASE} AS code, sv AS cv FROM sub
   WHERE vec_id >= {PQ_CODE_BASE} AND vec_id < {PQ_CODE_BASE + K_CODES}

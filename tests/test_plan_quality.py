@@ -186,6 +186,36 @@ def test_semdedup_pairwise_is_cell_bucketed(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_semdedup_hier_pairwise_is_fine_cell_bucketed(spark, sf_dir):
+    """The hierarchical twin's pairwise stage must equi-join on
+    (cell_id, fine_id) — the two-level bucket — and the fine-centroid
+    scoring must be a BROADCAST join on cell_id (the fine table is
+    Kc·Kf ≤ 4096 rows); never a cartesian over the corpus."""
+    df = REGISTRY["semantic_dedup_hier"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "fine_id" in plan
+
+    # the fine-scoring join sits behind a checkpoint in the full query —
+    # assert its broadcast shape on the builder directly
+    from data_ingestion_system_spark.dedup.semdedup import (
+        assign_coarse,
+        assign_fine,
+        train_fine_centroids,
+    )
+    from data_ingestion_system_spark.similarity.ann import _as_double
+    from data_ingestion_system_spark.similarity.ivf import train_centroids
+    from data_ingestion_system_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    cassigned = assign_coarse(v, train_centroids(v, n_cells=4))
+    fcents = train_fine_centroids(cassigned, 4)
+    fine_plan = simple_plan_str(assign_fine(cassigned, fcents))
+    assert "CartesianProduct" not in fine_plan
+    assert "BroadcastHashJoin" in fine_plan  # fine-table scoring join
+
+
 def test_quality_classifier_weights_broadcast(spark, sf_dir):
     """The B-row model table broadcasts onto the exploded token stream —
     the corpus never shuffles to meet its weights."""
