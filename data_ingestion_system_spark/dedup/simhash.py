@@ -165,32 +165,34 @@ def simhash_blocks(hashes: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", F.col("blk.t").alias("t"), F.col("blk.bkey").alias("bkey"))
 
 
-@query("near_dup_simhash_multiblock", oracle=_multiblock_oracle(), survey="EXT-dedup")
-def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with EXACT recall at Hamming ≤ 3: 32-bit
-    fingerprints split into 4 8-bit blocks; candidates are pairs agreeing
-    on any block's (t, bkey), which by pigeonhole covers every pair
-    within Hamming 3 (Manku et al., WWW'07 multi-table scheme — the
-    recall fix for the single-blocking-table `near_dup_simhash`).
+def simhash_pairs_multiblock_direct(hashes: DataFrame) -> DataFrame:
+    """Doc-level multi-table block join — the small-corpus plan. Pairs
+    sharing several blocks need the pair-level DISTINCT the collapsed
+    plan avoids, which is exactly why this path is gated to corpora
+    where the answer (and its shared-block multiplicity) is small."""
+    blocks = simhash_blocks(hashes)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
 
-    Scale shape: fingerprinting is one explode+groupBy pass; the
-    candidate join is bucketed on (t, bkey) — 4 tables × 256 buckets —
-    and Hamming is checked only within buckets, never all-pairs. At
-    100 TB the block tables shuffle-partition cleanly by (t, bkey), and
-    recall stays exact as long as HAMMING_MAX < number of blocks.
 
-    Like `near_dup_simhash`, the candidate search runs over DISTINCT
-    fingerprint VALUES (the shipped corpora repeat ~45% of values), so
-    the block join and the Hamming filter touch the collapsed value
-    relation; doc pairs are recovered by two value-keyed joins, and the
-    cross/same split makes the expansion duplicate-free WITHOUT the
-    pair-level DISTINCT the doc-level join needed over its (answer ×
-    shared-blocks) blowup.
-
-    Reference parity: extends docs/summery_deck.md's near-dup goal
-    (reference has no simhash; cited for the dedup requirement only)."""
-    docs = load_table(spark, sf_dir, "documents")
-    hashes = simhash_fingerprints(docs, MB_BITS).localCheckpoint(eager=False)
+def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame) -> DataFrame:
+    """Value-collapsed multi-table candidate search — the at-scale plan
+    (see `near_dup_simhash_multiblock`)."""
     vals = hashes.select("simhash").distinct()
     vblocks = simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash"))
     a = vblocks.alias("a")
@@ -231,7 +233,45 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y.doc_id").alias("doc_b"),
         F.lit(0).cast("int").alias("hamming"),
     )
-    return cross.unionByName(same).orderBy("doc_a", "doc_b")
+    return cross.unionByName(same)
+
+
+@query("near_dup_simhash_multiblock", oracle=_multiblock_oracle(), survey="EXT-dedup")
+def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with EXACT recall at Hamming ≤ 3: 32-bit
+    fingerprints split into 4 8-bit blocks; candidates are pairs agreeing
+    on any block's (t, bkey), which by pigeonhole covers every pair
+    within Hamming 3 (Manku et al., WWW'07 multi-table scheme — the
+    recall fix for the single-blocking-table `near_dup_simhash`).
+
+    Scale shape: fingerprinting is one explode+groupBy pass; the
+    candidate join is bucketed on (t, bkey) — 4 tables × 256 buckets —
+    and Hamming is checked only within buckets, never all-pairs. At
+    100 TB the block tables shuffle-partition cleanly by (t, bkey), and
+    recall stays exact as long as HAMMING_MAX < number of blocks.
+
+    Above VALUE_COLLAPSE_MIN_DOCS the candidate search runs over
+    DISTINCT fingerprint VALUES (large corpora repeat ~45% of values),
+    so the block join and the Hamming filter touch the collapsed value
+    relation; doc pairs are recovered by two value-keyed joins, and the
+    cross/same split makes the expansion duplicate-free WITHOUT the
+    pair-level DISTINCT the doc-level join needs over its (answer ×
+    shared-blocks) blowup. Below the threshold the direct doc-level
+    block join is cheaper (same dispatch as `near_dup_simhash`;
+    identical answer either way, pinned by
+    tests/test_plan_quality.py::test_simhash_multiblock_plans_agree).
+
+    Reference parity: extends docs/summery_deck.md's near-dup goal
+    (reference has no simhash; cited for the dedup requirement only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = simhash_fingerprints(docs, MB_BITS).localCheckpoint(eager=True)
+    n_docs = hashes.count()  # counts the already-materialized checkpoint
+    pairs = (
+        simhash_pairs_multiblock_value_collapsed(hashes)
+        if n_docs >= VALUE_COLLAPSE_MIN_DOCS
+        else simhash_pairs_multiblock_direct(hashes)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # Below this corpus size the plain doc-level block join beats the

@@ -459,31 +459,35 @@ def test_simhash_candidates_join_on_fingerprint_value(spark, sf_dir):
     sf0.1 without buying anything), so the collapsed shape is asserted
     on the builder directly and the threshold dispatch separately."""
     from data_ingestion_system_spark.dedup.simhash import (
+        MB_BITS,
         simhash_fingerprints,
         simhash_pairs_direct,
+        simhash_pairs_multiblock_direct,
+        simhash_pairs_multiblock_value_collapsed,
         simhash_pairs_value_collapsed,
     )
     from data_ingestion_system_spark.tables import load_table
 
-    # multiblock always runs value-collapsed
-    df = REGISTRY["near_dup_simhash_multiblock"].spark(spark, sf_dir)
-    plan = simple_plan_str(df)
-    assert "CartesianProduct" not in plan
-    assert "simhash" in plan
-    assert "HashAggregate" in plan  # the distinct-value collapse
-
     hashes = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
     collapsed = simple_plan_str(simhash_pairs_value_collapsed(hashes))
     assert "CartesianProduct" not in collapsed
-    assert "HashAggregate" in collapsed
+    assert "HashAggregate" in collapsed  # the distinct-value collapse
     direct = simple_plan_str(simhash_pairs_direct(hashes))
     assert "CartesianProduct" not in direct  # block-keyed equi-join
     assert "simhash" in direct
 
+    mb = simhash_fingerprints(load_table(spark, sf_dir, "documents"), MB_BITS)
+    mb_collapsed = simple_plan_str(simhash_pairs_multiblock_value_collapsed(mb))
+    assert "CartesianProduct" not in mb_collapsed
+    assert "HashAggregate" in mb_collapsed
+    mb_direct = simple_plan_str(simhash_pairs_multiblock_direct(mb))
+    assert "CartesianProduct" not in mb_direct  # (t, bkey)-keyed equi-join
+    assert "bkey" in mb_direct
+
     # the sf0.001 corpus (500 docs) is below the threshold → direct plan
-    # (no distinct-value aggregate between the scan and the pair join)
-    small = REGISTRY["near_dup_simhash"].spark(spark, sf_dir)
-    assert "CartesianProduct" not in simple_plan_str(small)
+    for name in ("near_dup_simhash", "near_dup_simhash_multiblock"):
+        small = REGISTRY[name].spark(spark, sf_dir)
+        assert "CartesianProduct" not in simple_plan_str(small), name
 
 
 def test_simhash_direct_and_collapsed_plans_agree(spark, sf_dir):
@@ -505,6 +509,34 @@ def test_simhash_direct_and_collapsed_plans_agree(spark, sf_dir):
     collapsed = {
         (r.doc_a, r.doc_b, r.hamming)
         for r in simhash_pairs_value_collapsed(hashes).collect()
+    }
+    assert direct == collapsed
+    assert len(direct) > 0
+
+
+def test_simhash_multiblock_plans_agree(spark, sf_dir):
+    """Same physical-shape-only guarantee for the 32-bit multi-table
+    variant: direct (pair-level DISTINCT over shared blocks) and
+    value-collapsed (cross/same split) builders return the identical
+    pair set."""
+    from data_ingestion_system_spark.dedup.simhash import (
+        MB_BITS,
+        simhash_fingerprints,
+        simhash_pairs_multiblock_direct,
+        simhash_pairs_multiblock_value_collapsed,
+    )
+    from data_ingestion_system_spark.tables import load_table
+
+    hashes = simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), MB_BITS
+    ).localCheckpoint(eager=True)
+    direct = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_multiblock_direct(hashes).collect()
+    }
+    collapsed = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_multiblock_value_collapsed(hashes).collect()
     }
     assert direct == collapsed
     assert len(direct) > 0
