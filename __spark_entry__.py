@@ -38,70 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 catalog entries per round (registration
-# order).  Rounds 1-3 accumulated 149 green driver rows (0 red ever).
-# Round 4 window: the 57 queries registered late in round 3 (no driver row
-# yet) rotate to the front — the first 50 land in CORRECTNESS_r04; the 7
-# that spill (positions 51-57: segment_priority_mix, customer_spend_gini,
-# brand_basket_lift, lorenz_spend_deciles, abc_brand_classification,
-# order_size_distribution, repeat_purchase_interval) plus anything new in
-# round 4 are staged immediately after for the r5 window.  The full
+# order).  Rounds 1-4 accumulated 199 green driver rows (0 red ever).
+# Round-5 window: the 9 staged backlog queries land first (after this
+# round EVERY SQL-checkable catalog query has a driver row), then the
+# round-5 hierarchical SemDeDup twin, then the re-verification rotation
+# (oldest greens first: r03 → r02 → r04).  Queries new in a round are
+# staged at position 51+ unless window capacity is spare.  The full
 # catalog keeps its pytest oracle gate regardless
 # (tests/test_oracle_parity.py parametrizes ALL registered queries).
 _DRIVER_PRIORITY = (
-    # registered late in r3 — first driver row this round (50-slot window)
-    "dp_daily_counts",
-    "mmr_diverse_topk",
-    "bpe_merge_table",
-    "funnel_within_window",
-    "common_event_paths",
-    "token_budget_selection",
-    "confident_joint_matrix",
-    "fold_leakage_audit",
-    "daily_trend_slopes",
-    "cusum_changepoint",
-    "dedup_threshold_sweep",
-    "join_key_skew_profile",
-    "fuzzy_linkage_pairs",
-    "linkage_block_profile",
-    "scd2_user_segments",
-    "scd2_churn_profile",
-    "chi2_lang_source",
-    "metric_correlation_matrix",
-    "ewma_daily_volume",
-    "cdc_apply_state",
-    "cdc_apply_audit",
-    "ks_test_click_purchase",
-    "mann_whitney_u",
-    "weighted_median_by_flag",
-    "grouping_sets_profile",
-    "lang_listagg_by_source",
-    "seasonal_anomaly_flags",
-    "rolling_wau",
-    "rank_function_profile",
-    "keep_rate_wilson",
-    "join_cardinality_profile",
-    "event_transition_matrix",
-    "interarrival_burstiness",
-    "histogram_2d",
-    "user_entropy_profile",
-    "neyman_allocation",
-    "vocab_chao1_estimate",
-    "source_vocab_jaccard",
-    "minhash_estimation_error",
-    "session_bounce_stats",
-    "readability_by_source",
-    "revenue_rollup_nation_year",
-    "linkage_entities",
-    "daily_growth_rates",
-    "new_user_share",
-    "funnel_time_to_convert",
-    "brand_revenue_share",
-    "supplier_concentration_hhi",
-    "shipping_delay_profile",
-    "customer_rfm_segments",
-    # ---- positions 51+ (outside this round's 50-slot driver window):
-    # the 7 spill-over from the 57-query r3 backlog, then queries new in
-    # round 4 — together these are the front of the r5 rotation.
+    # ---- ROUND-5 DRIVER WINDOW (first 50) ----
+    # 1-9: the staged backlog — the 7 r3-economics spill-overs plus the
+    # two r4 streaming batch twins (VERDICT r4 ask #1: clear the
+    # driver-verification backlog for good)
     "segment_priority_mix",
     "customer_spend_gini",
     "brand_basket_lift",
@@ -109,12 +58,13 @@ _DRIVER_PRIORITY = (
     "abc_brand_classification",
     "order_size_distribution",
     "repeat_purchase_interval",
-    # new in round 4 (staged for the r5 driver window)
     "incremental_daily_view",
     "reservoir_sample",
-    # new in round 5 (staged for the r6 driver window)
+    # 10: new in round 5 — the hierarchical SemDeDup scale twin, landed
+    # inside this round's window (well within spare capacity)
     "semantic_dedup_hier",
-    # ---- r03-green entries (first driver row in CORRECTNESS_r03) ----
+    # 11-50: re-verification rotation — r03-green queries take the
+    # remaining slots (oldest greens re-verify first)
     "range_join_events",
     "source_drift_metrics",
     "multires_rollup",
@@ -155,6 +105,7 @@ _DRIVER_PRIORITY = (
     "funnel_conversion",
     "cohort_retention",
     "mixture_epoch_sample",
+    # ---- positions 51+ (r6 re-verification rotation continues) ----
     "cross_source_dup_matrix",
     "classifier_calibration",
     "gap_islands",
@@ -165,7 +116,6 @@ _DRIVER_PRIORITY = (
     "krippendorff_alpha",
     "classifier_pr_thresholds",
     "corpus_data_card",
-    # ---- r02-green entries below re-fill the remaining window slots ----
     "ref_v_app_stats",
     "ref_v_reviews_sentiment",
     "ref_v_daily_stats",
@@ -216,6 +166,57 @@ _DRIVER_PRIORITY = (
     "doc_chunks",
     "corpus_prep_pipeline",
     "examples_per_group",
+    # r4-green queries rotate to the back (verified most recently)
+    "dp_daily_counts",
+    "mmr_diverse_topk",
+    "bpe_merge_table",
+    "funnel_within_window",
+    "common_event_paths",
+    "token_budget_selection",
+    "confident_joint_matrix",
+    "fold_leakage_audit",
+    "daily_trend_slopes",
+    "cusum_changepoint",
+    "dedup_threshold_sweep",
+    "join_key_skew_profile",
+    "fuzzy_linkage_pairs",
+    "linkage_block_profile",
+    "scd2_user_segments",
+    "scd2_churn_profile",
+    "chi2_lang_source",
+    "metric_correlation_matrix",
+    "ewma_daily_volume",
+    "cdc_apply_state",
+    "cdc_apply_audit",
+    "ks_test_click_purchase",
+    "mann_whitney_u",
+    "weighted_median_by_flag",
+    "grouping_sets_profile",
+    "lang_listagg_by_source",
+    "seasonal_anomaly_flags",
+    "rolling_wau",
+    "rank_function_profile",
+    "keep_rate_wilson",
+    "join_cardinality_profile",
+    "event_transition_matrix",
+    "interarrival_burstiness",
+    "histogram_2d",
+    "user_entropy_profile",
+    "neyman_allocation",
+    "vocab_chao1_estimate",
+    "source_vocab_jaccard",
+    "minhash_estimation_error",
+    "session_bounce_stats",
+    "readability_by_source",
+    "revenue_rollup_nation_year",
+    "linkage_entities",
+    "daily_growth_rates",
+    "new_user_share",
+    "funnel_time_to_convert",
+    "brand_revenue_share",
+    "supplier_concentration_hhi",
+    "shipping_delay_profile",
+    "customer_rfm_segments",
 )
 
 
