@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out_if_narrow, load_table
 
 
 @query(
@@ -199,6 +199,14 @@ def sketch_refine_percentiles(
     group costs one sketch + a ~6/acc refine window regardless of its
     size."""
     gcols = list(group_cols or [])
+    # both passes read only (gcols, colname): slim the relation, then
+    # spread it across the cores when the scan arrives under-parallel
+    # (single-row-group local files — at scale this is a no-op and both
+    # passes read the plain parallel scan). Round-robin, NOT by gcols:
+    # partial aggregation combines per partition, so a 3-group corpus
+    # must not collapse onto 3 tasks. The bounds agg and the refine scan
+    # share the exchange (ReuseExchange), so the shuffle runs once.
+    li = fan_out_if_narrow(li.select(*gcols, colname))
     col = F.col(colname)
     eps3 = 3.0 / _SKETCH_ACC
     plos = [max(0.0, p - eps3) for p in pcts]

@@ -87,6 +87,25 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
+def fan_out_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """`fan_out`, gated on the input's ACTUAL partition count (§4d
+    threshold-dispatch: two physical plans, one answer).
+
+    Unconditional fan-out is right when per-row work dwarfs a shuffle
+    (explode/md5 chains); for moderately-priced per-row stages (GK
+    sketch inserts, the percentile refine scan) the shuffle only pays
+    for itself when the scan arrives under-parallel — a handful of
+    row groups on a 32-core local run. At 100 TB the scan arrives in
+    thousands of splits and this returns the input UNCHANGED, so the
+    production plan carries no extra exchange. The partition probe is
+    planning-time only (no job runs)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def replay_rows_df(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:
     """Small driver-held row set → RDD-backed DataFrame (ExistingRDD scan).
 
