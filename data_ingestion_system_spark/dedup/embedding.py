@@ -28,13 +28,13 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import pin_join_width
 from data_ingestion_system_spark.similarity.ann import (
     DIM,
-    _as_double,
+    load_vectors,
     _dot,
     lsh_bucket_expr,
 )
-from data_ingestion_system_spark.tables import load_table
 
 COSINE_THRESHOLD = 0.9
 MAX_PLANES = 16
@@ -91,8 +91,7 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with the corpus (low-P-bits coarsening of a 16-plane bucket,
     P from an integer CASE ladder on COUNT(*)) so per-bucket membership
     — and the quadratic in-bucket term — stays ~constant."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     # ONE corpus pass materializes the full-width bucket AND the vector
     # norm: the norm is sqrt of the same double dot both engines compute,
     # hoisted out of the pair join (3 dots/pair -> 1), and the divisor
@@ -106,6 +105,9 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     divisor = _divisor_for(bucketed.count())
     bucketed = bucketed.withColumn("bucket", F.pmod("bfull", F.lit(divisor)))
+    # pinned width: the in-bucket cosine expansion is quadratic in
+    # bucket membership (tables.pin_join_width)
+    bucketed = pin_join_width(bucketed, "bucket")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(

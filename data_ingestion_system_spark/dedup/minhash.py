@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import fan_out, load_table, pin_join_width
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -84,7 +84,11 @@ def band_keys(sigs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct doc pairs sharing ≥1 band bucket (doc_a < doc_b)."""
+    """Distinct doc pairs sharing ≥1 band bucket (doc_a < doc_b).
+    Join width pinned: the in-bucket pair expansion is quadratic in
+    bucket membership and AQE's byte-based coalesce must not fold it
+    onto a handful of tasks (tables.pin_join_width)."""
+    bands = pin_join_width(bands, "band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -294,6 +298,9 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 1
     ).select("doc_id", "gid", "n", "rn")
+    # pinned width: the per-gid candidate expansion must not be
+    # AQE-coalesced by its byte-tiny map output (tables.pin_join_width)
+    prefix = pin_join_width(prefix, "gid")
     a = prefix.alias("a")
     b = prefix.alias("b")
     # overlap threshold alpha = ceil(t/(1+t) * (na+nb)) = ceil(p*(na+nb)/(p+q))

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.similarity.ann import DIM, _as_double, _dot
+from data_ingestion_system_spark.tables import load_table, pin_join_width, pin_width
+from data_ingestion_system_spark.similarity.ann import DIM, _dot, load_vectors
 from data_ingestion_system_spark.similarity.ivf import (
     N_ITERS,
     TRAIN_MOD,
@@ -54,7 +55,6 @@ from data_ingestion_system_spark.similarity.ivf import (
     hier_cells_case_sql,
     train_centroids,
 )
-from data_ingestion_system_spark.tables import load_table
 
 # The synthetic embeddings corpus is isotropic (DIM=64: pairwise cosine
 # tops out ~0.41, 99.9th pct ~0.39) — 0.30 flags the genuinely-closest
@@ -138,17 +138,15 @@ def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def semdedup_pairs_dropped(
-    assigned: DataFrame, threshold: float = SEM_THRESHOLD
-) -> tuple[DataFrame, DataFrame]:
-    """(pairs, dropped): within-cell pairs with cosine ≥ threshold, and
-    the (cell_id, vec_id) rows SemDeDup removes — the
-    higher-centroid-cosine member of each pair (the more cluster-typical
-    one; ties by higher vec_id), de-duplicated across pairs. The
-    self-join shuffles on cell_id only."""
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = (
+def _cell_pairs(assigned: DataFrame, threshold: float = SEM_THRESHOLD) -> DataFrame:
+    """The width-pinned in-cell pair join, UN-checkpointed — split out so
+    the pinned shape stays plan-inspectable (the caller's localCheckpoint
+    replaces the lineage with a Scan ExistingRDD; see
+    tests/test_plan_quality.py::test_pair_expansion_joins_pin_their_width)."""
+    spread = pin_join_width(assigned, "cell_id")
+    a = spread.alias("a")
+    b = spread.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.cell_id") == F.col("b.cell_id"))
@@ -165,10 +163,25 @@ def semdedup_pairs_dropped(
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        # two consumers (pair counts + the drop rule) — materialize the
-        # in-cell join once instead of running it per branch
-        .localCheckpoint(eager=False)
     )
+
+
+def semdedup_pairs_dropped(
+    assigned: DataFrame, threshold: float = SEM_THRESHOLD
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped): within-cell pairs with cosine ≥ threshold, and
+    the (cell_id, vec_id) rows SemDeDup removes — the
+    higher-centroid-cosine member of each pair (the more cluster-typical
+    one; ties by higher vec_id), de-duplicated across pairs. The
+    self-join shuffles on cell_id only.
+
+    The join width is pinned against AQE's byte-based coalesce
+    (tables.pin_join_width): the in-cell pair expansion does n²/K work
+    per bucket from a byte-tiny shuffled input — partition count must
+    target the EXPANDED work, not the map bytes."""
+    # two consumers (pair counts + the drop rule) — materialize the
+    # in-cell join once instead of running it per branch
+    pairs = _cell_pairs(assigned, threshold).localCheckpoint(eager=False)
     dropped = pairs.select(
         "cell_id",
         F.when(F.col("ca") > F.col("cb"), F.col("va"))
@@ -185,18 +198,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many members the keep rule removes, over the shared trained
     quantizer. The readout a corpus owner checks before committing to a
     semantic-dedup pass — which clusters concentrate the redundancy."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    # count from the raw table (footer-statistics read), not the
+    # fanned-out vector relation — no shuffle just to size the ladder
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
     # corpus-adaptive K (smallest power of two >= sqrt(n), the FAISS
     # rule): the in-cell pairwise term is n²/K, so K must grow with the
     # corpus or the quadratic wins — a fixed K=16 measured 80x wall at
     # 10x corpus. Same ladder evaluates inside the oracle's kp CTE.
     cents = train_centroids(
-        v, cache_key=dataset_cache_key(sf_dir), n_cells=adaptive_cells(emb.count())
+        v, cache_key=dataset_cache_key(sf_dir), n_cells=adaptive_cells(n)
     )
     # assignment feeds three consumers (members / both pair sides) —
-    # materialize it once instead of re-scoring the corpus per branch
-    assigned = assign_with_centroid_cosine(v, cents).localCheckpoint(eager=False)
+    # materialize it once instead of re-scoring the corpus per branch.
+    # Width pinned BEFORE the checkpoint (tables.pin_width): the skinny
+    # argmax shuffle AQE-coalesces to 1-2 partitions, and a checkpoint
+    # would freeze that width for every downstream dense pass. Keyless
+    # (round-robin): every consumer either re-shuffles on its own keys
+    # (pair join, per-cell aggregates) or broadcast-joins, so balance
+    # beats co-location here.
+    assigned = pin_width(
+        assign_with_centroid_cosine(v, cents)
+    ).localCheckpoint(eager=False)
     pairs, dropped = semdedup_pairs_dropped(assigned)
     members = assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
     pair_counts = pairs.groupBy("cell_id").agg(F.count("*").alias("n_dup_pairs"))
@@ -425,6 +448,35 @@ def assign_fine(cassigned: DataFrame, fcents: DataFrame) -> DataFrame:
     )
 
 
+def _fine_cell_pairs(fassigned: DataFrame) -> DataFrame:
+    """The width-pinned in-(cell, fine-cell) pair join, UN-checkpointed
+    (same split as `_cell_pairs`: the caller's localCheckpoint hides the
+    lineage, so the pinned shape is asserted on this builder)."""
+    spread = pin_join_width(fassigned, "cell_id", "fine_id")
+    a = spread.alias("a")
+    b = spread.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.fine_id") == F.col("b.fine_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell_id").alias("cell_id"),
+            F.col("a.fine_id").alias("fine_id"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.fcos").alias("ca"),
+            F.col("b.fcos").alias("cb"),
+            (
+                _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_THRESHOLD)
+    )
+
+
 @query("semantic_dedup_hier", oracle=_hier_oracle(), survey="EXT-dedup,EXT-similarity")
 def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical SemDeDup — the scale twin of `semantic_dedup`
@@ -453,38 +505,23 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extends the reference's exact duplicate detection
     (src/analysis/data_quality_analyzer.py:172) like its flat sibling;
     same SEM_THRESHOLD contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    n = emb.count()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
     kc, kf = hier_cells(n)
     cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir), n_cells=kc)
-    cassigned = assign_coarse(v, cents).localCheckpoint(eager=False)
+    # both assignment checkpoints pin their width first (tables.pin_width):
+    # the skinny argmax shuffles AQE-coalesce to 1-2 partitions, and the
+    # checkpoints would freeze that width under every later dense pass
+    # (fine-centroid Lloyd rounds, fine assignment — measured 2-of-32-core
+    # grind at sf10 unpinned). Keyless: all downstream scoring joins are
+    # broadcast, so round-robin balance beats key co-location.
+    cassigned = pin_width(assign_coarse(v, cents)).localCheckpoint(eager=False)
     fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
     # assignment feeds three consumers (members / both pair sides)
-    fassigned = assign_fine(cassigned, fcents).localCheckpoint(eager=False)
-    a = fassigned.alias("a")
-    b = fassigned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.fine_id") == F.col("b.fine_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.cell_id").alias("cell_id"),
-            F.col("a.fine_id").alias("fine_id"),
-            F.col("a.vec_id").alias("va"),
-            F.col("b.vec_id").alias("vb"),
-            F.col("a.fcos").alias("ca"),
-            F.col("b.fcos").alias("cb"),
-            (
-                _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= SEM_THRESHOLD)
-        .localCheckpoint(eager=False)
-    )
+    fassigned = pin_width(assign_fine(cassigned, fcents)).localCheckpoint(eager=False)
+    # pin the pair-join width (see _cell_pairs: AQE's byte-based
+    # coalesce must not starve the quadratic expansion)
+    pairs = _fine_cell_pairs(fassigned).localCheckpoint(eager=False)
     dropped = pairs.select(
         "cell_id",
         "fine_id",

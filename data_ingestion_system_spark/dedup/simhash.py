@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import fan_out, load_table, pin_join_width
 
 N_BITS = 16
 HAMMING_MAX = 3
@@ -170,7 +170,7 @@ def simhash_pairs_multiblock_direct(hashes: DataFrame) -> DataFrame:
     sharing several blocks need the pair-level DISTINCT the collapsed
     plan avoids, which is exactly why this path is gated to corpora
     where the answer (and its shared-block multiplicity) is small."""
-    blocks = simhash_blocks(hashes)
+    blocks = pin_join_width(simhash_blocks(hashes), "t", "bkey")
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (
@@ -192,9 +192,15 @@ def simhash_pairs_multiblock_direct(hashes: DataFrame) -> DataFrame:
 
 def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame) -> DataFrame:
     """Value-collapsed multi-table candidate search — the at-scale plan
-    (see `near_dup_simhash_multiblock`)."""
+    (see `near_dup_simhash_multiblock`). Every join below is an
+    expansion from byte-tiny inputs — widths pinned against AQE's
+    size-based coalesce (tables.pin_join_width)."""
     vals = hashes.select("simhash").distinct()
-    vblocks = simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash"))
+    vblocks = pin_join_width(
+        simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash")),
+        "t",
+        "bkey",
+    )
     a = vblocks.alias("a")
     b = vblocks.alias("b")
     # distinct value pairs sharing >= 1 block, within the Hamming bound
@@ -213,8 +219,10 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    x = hashes.alias("x")
-    y = hashes.alias("y")
+    vp = pin_join_width(vp, "va")
+    hp = pin_join_width(hashes, "simhash")
+    x = hp.alias("x")
+    y = hp.alias("y")
     cross = (
         vp.join(x, F.col("x.simhash") == F.col("va"))
         .join(y, F.col("y.simhash") == F.col("vb"))
@@ -324,8 +332,10 @@ def simhash_pairs_value_collapsed(hashes: DataFrame) -> DataFrame:
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
-    x = hashes.alias("x")
-    y = hashes.alias("y")
+    vp = pin_join_width(vp, "va")
+    hp = pin_join_width(hashes, "simhash")
+    x = hp.alias("x")
+    y = hp.alias("y")
     cross = (
         vp.join(x, F.col("x.simhash") == F.col("va"))
         .join(y, F.col("y.simhash") == F.col("vb"))

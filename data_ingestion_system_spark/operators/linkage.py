@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import load_table, pin_join_width
 
 KEY_PREFIX = 80  # normalized-key width
 BLOCK_PREFIX = 8  # blocking-key width (chars of the normalized key)
@@ -100,7 +100,10 @@ def fuzzy_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("count") >= 2) & (F.col("count") <= BLOCK_CAP))
         .drop("count")
     )
-    a = keyed.join(blocks, ["lang", "block_key"])
+    # pinned width: the per-block pair expansion runs a bounded
+    # levenshtein per candidate — AQE's byte-based coalesce must not
+    # fold it onto a handful of tasks (tables.pin_join_width)
+    a = pin_join_width(keyed.join(blocks, ["lang", "block_key"]), "lang", "block_key")
     b = a.select(
         "lang",
         "block_key",
@@ -244,7 +247,10 @@ def linkage_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("count") >= 2) & (F.col("count") <= BLOCK_CAP))
         .drop("count")
     )
-    a = keyed.join(blocks, ["lang", "block_key"])
+    # pinned width: the per-block pair expansion runs a bounded
+    # levenshtein per candidate — AQE's byte-based coalesce must not
+    # fold it onto a handful of tasks (tables.pin_join_width)
+    a = pin_join_width(keyed.join(blocks, ["lang", "block_key"]), "lang", "block_key")
     b = a.select(
         "lang",
         "block_key",

@@ -57,6 +57,18 @@ def count_sort_merge_joins(df: DataFrame) -> int:
     return simple_plan(df).count("SortMergeJoin")
 
 
+def count_pinned_repartitions(df: DataFrame) -> int:
+    """Exchanges inserted by an explicit numbered repartition
+    (REPARTITION_BY_NUM) — the one shuffle origin AQE's size-based
+    coalesce never folds. Pair-expansion joins and checkpointed
+    assignment relations pin their width this way
+    (`tables.pin_join_width` / `tables.pin_width`): the map output is
+    byte-tiny but the downstream per-partition work is quadratic in
+    bucket membership (or K×DIM-dense per row), so the reduce width
+    must target the EXPANDED work, not the shuffled bytes."""
+    return simple_plan(df).count("REPARTITION_BY_NUM")
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """AQE defers stage construction, so an unexecuted AdaptiveSparkPlan
     reports no codegen subtrees; execute first, then inspect the

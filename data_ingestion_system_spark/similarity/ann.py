@@ -11,9 +11,11 @@ EDBT'20 incremental top-k; REPOSE ICDE'21 distributed top-k):
    computed only among same-bucket candidates. The 100 TB path: the
    bucket join prunes ~256× of the candidate set per query.
 
-Dot products use double-precision sequential fold (zip_with + aggregate)
-— bit-identical to the DuckDB oracle's list arithmetic, so scores
-hash-match after rounding.
+Dot products are unrolled fixed-DIM multiply-add chains (whole-stage
+codegen; a zip_with+aggregate fold evaluates interpreted, ~2·DIM boxed
+closures per row) adding in the same left-to-right IEEE order as a
+sequential fold — bit-identical to the DuckDB oracle's list arithmetic,
+so scores hash-match after rounding.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import fan_out_if_narrow, load_table
 
 N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOP_K = 5
@@ -31,15 +33,49 @@ N_PLANES = 8
 DIM = 64
 
 
-def _dot(a, b):
-    """Sequential-fold dot product over two double arrays (any length)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _dot(a, b, dim: int = DIM):
+    """Dot product over two fixed-width double arrays, UNROLLED to `dim`
+    element_at multiply-adds.
+
+    The fold form — aggregate(zip_with(a, b, *), 0.0, +) — is a
+    HigherOrderFunction: it evaluates OUTSIDE whole-stage codegen, with
+    a boxed lambda invocation per element (~2·dim closures per row).
+    On pair-expansion joins that evaluate the dot tens of millions of
+    times it was the dominant cost (hierarchical SemDeDup at sf10:
+    ~300 s fold vs ~40 s unrolled, identical results). The unrolled
+    chain adds left-to-right — the same IEEE order as the sequential
+    fold — so every value, and every oracle hash, is bit-identical."""
+    terms = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        terms = terms + F.element_at(a, i) * F.element_at(b, i)
+    return terms
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+# fan-out floor for corpus vector relations: per-row work downstream is
+# K×DIM fused multiply-adds (centroid assignment, PQ encode, bucket
+# hashing), orders of magnitude above a plain scan — so spreading an
+# under-parallel scan pays for itself well below the general 8 MB floor
+_VEC_FAN_OUT_MIN_BYTES = 2 * 1024 * 1024
+
+
+def load_vectors(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """The corpus vector relation (vec_id[, extras], ev double[]) every
+    ANN / semantic-dedup / embedding-dedup operator scores against.
+
+    Fans out when (and only when) the scan arrives under-parallel
+    (tables.fan_out_if_narrow §4d dispatch): local single-row-group
+    parquet otherwise serializes the dense assignment/encode pass on one
+    task — at 100 TB the scan arrives in thousands of splits and the
+    plan carries no extra exchange. Tiny corpora (the 2 MB sf0.1 table)
+    stay on their single task; 32 scheduled tasks would cost more than
+    they parallelize."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", *extra_cols, _as_double("embedding").alias("ev"))
+    return fan_out_if_narrow(v, min_bytes=_VEC_FAN_OUT_MIN_BYTES)
 
 
 def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:

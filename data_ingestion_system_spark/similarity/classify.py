@@ -23,8 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.similarity.ann import DIM, _as_double, _dot
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.similarity.ann import DIM, _dot, load_vectors
 
 
 def label_centroids(v: DataFrame) -> DataFrame:
@@ -95,8 +94,7 @@ ORDER BY label, predicted
 def label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of nearest-centroid classification: how often
     vectors of each true label land on each class centroid."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir, "label")
     cents = label_centroids(v)
     assigned = nearest_centroid(v, cents)
     return (

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _as_double, _dot
+from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _dot, load_vectors
 from data_ingestion_system_spark.tables import load_table
 
 N_CELLS = 16
@@ -193,10 +193,9 @@ def warm_index_cache(spark: SparkSession, sf_dir: str) -> None:
 
     from data_ingestion_system_spark.similarity.pq import train_codebooks
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     key = dataset_cache_key(sf_dir)
-    n = emb.count()
+    n = load_table(spark, sf_dir, "embeddings").count()
     kc, _ = hier_cells(n)
     jobs = [
         lambda: train_centroids(v, cache_key=key),
@@ -451,8 +450,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells measure 2× untrained recall@5 at every NPROBE on this corpus
     (0.4 vs 0.2 at NPROBE=2), and reach >=0.9 on clustered data
     (tests/test_similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     out = ivf_topk(v, train_centroids(v, cache_key=dataset_cache_key(sf_dir)))
     return out.select(
         "query_id",
@@ -495,8 +493,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training is the shared memoized quantizer; profiling is
     one broadcast-centroid scoring pass + a 16-group aggregate."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir))
     vn = _with_norm(v, "ev", "nrm")
     cn = _with_norm(cents, "cv", "cnrm")
@@ -573,8 +570,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predicate also prunes the candidate scan (pushed to the
     cell-partitioned store's row groups when the label is a layout
     column — `sources/layout.py`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir, "label")
     cents = train_centroids(
         v.select("vec_id", "ev"), cache_key=dataset_cache_key(sf_dir)
     )

@@ -35,8 +35,7 @@ from data_ingestion_system_spark.similarity.ivf import (
     adaptive_train_mod_case_sql,
     dataset_cache_key,
 )
-from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _as_double, _dot
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _dot, load_vectors
 
 M_SUB = 8                  # subspaces
 SD = DIM // M_SUB          # dims per subspace
@@ -46,12 +45,15 @@ PQ_TRAIN_MOD = 4           # train on vec_id % PQ_TRAIN_MOD == 0
 PQ_CODE_BASE = 200         # vec_ids seeding the codebooks
 
 
-def _l2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _l2(a, b, dim: int = SD):
+    """Squared L2 over SD-dim subvectors, unrolled like ann._dot (same
+    left-to-right IEEE order as the fold it replaces — bit-identical)."""
+    d = F.element_at(a, 1) - F.element_at(b, 1)
+    terms = d * d
+    for i in range(2, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        terms = terms + d * d
+    return terms
 
 
 def subvectors(v: DataFrame) -> DataFrame:
@@ -151,7 +153,7 @@ def pq_topk(
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            _dot(F.col("sv"), F.col("cv")).alias("pd"),
+            _dot(F.col("sv"), F.col("cv"), dim=SD).alias("pd"),
         )
     )
     approx = (
@@ -334,8 +336,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production PQ recipe: compressed scan picks candidates, exact math
     only on the shortlist. Clustered-data recall gate in
     tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     out = pq_rerank_topk(v, train_codebooks(v, cache_key=dataset_cache_key(sf_dir)))
     return out.select(
         "query_id",
@@ -354,8 +355,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like the IVF query, recall on the isotropic testdata corpus is
     capped by the data having no structure to exploit; the clustered-
     data recall gate lives in tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     out = pq_topk(v, train_codebooks(v, cache_key=dataset_cache_key(sf_dir)))
     return out.select(
         "query_id",
@@ -462,7 +462,7 @@ def ivfpq_topk(
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            _dot(F.col("sv"), F.col("cv")).alias("pd"),
+            _dot(F.col("sv"), F.col("cv"), dim=SD).alias("pd"),
         )
     )
     # probes (|queries| x nprobe rows) is query-batch-sized — broadcast it.
@@ -501,8 +501,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate. No raw-vector math on the corpus side at query time."""
     from data_ingestion_system_spark.similarity.ivf import train_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     sv = subvectors(v).localCheckpoint(eager=True)
     out = ivfpq_topk(v, train_centroids(v, cache_key=dataset_cache_key(sf_dir)), train_codebooks(v, sv=sv, cache_key=dataset_cache_key(sf_dir)), sv=sv)
     return out.select(

@@ -87,7 +87,14 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
-def fan_out_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+# below this input size a fan-out shuffle costs more than it buys:
+# ~32 scheduled tasks vs a single task over a few MB of rows
+_FAN_OUT_MIN_BYTES = 8 * 1024 * 1024
+
+
+def fan_out_if_narrow(
+    df: DataFrame, *keys: str, min_bytes: int = _FAN_OUT_MIN_BYTES
+) -> DataFrame:
     """`fan_out`, gated on the input's ACTUAL partition count (§4d
     threshold-dispatch: two physical plans, one answer).
 
@@ -98,11 +105,64 @@ def fan_out_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     row groups on a 32-core local run. At 100 TB the scan arrives in
     thousands of splits and this returns the input UNCHANGED, so the
     production plan carries no extra exchange. The partition probe is
-    planning-time only (no job runs)."""
+    planning-time only (no job runs).
+
+    A bytes floor keeps genuinely tiny inputs (the 2k-vector sf0.1
+    embeddings table — microseconds of per-row work) on their single
+    task: 32 scheduled tasks cost more than they parallelize. Inputs
+    the planner can't trace to files fan out on partition count alone."""
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, n // 2):
         return df
+    try:
+        total = sum(
+            os.stat(f.removeprefix("file:")).st_size
+            for f in df.inputFiles()
+            if f.startswith("file:")
+        )
+    except OSError:
+        total = None
+    if total is not None and 0 < total < min_bytes:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+def pin_join_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a candidate/expansion-join side to the session's
+    `spark.sql.shuffle.partitions`, PINNED against AQE coalescing
+    (REPARTITION_BY_NUM is never coalesced).
+
+    Every bucketed near-dup / linkage candidate join expands a byte-tiny
+    shuffled input into per-bucket pair work that is QUADRATIC in bucket
+    membership. AQE's size-based coalesce (parallelismFirst=false, the
+    production setting) sizes reduce partitions by MAP bytes — it cannot
+    see the expansion — and folds the join onto a handful of tasks that
+    grind the pair term serially (measured: hierarchical SemDeDup 675 s
+    at sf10 with 3 AQE-coalesced tasks vs ~90 s pinned). The
+    shuffle-partitions conf is the operator's declared reduce width: the
+    knob a 100 TB deployment tunes anyway, instead of a local guess."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
+
+
+def pin_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin the width of a dense-compute relation that is about to be
+    `localCheckpoint`ed (same REPARTITION_BY_NUM mechanics as
+    `pin_join_width`; distinct name because the failure mode differs).
+
+    A checkpoint FREEZES whatever layout its input shuffle ran with.
+    When that input is a skinny argmax/assignment relation, AQE's
+    byte-based coalesce folds it to 1-2 partitions — correct for the
+    bytes, catastrophic for downstream per-row-expensive consumers
+    (k-means scoring, K×DIM fused multiply-adds) that inherit the
+    frozen width across every later job (measured: hierarchical
+    SemDeDup's fine-assignment pass ground on 2 of 32 cores at sf10).
+    Pinning the width BEFORE the checkpoint makes every consumer run at
+    the session's declared reduce width. Keys keep downstream
+    co-location (aggregates on the same keys reuse the exchange);
+    keyless pins round-robin."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 

@@ -32,7 +32,7 @@ from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.similarity.ann import (
     DIM,
     N_QUERIES,
-    _as_double,
+    load_vectors,
     _dot,
 )
 from data_ingestion_system_spark.tables import load_table
@@ -126,8 +126,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lex = _ranked_topk(bm25_scores(docs), "score", "doc_id", FUSE_K)
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") == QUERY_VEC).select(F.col("ev").alias("qv"))
     cands = v.filter(F.col("vec_id") >= N_QUERIES)
     cos = cands.crossJoin(F.broadcast(q)).select(

@@ -566,3 +566,47 @@ def test_linkage_levenshtein_is_bounded(spark, sf_dir):
     import re as _re
 
     assert _re.search(r"levenshtein\([^)]*,[^)]*,\s*Some\(\d+\)", plan), plan
+
+
+def test_pair_expansion_joins_pin_their_width(spark, sf_dir):
+    """Every bucketed candidate/pair join pins its reduce width with a
+    numbered repartition (tables.pin_join_width → REPARTITION_BY_NUM,
+    the one shuffle origin AQE never coalesces). AQE's size-based
+    coalesce sizes reduce partitions by MAP bytes and cannot see the
+    in-bucket quadratic expansion — measured at sf10: hierarchical
+    SemDeDup 675 s on 3 AQE-coalesced tasks vs ~90 s pinned. A plan
+    that loses the pin regresses silently at scale while staying
+    correct, which is exactly what this file exists to catch."""
+    from data_ingestion_system_spark.plans.inspect import count_pinned_repartitions
+
+    for name in (
+        "near_dup_minhash_lsh",
+        "near_dup_ngram_jaccard",
+        "near_dup_embedding_cosine",
+        "fuzzy_linkage_pairs",
+        # linkage_entities shares this pair builder but checkpoints its
+        # edges eagerly (see test_linkage_levenshtein_is_bounded)
+        "near_dup_simhash_multiblock",
+    ):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert count_pinned_repartitions(df) >= 1, name
+
+    # the SemDeDup variants checkpoint their pair join (the lineage —
+    # pin included — collapses to Scan ExistingRDD), so the pinned shape
+    # is asserted on the un-checkpointed builders
+    from data_ingestion_system_spark.dedup.semdedup import (
+        _cell_pairs,
+        _fine_cell_pairs,
+    )
+
+    assigned = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0, 0, 0.9)],
+        "vec_id long, ev array<double>, nrm double, cell_id long, ccos double",
+    )
+    assert count_pinned_repartitions(_cell_pairs(assigned)) >= 1
+    fassigned = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0, 0, 0, 0.9)],
+        "vec_id long, ev array<double>, nrm double, cell_id long, "
+        "fine_id long, fcos double",
+    )
+    assert count_pinned_repartitions(_fine_cell_pairs(fassigned)) >= 1

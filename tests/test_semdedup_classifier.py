@@ -8,18 +8,31 @@ from data_ingestion_system_spark.dedup.semdedup import (
     assign_with_centroid_cosine,
     semdedup_pairs_dropped,
 )
+from data_ingestion_system_spark.similarity.ann import DIM
 from data_ingestion_system_spark.text.classifier import (
     hashed_weight_table,
     score_documents,
 )
 
 
+def _pad(v):
+    # the module contract is the embeddings-table width (ann.DIM): the
+    # unrolled dot indexes all DIM entries (and errors loudly on shorter
+    # arrays — by design). Zero-pad the 2-dim test geometry; cosines
+    # are unchanged.
+    return v + [0.0] * (DIM - len(v))
+
+
 def _vec_df(spark, rows):
-    return spark.createDataFrame(rows, "vec_id long, ev array<double>")
+    return spark.createDataFrame(
+        [(i, _pad(v)) for i, v in rows], "vec_id long, ev array<double>"
+    )
 
 
 def _cent_df(spark, rows):
-    return spark.createDataFrame(rows, "cell_id int, cv array<double>")
+    return spark.createDataFrame(
+        [(i, _pad(v)) for i, v in rows], "cell_id int, cv array<double>"
+    )
 
 
 def test_semdedup_drops_the_more_cluster_typical_member(spark):
