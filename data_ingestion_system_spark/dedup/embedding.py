@@ -101,13 +101,14 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "ev",
         F.expr(f"({lsh_bucket_expr('ev', 'instr', 'div', MAX_PLANES)})").alias("bfull"),
-        F.sqrt(_dot(F.col("ev"), F.col("ev"))).alias("nrm"),
+        F.sqrt(_dot("ev", "ev")).alias("nrm"),
     ).localCheckpoint(eager=True)
-    divisor = _divisor_for(bucketed.count())
+    n = bucketed.count()
+    divisor = _divisor_for(n)
     bucketed = bucketed.withColumn("bucket", F.pmod("bfull", F.lit(divisor)))
     # pinned width: the in-bucket cosine expansion is quadratic in
     # bucket membership (tables.pin_join_width)
-    bucketed = pin_join_width(bucketed, "bucket")
+    bucketed = pin_join_width(bucketed, "bucket", n_rows=n)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -117,7 +118,7 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         (
-            _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+            _dot("a.ev", "b.ev") / (F.col("a.nrm") * F.col("b.nrm"))
         ).alias("cosine"),
     )
     return (

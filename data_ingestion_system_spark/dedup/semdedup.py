@@ -122,7 +122,7 @@ def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "cell_id",
-            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("ccos"),
         )
         .groupBy("vec_id")
         .agg(
@@ -138,12 +138,16 @@ def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _cell_pairs(assigned: DataFrame, threshold: float = SEM_THRESHOLD) -> DataFrame:
+def _cell_pairs(
+    assigned: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    n_rows: int | None = None,
+) -> DataFrame:
     """The width-pinned in-cell pair join, UN-checkpointed — split out so
     the pinned shape stays plan-inspectable (the caller's localCheckpoint
     replaces the lineage with a Scan ExistingRDD; see
     tests/test_plan_quality.py::test_pair_expansion_joins_pin_their_width)."""
-    spread = pin_join_width(assigned, "cell_id")
+    spread = pin_join_width(assigned, "cell_id", n_rows=n_rows)
     a = spread.alias("a")
     b = spread.alias("b")
     return (
@@ -159,7 +163,7 @@ def _cell_pairs(assigned: DataFrame, threshold: float = SEM_THRESHOLD) -> DataFr
             F.col("a.ccos").alias("ca"),
             F.col("b.ccos").alias("cb"),
             (
-                _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+                _dot("a.ev", "b.ev") / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -167,7 +171,9 @@ def _cell_pairs(assigned: DataFrame, threshold: float = SEM_THRESHOLD) -> DataFr
 
 
 def semdedup_pairs_dropped(
-    assigned: DataFrame, threshold: float = SEM_THRESHOLD
+    assigned: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, dropped): within-cell pairs with cosine ≥ threshold, and
     the (cell_id, vec_id) rows SemDeDup removes — the
@@ -181,7 +187,7 @@ def semdedup_pairs_dropped(
     target the EXPANDED work, not the map bytes."""
     # two consumers (pair counts + the drop rule) — materialize the
     # in-cell join once instead of running it per branch
-    pairs = _cell_pairs(assigned, threshold).localCheckpoint(eager=False)
+    pairs = _cell_pairs(assigned, threshold, n_rows=n_rows).localCheckpoint(eager=False)
     dropped = pairs.select(
         "cell_id",
         F.when(F.col("ca") > F.col("cb"), F.col("va"))
@@ -218,9 +224,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pair join, per-cell aggregates) or broadcast-joins, so balance
     # beats co-location here.
     assigned = pin_width(
-        assign_with_centroid_cosine(v, cents)
+        assign_with_centroid_cosine(v, cents), n_rows=n
     ).localCheckpoint(eager=False)
-    pairs, dropped = semdedup_pairs_dropped(assigned)
+    pairs, dropped = semdedup_pairs_dropped(assigned, n_rows=n)
     members = assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
     pair_counts = pairs.groupBy("cell_id").agg(F.count("*").alias("n_dup_pairs"))
     drop_counts = dropped.groupBy("cell_id").agg(F.count("*").alias("n_dropped"))
@@ -340,7 +346,7 @@ def assign_coarse(v: DataFrame, cents: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "cell_id",
-            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
         )
         .groupBy("vec_id")
         .agg(
@@ -384,7 +390,7 @@ def train_fine_centroids(
             "vec_id",
             "cell_id",
             "fine_id",
-            (_dot(F.col("ev"), F.col("fv")) / (F.col("nrm") * F.col("fnrm"))).alias("c"),
+            (_dot("ev", "fv") / (F.col("nrm") * F.col("fnrm"))).alias("c"),
         )
         assigned = (
             scored.groupBy("vec_id", "cell_id")
@@ -427,7 +433,7 @@ def assign_fine(cassigned: DataFrame, fcents: DataFrame) -> DataFrame:
             "vec_id",
             "cell_id",
             "fine_id",
-            (_dot(F.col("ev"), F.col("fv")) / (F.col("nrm") * F.col("fnrm"))).alias("c"),
+            (_dot("ev", "fv") / (F.col("nrm") * F.col("fnrm"))).alias("c"),
         )
         .groupBy("vec_id", "cell_id")
         .agg(
@@ -448,11 +454,11 @@ def assign_fine(cassigned: DataFrame, fcents: DataFrame) -> DataFrame:
     )
 
 
-def _fine_cell_pairs(fassigned: DataFrame) -> DataFrame:
+def _fine_cell_pairs(fassigned: DataFrame, n_rows: int | None = None) -> DataFrame:
     """The width-pinned in-(cell, fine-cell) pair join, UN-checkpointed
     (same split as `_cell_pairs`: the caller's localCheckpoint hides the
     lineage, so the pinned shape is asserted on this builder)."""
-    spread = pin_join_width(fassigned, "cell_id", "fine_id")
+    spread = pin_join_width(fassigned, "cell_id", "fine_id", n_rows=n_rows)
     a = spread.alias("a")
     b = spread.alias("b")
     return (
@@ -470,7 +476,7 @@ def _fine_cell_pairs(fassigned: DataFrame) -> DataFrame:
             F.col("a.fcos").alias("ca"),
             F.col("b.fcos").alias("cb"),
             (
-                _dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm"))
+                _dot("a.ev", "b.ev") / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= SEM_THRESHOLD)
@@ -515,13 +521,13 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (fine-centroid Lloyd rounds, fine assignment — measured 2-of-32-core
     # grind at sf10 unpinned). Keyless: all downstream scoring joins are
     # broadcast, so round-robin balance beats key co-location.
-    cassigned = pin_width(assign_coarse(v, cents)).localCheckpoint(eager=False)
+    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).localCheckpoint(eager=False)
     fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
     # assignment feeds three consumers (members / both pair sides)
-    fassigned = pin_width(assign_fine(cassigned, fcents)).localCheckpoint(eager=False)
+    fassigned = pin_width(assign_fine(cassigned, fcents), n_rows=n).localCheckpoint(eager=False)
     # pin the pair-join width (see _cell_pairs: AQE's byte-based
     # coalesce must not starve the quadratic expansion)
-    pairs = _fine_cell_pairs(fassigned).localCheckpoint(eager=False)
+    pairs = _fine_cell_pairs(fassigned, n_rows=n).localCheckpoint(eager=False)
     dropped = pairs.select(
         "cell_id",
         "fine_id",

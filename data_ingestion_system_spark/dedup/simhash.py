@@ -165,12 +165,12 @@ def simhash_blocks(hashes: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", F.col("blk.t").alias("t"), F.col("blk.bkey").alias("bkey"))
 
 
-def simhash_pairs_multiblock_direct(hashes: DataFrame) -> DataFrame:
+def simhash_pairs_multiblock_direct(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Doc-level multi-table block join — the small-corpus plan. Pairs
     sharing several blocks need the pair-level DISTINCT the collapsed
     plan avoids, which is exactly why this path is gated to corpora
     where the answer (and its shared-block multiplicity) is small."""
-    blocks = pin_join_width(simhash_blocks(hashes), "t", "bkey")
+    blocks = pin_join_width(simhash_blocks(hashes), "t", "bkey", n_rows=n_docs)
     a = blocks.alias("a")
     b = blocks.alias("b")
     return (
@@ -190,7 +190,7 @@ def simhash_pairs_multiblock_direct(hashes: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame) -> DataFrame:
+def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Value-collapsed multi-table candidate search — the at-scale plan
     (see `near_dup_simhash_multiblock`). Every join below is an
     expansion from byte-tiny inputs — widths pinned against AQE's
@@ -200,6 +200,7 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame) -> DataFrame:
         simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash")),
         "t",
         "bkey",
+        n_rows=n_docs,
     )
     a = vblocks.alias("a")
     b = vblocks.alias("b")
@@ -219,8 +220,8 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    vp = pin_join_width(vp, "va")
-    hp = pin_join_width(hashes, "simhash")
+    vp = pin_join_width(vp, "va", n_rows=n_docs)
+    hp = pin_join_width(hashes, "simhash", n_rows=n_docs)
     x = hp.alias("x")
     y = hp.alias("y")
     cross = (
@@ -275,9 +276,9 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = simhash_fingerprints(docs, MB_BITS).localCheckpoint(eager=True)
     n_docs = hashes.count()  # counts the already-materialized checkpoint
     pairs = (
-        simhash_pairs_multiblock_value_collapsed(hashes)
+        simhash_pairs_multiblock_value_collapsed(hashes, n_docs=n_docs)
         if n_docs >= VALUE_COLLAPSE_MIN_DOCS
-        else simhash_pairs_multiblock_direct(hashes)
+        else simhash_pairs_multiblock_direct(hashes, n_docs=n_docs)
     )
     return pairs.orderBy("doc_a", "doc_b")
 
@@ -312,7 +313,7 @@ def simhash_pairs_direct(hashes: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs_value_collapsed(hashes: DataFrame) -> DataFrame:
+def simhash_pairs_value_collapsed(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Value-collapsed candidate search — the at-scale plan (see
     `near_dup_simhash`)."""
     vals = hashes.select("simhash").distinct()
@@ -332,8 +333,8 @@ def simhash_pairs_value_collapsed(hashes: DataFrame) -> DataFrame:
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
-    vp = pin_join_width(vp, "va")
-    hp = pin_join_width(hashes, "simhash")
+    vp = pin_join_width(vp, "va", n_rows=n_docs)
+    hp = pin_join_width(hashes, "simhash", n_rows=n_docs)
     x = hp.alias("x")
     y = hp.alias("y")
     cross = (
@@ -383,7 +384,7 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = simhash_fingerprints(docs).localCheckpoint(eager=True)
     n_docs = hashes.count()  # counts the already-materialized checkpoint
     pairs = (
-        simhash_pairs_value_collapsed(hashes)
+        simhash_pairs_value_collapsed(hashes, n_docs=n_docs)
         if n_docs >= VALUE_COLLAPSE_MIN_DOCS
         else simhash_pairs_direct(hashes)
     )

@@ -11,11 +11,11 @@ EDBT'20 incremental top-k; REPOSE ICDE'21 distributed top-k):
    computed only among same-bucket candidates. The 100 TB path: the
    bucket join prunes ~256× of the candidate set per query.
 
-Dot products are unrolled fixed-DIM multiply-add chains (whole-stage
-codegen; a zip_with+aggregate fold evaluates interpreted, ~2·DIM boxed
-closures per row) adding in the same left-to-right IEEE order as a
-sequential fold — bit-identical to the DuckDB oracle's list arithmetic,
-so scores hash-match after rounding.
+Dot products use the sequential-fold form (aggregate over zip_with),
+built as one parsed SQL expression — A/B-measured fastest on the
+pair-expansion join shapes (see `_dot`) and bit-identical to the DuckDB
+oracle's list arithmetic (same left-to-right IEEE order), so scores
+hash-match after rounding.
 """
 
 from __future__ import annotations
@@ -33,22 +33,36 @@ N_PLANES = 8
 DIM = 64
 
 
-def _dot(a, b, dim: int = DIM):
-    """Dot product over two fixed-width double arrays, UNROLLED to `dim`
-    element_at multiply-adds.
+def _dot(a: str, b: str, dim: int = DIM):
+    """Sequential-fold dot product over two double arrays. `a`/`b` are
+    SQL column references (e.g. "ev", "a.ev"); the whole expression is
+    built as ONE parsed string (`dim` is accepted for call symmetry —
+    the fold walks whatever length the arrays have).
 
-    The fold form — aggregate(zip_with(a, b, *), 0.0, +) — is a
-    HigherOrderFunction: it evaluates OUTSIDE whole-stage codegen, with
-    a boxed lambda invocation per element (~2·dim closures per row).
-    On pair-expansion joins that evaluate the dot tens of millions of
-    times it was the dominant cost (hierarchical SemDeDup at sf10:
-    ~300 s fold vs ~40 s unrolled, identical results). The unrolled
-    chain adds left-to-right — the same IEEE order as the sequential
-    fold — so every value, and every oracle hash, is bit-identical."""
-    terms = F.element_at(a, 1) * F.element_at(b, 1)
-    for i in range(2, dim + 1):
-        terms = terms + F.element_at(a, i) * F.element_at(b, i)
-    return terms
+    Why the fold and not an unrolled multiply-add chain: both were
+    A/B-measured on the two hot shapes. On broadcast-scoring aggregates
+    (n×K centroid assignment) they are equal (~5M dots/s). On
+    PAIR-EXPANSION JOINS — the shape every near-dup operator runs — the
+    unrolled chain evaluates in the post-join projection as an
+    interpreted 127-node tree (the giant generated method blows the
+    codegen/JIT limits) at ~110k rows/s, while the fold's
+    HigherOrderFunction loop runs a tight specialized walk at 3-6×
+    that; 19.5M-pair probe: fold 30-52 s, unrolled 177 s, 0-based
+    indexing 115 s. The unrolled form also pays ~1.5 s of Janino
+    compile per unique stage, which dominated small-corpus latency.
+    The fold adds left-to-right — the exact IEEE order the DuckDB
+    oracle's list arithmetic uses — so scores hash-match after
+    rounding.
+
+    Why strings + F.expr and not Column arithmetic: one py4j call
+    instead of a round-trip per operator node."""
+    if not isinstance(a, str) or not isinstance(b, str):
+        raise TypeError("_dot takes SQL column references as strings")
+    del dim
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
 
 def _as_double(col):
@@ -87,14 +101,14 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
     # bit-identical), which is 3x on the |q|×n scored relation
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    ).withColumn("qnrm", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    ).withColumn("qnrm", F.sqrt(_dot("qv", "qv")))
     c = candidates.select(
         F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cv")
-    ).withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    ).withColumn("cnrm", F.sqrt(_dot("cv", "cv")))
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id",
         "cand_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        (_dot("qv", "cv") / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -227,8 +241,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "cand_id",
         (
-            _dot(F.col("qv"), F.col("cv"))
-            / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+            _dot("qv", "cv")
+            / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -313,10 +327,10 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "cand_id",
         (
-            _dot(F.col("qv"), F.col("cv"))
+            _dot("qv", "cv")
             / (
-                F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                F.sqrt(_dot("qv", "qv"))
+                * F.sqrt(_dot("cv", "cv"))
             )
         ).alias("cosine"),
     ).localCheckpoint(eager=False)

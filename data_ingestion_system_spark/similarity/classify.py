@@ -45,15 +45,15 @@ def label_centroids(v: DataFrame) -> DataFrame:
 def nearest_centroid(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, label, predicted): cosine-argmax class assignment,
     ties to the lower label id."""
-    vn = v.withColumn("nrm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
-    cn = centroids.withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv")))).select(
+    vn = v.withColumn("nrm", F.sqrt(_dot("ev", "ev")))
+    cn = centroids.withColumn("cnrm", F.sqrt(_dot("cv", "cv"))).select(
         F.col("label").alias("cl"), "cv", "cnrm"
     )
     scored = vn.crossJoin(F.broadcast(cn)).select(
         "vec_id",
         "label",
         "cl",
-        (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
     )
     return scored.groupBy("vec_id").agg(
         F.any_value("label").alias("label"),

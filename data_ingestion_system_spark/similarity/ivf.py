@@ -142,7 +142,7 @@ def _cos(a: str, b: str) -> str:
 
 
 def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
-    return df.withColumn(out, F.sqrt(_dot(F.col(vec), F.col(vec))))
+    return df.withColumn(out, F.sqrt(_dot(vec, vec)))
 
 
 CENT_SCHEMA = "cell_id int, cv array<double>"
@@ -259,7 +259,7 @@ def train_centroids(
         # relation to one row per training vector
         scored = vt.crossJoin(F.broadcast(cents)).select(
             "vec_id",
-            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
             "cell_id",
         )
         # argmax by (cosine DESC, cell_id ASC) as a hash-agg max_by — no
@@ -387,7 +387,7 @@ def assign_and_probes(
         "ev",
         "nrm",
         "cell_id",
-        (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
     ).localCheckpoint(eager=False)
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))
@@ -429,7 +429,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            (_dot(F.col("qv"), F.col("ev")) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+            (_dot("qv", "ev") / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -503,7 +503,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cell_id",
-            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -585,7 +585,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ev",
             "nrm",
             "cell_id",
-            (_dot(F.col("ev"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
         )
         .localCheckpoint(eager=False)
     )
@@ -613,7 +613,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            (_dot(F.col("qv"), F.col("ev")) / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+            (_dot("qv", "ev") / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
         )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))

@@ -43,7 +43,8 @@ MMR_K = 5     # diverse results returned per query
 LAMBDA = 0.7  # relevance-diversity trade-off
 
 
-def _cosine(a, b):
+def _cosine(a: str, b: str):
+    """Cosine from SQL column refs (ann._dot contract)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
@@ -92,7 +93,7 @@ def mmr_topk(
             .select(
                 "query_id",
                 F.col("r.cand_id").alias("cand_id"),
-                _cosine(F.col("r.cv"), F.col("sv")).alias("sim"),
+                _cosine("r.cv", "sv").alias("sim"),
             )
             .groupBy("query_id", "cand_id")
             .agg(F.max("sim").alias("maxsim"))

@@ -45,15 +45,18 @@ PQ_TRAIN_MOD = 4           # train on vec_id % PQ_TRAIN_MOD == 0
 PQ_CODE_BASE = 200         # vec_ids seeding the codebooks
 
 
-def _l2(a, b, dim: int = SD):
-    """Squared L2 over SD-dim subvectors, unrolled like ann._dot (same
-    left-to-right IEEE order as the fold it replaces — bit-identical)."""
-    d = F.element_at(a, 1) - F.element_at(b, 1)
-    terms = d * d
-    for i in range(2, dim + 1):
-        d = F.element_at(a, i) - F.element_at(b, i)
-        terms = terms + d * d
-    return terms
+def _l2(a: str, b: str, dim: int = SD):
+    """Sequential-fold squared L2 over SD-dim subvectors from SQL column
+    refs (one parsed expression; same fold-vs-unrolled trade as
+    ann._dot — the fold wins the join shapes and adds left-to-right, the
+    IEEE order the oracle's list arithmetic uses)."""
+    if not isinstance(a, str) or not isinstance(b, str):
+        raise TypeError("_l2 takes SQL column references as strings")
+    del dim
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
 
 def subvectors(v: DataFrame) -> DataFrame:
@@ -70,7 +73,7 @@ def subvectors(v: DataFrame) -> DataFrame:
 def _assign(sv: DataFrame, codes: DataFrame) -> DataFrame:
     """Nearest code per (vec_id, m): L2 argmin, ties to the lower code."""
     scored = sv.join(F.broadcast(codes), "m").select(
-        "vec_id", "m", "sv", "code", _l2(F.col("sv"), F.col("cv")).alias("d")
+        "vec_id", "m", "sv", "code", _l2("sv", "cv").alias("d")
     )
     return scored.groupBy("vec_id", "m").agg(
         F.any_value("sv").alias("sv"),
@@ -153,7 +156,7 @@ def pq_topk(
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            _dot(F.col("sv"), F.col("cv"), dim=SD).alias("pd"),
+            _dot("sv", "cv", dim=SD).alias("pd"),
         )
     )
     approx = (
@@ -209,10 +212,10 @@ def pq_rerank_topk(
             "query_id",
             "cand_id",
             (
-                _dot(F.col("qv"), F.col("cv"))
+                _dot("qv", "cv")
                 / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                    F.sqrt(_dot("qv", "qv"))
+                    * F.sqrt(_dot("cv", "cv"))
                 )
             ).alias("cosine"),
         )
@@ -462,7 +465,7 @@ def ivfpq_topk(
             F.col("vec_id").alias("query_id"),
             "m",
             "code",
-            _dot(F.col("sv"), F.col("cv"), dim=SD).alias("pd"),
+            _dot("sv", "cv", dim=SD).alias("pd"),
         )
     )
     # probes (|queries| x nprobe rows) is query-batch-sized — broadcast it.

@@ -115,20 +115,47 @@ def fan_out_if_narrow(
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, n // 2):
         return df
-    try:
-        total = sum(
-            os.stat(f.removeprefix("file:")).st_size
-            for f in df.inputFiles()
-            if f.startswith("file:")
-        )
-    except OSError:
-        total = None
+    total = _local_input_bytes(df)
     if total is not None and 0 < total < min_bytes:
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
-def pin_join_width(df: DataFrame, *keys: str) -> DataFrame:
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the local files feeding `df`'s lineage — a
+    planning-time size probe (no job). None when the relation can't be
+    traced to local files (checkpoints, createDataFrame, remote FS)."""
+    try:
+        return sum(
+            os.stat(f.removeprefix("file:")).st_size
+            for f in df.inputFiles()
+            if f.startswith("file:")
+        )
+    except OSError:
+        return None
+
+
+# Dispatch floors for the width pins below (§4d threshold-dispatch: two
+# physical plans, one answer). Under either floor the relation is small
+# enough that AQE's coalesced 1-2-task plan is CHEAPER than scheduling
+# the declared reduce width (measured: the pins cost ~1.5 s across
+# semantic_dedup's exchanges at sf0.1, n=2k vectors); above them the
+# pin is what keeps the expansion parallel (hierarchical SemDeDup at
+# sf10: 536 s unpinned -> 166-218 s pinned, same code otherwise).
+PIN_MIN_ROWS = 16_384
+_PIN_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _should_pin(df: DataFrame, n_rows: int | None) -> bool:
+    if n_rows is not None:
+        return n_rows >= PIN_MIN_ROWS
+    total = _local_input_bytes(df)
+    if total is not None and 0 < total < _PIN_MIN_BYTES:
+        return False
+    return True  # untraceable (checkpoint / in-memory) — pin, scale-safe
+
+
+def pin_join_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame:
     """Hash-repartition a candidate/expansion-join side to the session's
     `spark.sql.shuffle.partitions`, PINNED against AQE coalescing
     (REPARTITION_BY_NUM is never coalesced).
@@ -138,18 +165,28 @@ def pin_join_width(df: DataFrame, *keys: str) -> DataFrame:
     membership. AQE's size-based coalesce (parallelismFirst=false, the
     production setting) sizes reduce partitions by MAP bytes — it cannot
     see the expansion — and folds the join onto a handful of tasks that
-    grind the pair term serially (measured: hierarchical SemDeDup 675 s
-    at sf10 with 3 AQE-coalesced tasks vs ~90 s pinned). The
+    grind the pair term serially (measured: hierarchical SemDeDup at
+    sf10 536 s unpinned vs 166-218 s pinned). The
     shuffle-partitions conf is the operator's declared reduce width: the
-    knob a 100 TB deployment tunes anyway, instead of a local guess."""
+    knob a 100 TB deployment tunes anyway, instead of a local guess.
+
+    Threshold-dispatched: callers that already counted the corpus pass
+    `n_rows` (pins from PIN_MIN_ROWS up); otherwise a planning-time
+    bytes probe of the lineage's local files skips the pin for tiny
+    corpora, where AQE's coalesced plan is strictly cheaper. Relations
+    the probe can't trace (checkpoints, in-memory) pin unconditionally —
+    the scale-safe default."""
+    if not _should_pin(df, n_rows):
+        return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *keys)
 
 
-def pin_width(df: DataFrame, *keys: str) -> DataFrame:
+def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame:
     """Pin the width of a dense-compute relation that is about to be
-    `localCheckpoint`ed (same REPARTITION_BY_NUM mechanics as
-    `pin_join_width`; distinct name because the failure mode differs).
+    `localCheckpoint`ed (same REPARTITION_BY_NUM mechanics and threshold
+    dispatch as `pin_join_width`; distinct name because the failure mode
+    differs).
 
     A checkpoint FREEZES whatever layout its input shuffle ran with.
     When that input is a skinny argmax/assignment relation, AQE's
@@ -162,6 +199,8 @@ def pin_width(df: DataFrame, *keys: str) -> DataFrame:
     the session's declared reduce width. Keys keep downstream
     co-location (aggregates on the same keys reuse the exchange);
     keyless pins round-robin."""
+    if not _should_pin(df, n_rows):
+        return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *keys) if keys else df.repartition(n)
 

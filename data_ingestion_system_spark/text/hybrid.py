@@ -132,10 +132,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cands.crossJoin(F.broadcast(q)).select(
         "vec_id",
         (
-            _dot(F.col("qv"), F.col("ev"))
+            _dot("qv", "ev")
             / (
-                F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(_dot(F.col("ev"), F.col("ev")))
+                F.sqrt(_dot("qv", "qv"))
+                * F.sqrt(_dot("ev", "ev"))
             )
         ).alias("cosine"),
     )

@@ -569,31 +569,42 @@ def test_linkage_levenshtein_is_bounded(spark, sf_dir):
 
 
 def test_pair_expansion_joins_pin_their_width(spark, sf_dir):
-    """Every bucketed candidate/pair join pins its reduce width with a
+    """Bucketed candidate/pair joins pin their reduce width with a
     numbered repartition (tables.pin_join_width → REPARTITION_BY_NUM,
     the one shuffle origin AQE never coalesces). AQE's size-based
     coalesce sizes reduce partitions by MAP bytes and cannot see the
     in-bucket quadratic expansion — measured at sf10: hierarchical
-    SemDeDup 675 s on 3 AQE-coalesced tasks vs ~90 s pinned. A plan
-    that loses the pin regresses silently at scale while staying
-    correct, which is exactly what this file exists to catch."""
+    SemDeDup 536 s unpinned vs 166-218 s pinned. The pin is
+    THRESHOLD-DISPATCHED (tables._should_pin): under PIN_MIN_ROWS /
+    the bytes floor an AQE-coalesced tiny plan is cheaper, so at test
+    scale size-aware queries must show ZERO pinned exchanges, while
+    large/untraceable relations must pin. A plan that loses either side
+    of the dispatch regresses silently — at scale or at small corpora —
+    while staying correct."""
     from data_ingestion_system_spark.plans.inspect import count_pinned_repartitions
+    from data_ingestion_system_spark.tables import PIN_MIN_ROWS
 
+    # size-aware at sf0.001: corpus far below every floor → no pins,
+    # AQE keeps its coalesced plan
     for name in (
-        "near_dup_minhash_lsh",
-        "near_dup_ngram_jaccard",
         "near_dup_embedding_cosine",
         "fuzzy_linkage_pairs",
-        # linkage_entities shares this pair builder but checkpoints its
-        # edges eagerly (see test_linkage_levenshtein_is_bounded)
         "near_dup_simhash_multiblock",
     ):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        assert count_pinned_repartitions(df) == 0, name
+
+    # checkpoint-fed lineages are untraceable (no input files) → the
+    # scale-safe default pins regardless of corpus size
+    for name in ("near_dup_minhash_lsh", "near_dup_ngram_jaccard"):
         df = REGISTRY[name].spark(spark, sf_dir)
         assert count_pinned_repartitions(df) >= 1, name
 
     # the SemDeDup variants checkpoint their pair join (the lineage —
-    # pin included — collapses to Scan ExistingRDD), so the pinned shape
-    # is asserted on the un-checkpointed builders
+    # pin included — collapses to Scan ExistingRDD), so the dispatch is
+    # asserted on the un-checkpointed builders: in-memory relations are
+    # untraceable → pin, unless the caller-supplied count is under the
+    # rows floor
     from data_ingestion_system_spark.dedup.semdedup import (
         _cell_pairs,
         _fine_cell_pairs,
@@ -604,9 +615,12 @@ def test_pair_expansion_joins_pin_their_width(spark, sf_dir):
         "vec_id long, ev array<double>, nrm double, cell_id long, ccos double",
     )
     assert count_pinned_repartitions(_cell_pairs(assigned)) >= 1
+    assert count_pinned_repartitions(_cell_pairs(assigned, n_rows=PIN_MIN_ROWS)) >= 1
+    assert count_pinned_repartitions(_cell_pairs(assigned, n_rows=PIN_MIN_ROWS - 1)) == 0
     fassigned = spark.createDataFrame(
         [(1, [1.0, 0.0], 1.0, 0, 0, 0.9)],
         "vec_id long, ev array<double>, nrm double, cell_id long, "
         "fine_id long, fcos double",
     )
     assert count_pinned_repartitions(_fine_cell_pairs(fassigned)) >= 1
+    assert count_pinned_repartitions(_fine_cell_pairs(fassigned, n_rows=PIN_MIN_ROWS)) >= 1
