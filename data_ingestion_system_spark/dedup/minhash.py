@@ -83,12 +83,14 @@ def band_keys(sigs: DataFrame) -> DataFrame:
     return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
+def candidate_pairs(bands: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Distinct doc pairs sharing ≥1 band bucket (doc_a < doc_b).
-    Join width pinned: the in-bucket pair expansion is quadratic in
-    bucket membership and AQE's byte-based coalesce must not fold it
-    onto a handful of tasks (tables.pin_join_width)."""
-    bands = pin_join_width(bands, "band_key")
+    Join width pinned above the dispatch floor: the in-bucket pair
+    expansion is quadratic in bucket membership and AQE's byte-based
+    coalesce must not fold it onto a handful of tasks
+    (tables.pin_join_width; `n_docs` — a footer-statistics count — picks
+    the dispatch, since the checkpoint-fed lineage is untraceable)."""
+    bands = pin_join_width(bands, "band_key", n_rows=n_docs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -194,12 +196,13 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline over documents; emits
     verified pairs with exact Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet footer statistics — no scan
     # localCheckpoint materializes the shingle sets once for the three
     # consumers (signatures, verify join ×2) without leaving a lingering
     # cache entry behind after the query returns
     tokens = token_sets(docs).localCheckpoint(eager=False)
     sigs = minhash_signatures(tokens)
-    cand = candidate_pairs(band_keys(sigs))
+    cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
     pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD)
     return pairs.select(
         "doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard")
@@ -256,6 +259,7 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, q = 3, 10
     t = p / q
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet footer statistics — no scan
     toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
         F.size("ts") >= 3
     )
@@ -298,9 +302,11 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 1
     ).select("doc_id", "gid", "n", "rn")
-    # pinned width: the per-gid candidate expansion must not be
-    # AQE-coalesced by its byte-tiny map output (tables.pin_join_width)
-    prefix = pin_join_width(prefix, "gid")
+    # pinned width above the dispatch floor: the per-gid candidate
+    # expansion must not be AQE-coalesced by its byte-tiny map output
+    # (tables.pin_join_width; footer count picks the dispatch — the
+    # checkpoint-fed lineage is untraceable)
+    prefix = pin_join_width(prefix, "gid", n_rows=n_docs)
     a = prefix.alias("a")
     b = prefix.alias("b")
     # overlap threshold alpha = ceil(t/(1+t) * (na+nb)) = ceil(p*(na+nb)/(p+q))

@@ -585,20 +585,17 @@ def test_pair_expansion_joins_pin_their_width(spark, sf_dir):
     from data_ingestion_system_spark.tables import PIN_MIN_ROWS
 
     # size-aware at sf0.001: corpus far below every floor → no pins,
-    # AQE keeps its coalesced plan
+    # AQE keeps its coalesced plan (checkpoint-fed lineages pass the
+    # footer-statistics doc count to pick the dispatch)
     for name in (
         "near_dup_embedding_cosine",
         "fuzzy_linkage_pairs",
         "near_dup_simhash_multiblock",
+        "near_dup_minhash_lsh",
+        "near_dup_ngram_jaccard",
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         assert count_pinned_repartitions(df) == 0, name
-
-    # checkpoint-fed lineages are untraceable (no input files) → the
-    # scale-safe default pins regardless of corpus size
-    for name in ("near_dup_minhash_lsh", "near_dup_ngram_jaccard"):
-        df = REGISTRY[name].spark(spark, sf_dir)
-        assert count_pinned_repartitions(df) >= 1, name
 
     # the SemDeDup variants checkpoint their pair join (the lineage —
     # pin included — collapses to Scan ExistingRDD), so the dispatch is
