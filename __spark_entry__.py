@@ -105,7 +105,12 @@ _DRIVER_PRIORITY = (
     "funnel_conversion",
     "cohort_retention",
     "mixture_epoch_sample",
-    # ---- positions 51+ (r6 re-verification rotation continues) ----
+    # ---- positions 51+ (r6 window: new-in-r5 first, then rotation) ----
+    # new in round 5 (late): the BLAS escape-hatch twin of the
+    # hierarchical SemDeDup pair term (applyInPandas dgemm per fine
+    # cell) — shares semantic_dedup_hier's oracle, staged per
+    # CONVENTIONS.md §1
+    "semantic_dedup_blas",
     "cross_source_dup_matrix",
     "classifier_calibration",
     "gap_islands",

@@ -84,6 +84,10 @@ HEADLINE = [
     # SemDeDup twin (the fix for the flat op's inherent n^1.5)
     "near_dup_simhash_multiblock",
     "semantic_dedup_hier",
+    # round-5 late addition: the BLAS escape-hatch twin (applyInPandas
+    # dgemm per fine cell) — the pair-term scale path, tracked alongside
+    # its relational sibling (sf10: hier 200 s, blas 32 s, same answer)
+    "semantic_dedup_blas",
 ]
 
 REPS = 3  # median-of-3 per query

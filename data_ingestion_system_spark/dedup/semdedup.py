@@ -551,3 +551,85 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id", "fine_id")
     )
+
+
+def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
+    """Per-(cell_id, fine_id) SemDeDup statistics via one dense matmul —
+    runs inside `applyInPandas` (Arrow batch in, one aggregate row out).
+
+    Mirrors `semantic_dedup_hier`'s relational pair term EXACTLY:
+    pairs are (va < vb) members with cosine ≥ threshold; each pair
+    drops its higher-fine-cosine member (ties → greater vec_id);
+    n_dropped counts distinct dropped members. Sorting the group by
+    vec_id maps (va < vb) onto the upper triangle.
+
+    Returned as a self-contained closure so cloudpickle serializes it BY
+    VALUE (same reason as multimodal.make_feature_extractor: python
+    workers don't have this package on their PYTHONPATH)."""
+
+    def stats(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        cell_id, fine_id = int(pdf["cell_id"].iloc[0]), int(pdf["fine_id"].iloc[0])
+        if m < 2:
+            return pd.DataFrame(
+                [[cell_id, fine_id, m, 0, 0]],
+                columns=["cell_id", "fine_id", "n_members", "n_dup_pairs", "n_dropped"],
+            )
+        e = np.stack(pdf["ev"].to_numpy())          # m × DIM
+        nrm = pdf["nrm"].to_numpy()
+        cos = (e @ e.T) / np.outer(nrm, nrm)        # BLAS dgemm — the whole point
+        iu, ju = np.triu_indices(m, k=1)
+        qual = cos[iu, ju] >= threshold
+        qi, qj = iu[qual], ju[qual]
+        fcos = pdf["fcos"].to_numpy()
+        # higher fine-cosine member drops; tie → greater vec_id == j (sorted)
+        drop_idx = np.where(fcos[qi] > fcos[qj], qi, qj)
+        return pd.DataFrame(
+            [[cell_id, fine_id, m, int(qual.sum()), int(np.unique(drop_idx).size)]],
+            columns=["cell_id", "fine_id", "n_members", "n_dup_pairs", "n_dropped"],
+        )
+
+    return stats
+
+
+@query("semantic_dedup_blas", oracle=_hier_oracle(), survey="EXT-dedup,EXT-similarity")
+def semantic_dedup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup_hier` with the in-cell pair term computed by a
+    per-group BLAS matmul (`applyInPandas`) instead of a relational
+    self-join — the production escape hatch SCALING.md names for the
+    pair term's remaining cost at 10⁶+ vectors.
+
+    Same trained quantizers, same assignments, same keep rule, same
+    output — only the physical pair computation differs. The relational
+    join ships BOTH 64-double arrays per candidate pair (~128 doubles ×
+    n²/K pairs of shuffle-side materialization, the measured wall at
+    sf10); this plan ships each vector ONCE into its (cell, fine) group
+    (Arrow batch) and the m×m cosine matrix comes out of one dgemm per
+    group — O(m²·DIM) flops but O(m·DIM) traffic. Group sizes are
+    bounded by the √n bucket ladder (≈ hundreds of rows at any corpus
+    size), so a group always fits an Arrow batch.
+
+    Float caveat: numpy sums the dot in SIMD/pairwise order, not the
+    sequential fold both engines use — a cosine within ~1e-15 of
+    SEM_THRESHOLD could in principle flip a pair vs the relational twin.
+    On the shipped corpora no pair sits that close (blas == hier exactly
+    at sf0.001/sf0.01, pinned by tests/test_semdedup_classifier.py), so
+    the op shares `semantic_dedup_hier`'s oracle; a corpus where the
+    boundary bites would surface as a driver hash mismatch, not a silent
+    wrong answer."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
+    kc, kf = hier_cells(n)
+    cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir), n_cells=kc)
+    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).localCheckpoint(eager=False)
+    fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
+    fassigned = assign_fine(cassigned, fcents)
+    stats = fassigned.groupBy("cell_id", "fine_id").applyInPandas(
+        make_blas_group_stats(),
+        "cell_id int, fine_id int, n_members long, n_dup_pairs long, n_dropped long",
+    )
+    return stats.orderBy("cell_id", "fine_id")

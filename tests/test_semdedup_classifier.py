@@ -135,3 +135,19 @@ def test_classifier_wcounts_path_matches_token_stream_path(spark, sf_dir):
         # sigmoid(GAIN·mean): a 5e-7 mean truncation moves the score by
         # at most GAIN·5e-7/4 — the two paths must stay inside that
         assert abs(score_a - score_b) < 2e-6, doc_id
+
+
+def test_blas_twin_matches_hier_exactly(spark, sf_dir):
+    """semantic_dedup_blas (per-cell BLAS matmul pair term) must equal
+    semantic_dedup_hier (relational pair join) row-for-row: same trained
+    quantizers, same assignments, same keep rule — only the physical
+    pair computation differs. numpy's SIMD/pairwise summation could in
+    principle flip a cosine sitting within ~1e-15 of SEM_THRESHOLD; on
+    the shipped corpus no pair does, which is exactly the condition that
+    lets the twin share the hier oracle."""
+    from data_ingestion_system_spark.registry import load_all
+
+    reg = load_all()
+    h = sorted(map(tuple, reg["semantic_dedup_hier"].spark(spark, sf_dir).collect()))
+    b = sorted(map(tuple, reg["semantic_dedup_blas"].spark(spark, sf_dir).collect()))
+    assert b == h
