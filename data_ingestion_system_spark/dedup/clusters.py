@@ -120,9 +120,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cluster id, cluster size, and keeper flag — the `is_keeper =
     false` rows are exactly the set a dedup job would drop."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics
     tokens = token_sets(docs).localCheckpoint(eager=False)
-    cand = candidate_pairs(band_keys(minhash_signatures(tokens)))
-    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD)
+    cand = candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs)
+    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     comp = connected_components(pairs)
     csizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (

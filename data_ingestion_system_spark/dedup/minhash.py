@@ -104,11 +104,29 @@ def candidate_pairs(bands: DataFrame, n_docs: int | None = None) -> DataFrame:
     )
 
 
-def verified_pairs(tokens: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidates only; keep pairs ≥ threshold."""
+def verified_pairs(
+    tokens: DataFrame, cand: DataFrame, threshold: float, n_docs: int | None = None
+) -> DataFrame:
+    """Exact Jaccard on candidates only; keep pairs ≥ threshold.
+
+    Join strategy is threshold-dispatched like the width pins
+    (tables._should_pin): above the corpus floor — or when the lineage
+    can't be sized — the token and candidate joins are hinted MERGE.
+    Catalyst's static estimate of the candidate relation is taken
+    before the LSH bands materialize and can undercount by orders of
+    magnitude; at sf10 it planned a broadcast whose runtime build blew
+    the driver heap ('Not enough memory to build and broadcast').
+    Sort-merge spills instead of dying — the only acceptable failure
+    mode at 100 TB. Small corpora keep AQE's broadcast plan. Streaming
+    callers pass n_docs=0: a micro-batch is bounded by the trigger
+    interval, so the broadcast verify is the right plan there."""
+    from data_ingestion_system_spark.tables import _should_pin
+
+    big = _should_pin(tokens, n_docs)
     sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = tokens.alias("ta")
-    tb = tokens.alias("tb")
+    ta = tokens.hint("merge").alias("ta") if big else tokens.alias("ta")
+    tb = tokens.hint("merge").alias("tb") if big else tokens.alias("tb")
+    cand = cand.hint("merge") if big else cand
     common = (
         cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
         .join(
@@ -203,7 +221,7 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = token_sets(docs).localCheckpoint(eager=False)
     sigs = minhash_signatures(tokens)
     cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
-    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD)
+    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     return pairs.select(
         "doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
@@ -388,9 +406,13 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution is two (doc_id, source) joins of a narrow projection,
     then a sources²-bounded aggregate."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics
     tokens = token_sets(docs).localCheckpoint(eager=False)
     pairs = verified_pairs(
-        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+        tokens,
+        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+        JACCARD_THRESHOLD,
+        n_docs=n_docs,
     )
     src = docs.select("doc_id", "source")
     attributed = (
@@ -438,9 +460,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal explode of that pair-sized relation — no per-threshold
     rescans of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics
     tokens = token_sets(docs).localCheckpoint(eager=False)
     jacs = verified_pairs(
-        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), 0.0
+        tokens,
+        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+        0.0,
+        n_docs=n_docs,
     )
     x = jacs.select(
         F.explode(
@@ -499,10 +525,11 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation — signatures join back per candidate pair (pair-sized),
     one aggregate row out."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics
     tokens = token_sets(docs)
     sigs = minhash_signatures(tokens)
-    cand = candidate_pairs(band_keys(sigs))
-    exact = verified_pairs(tokens, cand, 0.0)  # all candidates, unfiltered
+    cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
+    exact = verified_pairs(tokens, cand, 0.0, n_docs=n_docs)  # all candidates, unfiltered
     matches = sum(
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
         for i in range(N_HASHES)

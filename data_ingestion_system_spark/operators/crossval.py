@@ -136,9 +136,13 @@ def fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics
     tokens = token_sets(docs).localCheckpoint(eager=False)
     pairs = verified_pairs(
-        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+        tokens,
+        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+        JACCARD_THRESHOLD,
+        n_docs=n_docs,
     )
     folded = with_fold(docs.select("doc_id"), F.col("doc_id")).select("doc_id", "fold")
     fa = folded.select(F.col("doc_id").alias("doc_a"), F.col("fold").alias("fold_a"))

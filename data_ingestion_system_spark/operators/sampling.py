@@ -340,9 +340,13 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.tables import load_table as _lt
 
     docs = _lt(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics
     tokens = token_sets(docs).localCheckpoint(eager=False)
     pairs = verified_pairs(
-        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+        tokens,
+        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+        JACCARD_THRESHOLD,
+        n_docs=n_docs,
     )
     comp = connected_components(pairs)
     units = docs.select("doc_id").join(comp, "doc_id", "left").select(

@@ -103,7 +103,7 @@ def neardup_insert_batch(
         # distinct: a re-delivered doc_id appears in BOTH sides of the
         # union with identical shingles; duplicates would double n_common
         dup_vs_store_ids = (
-            verified_pairs(toks.unionByName(store_toks).distinct(), cross, threshold)
+            verified_pairs(toks.unionByName(store_toks).distinct(), cross, threshold, n_docs=0)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
@@ -116,7 +116,7 @@ def neardup_insert_batch(
 
     rtoks = toks.join(remaining.select("doc_id"), "doc_id", "left_semi")
     rbands = bands.join(remaining.select("doc_id"), "doc_id", "left_semi")
-    within = verified_pairs(rtoks, candidate_pairs(rbands), threshold)
+    within = verified_pairs(rtoks, candidate_pairs(rbands, n_docs=0), threshold, n_docs=0)
     drop_ids = within.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = remaining.join(drop_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
     inserted = survivors.count()

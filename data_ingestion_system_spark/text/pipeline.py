@@ -179,13 +179,18 @@ def stage_contaminated(docs: DataFrame, toks: DataFrame | None = None) -> DataFr
     )
 
 
-def stage_dup_drop(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
+def stage_dup_drop(
+    docs: DataFrame, toks: DataFrame | None = None, n_docs: int | None = None
+) -> DataFrame:
     """Stage 3: doc_ids dropped as non-canonical members of near-dup
     clusters (closure over the FULL corpus — a doc whose cluster canon
     is an eval doc is dropped, same as the SQL)."""
     tokens = token_sets(docs, toks=toks).localCheckpoint(eager=False)
     pairs = verified_pairs(
-        tokens, candidate_pairs(band_keys(minhash_signatures(tokens))), JACCARD_THRESHOLD
+        tokens,
+        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+        JACCARD_THRESHOLD,
+        n_docs=n_docs,
     )
     comp = connected_components(pairs)
     return comp.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
@@ -197,6 +202,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval slice) → docs surviving quality + dedup + decontamination →
     chunks and tokens emitted."""
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # footer statistics — picks the verify-join dispatch
     # Stage materialization is PARALLEL: the four filter stages are
     # independent DAGs, and the dup stage's serial chain (shingles →
     # signatures → banded pairs → verify → iterative closure) is the
@@ -221,7 +227,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs)))
+        dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs, n_docs=n_docs)))
 
         toks = _ckpt(
             fan_out(docs, "doc_id").select(

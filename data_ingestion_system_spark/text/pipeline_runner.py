@@ -76,7 +76,14 @@ def run_corpus_prep(
 
     quality = _stage(spark, work_dir, "quality_ids", lambda: stage_quality_ids(docs), ran, skipped)
     clf = _stage(spark, work_dir, "clf_keep_ids", lambda: stage_clf_keep_ids(docs), ran, skipped)
-    dup = _stage(spark, work_dir, "dup_drop", lambda: stage_dup_drop(docs), ran, skipped)
+    dup = _stage(
+        spark,
+        work_dir,
+        "dup_drop",
+        lambda: stage_dup_drop(docs, n_docs=docs.count()),
+        ran,
+        skipped,
+    )
     contam = _stage(spark, work_dir, "contaminated", lambda: stage_contaminated(docs), ran, skipped)
 
     def _survivors() -> DataFrame:
