@@ -38,190 +38,230 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 catalog entries per round (registration
-# order).  Rounds 1-4 accumulated 199 green driver rows (0 red ever).
-# Round-5 window: the 9 staged backlog queries land first (after this
-# round EVERY SQL-checkable catalog query has a driver row), then the
-# round-5 hierarchical SemDeDup twin, then the re-verification rotation
-# (oldest greens first: r03 → r02 → r04).  Queries new in a round are
-# staged at position 51+ unless window capacity is spare.  The full
-# catalog keeps its pytest oracle gate regardless
+# order).  Rounds 1-5 accumulated 249 green driver rows (0 red ever); after
+# r5 every SQL-checkable catalog query has a green row.
+# Round-6 window (VERDICT r5 asks #1/#2/#6): `semantic_dedup_blas` first
+# (the one never-driver-checked query, staged since late r5), then
+# `near_dup_ngram_jaccard` (re-verify the de-degenerated PPJoin candidate
+# join under the driver), then the re-verification rotation OLDEST-FIRST —
+# the r01-vintage greens, last checked five rounds ago, under an engine
+# rewritten twice since.  Positions 51+ continue the same oldest-first
+# rotation (r02 → r03 → r04/r05), so future rounds inherit the queue.
+# The full catalog keeps its pytest oracle gate regardless
 # (tests/test_oracle_parity.py parametrizes ALL registered queries).
 _DRIVER_PRIORITY = (
-    # ---- ROUND-5 DRIVER WINDOW (first 50) ----
-    # 1-9: the staged backlog — the 7 r3-economics spill-overs plus the
-    # two r4 streaming batch twins (VERDICT r4 ask #1: clear the
-    # driver-verification backlog for good)
-    "segment_priority_mix",
-    "customer_spend_gini",
-    "brand_basket_lift",
-    "lorenz_spend_deciles",
-    "abc_brand_classification",
-    "order_size_distribution",
-    "repeat_purchase_interval",
-    "incremental_daily_view",
-    "reservoir_sample",
-    # 10: new in round 5 — the hierarchical SemDeDup scale twin, landed
-    # inside this round's window (well within spare capacity)
-    "semantic_dedup_hier",
-    # 11-50: re-verification rotation — r03-green queries take the
-    # remaining slots (oldest greens re-verify first)
-    "range_join_events",
-    "source_drift_metrics",
-    "multires_rollup",
-    "tfidf_top_terms",
-    "vocab_zipf_stats",
-    "label_centroid_confusion",
-    "token_cooccurrence",
-    "kmeans_cluster_profile",
-    "equi_depth_buckets",
-    "heavy_hitters",
-    "equi_depth_buckets_approx",
-    "orphan_labels",
-    "orphan_check_matrix",
-    "invalid_rows_profile",
-    "validated_events",
-    "schema_evolution_read",
-    "bigram_lm_scores",
-    "bpe_pair_counts",
-    "mixture_weights",
-    "pii_redaction",
-    "pack_training_sequences",
-    "boilerplate_chunks",
-    "time_travel_snapshot",
-    "semantic_dedup",
-    "quality_classifier_scores",
-    "token_kl_drift",
-    "hybrid_rrf_search",
-    "winsorized_stats",
-    "grouped_percentiles_sketch_refine",
-    "robust_outlier_profile",
-    "ann_filtered_topk",
-    "vocab_coverage",
-    "contrastive_pairs",
-    "psi_drift",
-    "nb_weak_label_confusion",
-    "cluster_aware_split_stats",
-    "unpivot_metrics",
-    "funnel_conversion",
-    "cohort_retention",
-    "mixture_epoch_sample",
-    # ---- positions 51+ (r6 window: new-in-r5 first, then rotation) ----
-    # new in round 5 (late): the BLAS escape-hatch twin of the
-    # hierarchical SemDeDup pair term (applyInPandas dgemm per fine
-    # cell) — shares semantic_dedup_hier's oracle, staged per
-    # CONVENTIONS.md §1
     "semantic_dedup_blas",
+    "near_dup_ngram_jaccard",
+    # 3-50: r01-vintage re-verification (oldest greens first)
+    "dynamic_filter",
+    "like_search",
+    "case_projection",
+    "length_buckets",
+    "projection_rename",
+    "ordered_enum_filter",
+    "join_enrich",
+    "join_4way",
+    "self_join_theta",
+    "left_join_coverage",
+    "anti_join",
+    "semi_join",
+    "run_scoped_join",
+    "context_multi_join",
+    "app_stats",
+    "daily_stats",
+    "sentiment_distribution",
+    "scalar_stats",
+    "count_distinct",
+    "group_frequency",
+    "group_frequency_2key",
+    "top_frequent",
+    "ratio_metrics",
+    "descriptive_stats",
+    "mode_value",
+    "higher_moments",
+    "exact_percentiles",
+    "histogram_fixed_buckets",
+    "grouped_distribution",
+    "two_level_agg",
+    "null_profile",
+    "duplicate_detection",
+    "topk_by_sortkey",
+    "priority_queue_head",
+    "rank_per_group",
+    "deterministic_shuffle_sample",
+    "history_lag_zscore",
+    "quota_per_group",
+    "running_total",
+    "union_all_concat",
+    "union_distinct_ids",
+    "except_difference",
+    "intersect_ids",
+    "stratified_tiered_sample",
+    "stratified_split",
+    "overlap_assignment",
+    "quality_flags",
+    "script_detection",
+    # ---- positions 51+ (r7 queue: r02-vintage, then r03, r04, r05) ----
+    "high_punctuation_docs",
+    "examples_per_group",
+    "exact_percentiles_sketch_refine",
+    "weighted_sample",
+    "near_dup_minhash_lsh",
+    "anomaly_flags",
+    "backfill_missing_days",
+    "approx_percentiles",
+    "approx_distinct_users",
+    "month_frequency",
+    "dow_hour_profile",
+    "json_props_extract",
+    "json_report_roundtrip",
+    "ref_v_app_stats",
+    "ref_v_reviews_sentiment",
+    "ref_v_daily_stats",
+    "ref_v_labeled_reviews",
+    "cube_counts",
+    "pivot_matrix",
+    "rollup_daily",
+    "asof_join_events",
+    "sessionization",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "repetition_quality",
+    "doc_chunks",
+    "near_dup_embedding_cosine",
+    "bm25_search",
+    "inverted_index_search",
+    "contamination_overlap",
+    "dedup_clusters",
+    "corpus_prep_pipeline",
+    "majority_vote",
+    "cohens_kappa",
+    "labeled_export_join",
+    "token_counts",
+    "language_id_confusion",
+    "quality_scores",
+    "doc_fingerprints",
+    "clean_documents",
+    "dedup_exact_stats",
+    "dedup_exact_keepers",
+    "near_dup_simhash_multiblock",
+    "near_dup_simhash",
+    "ann_pq_rerank_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "multimodal_payload_stats",
+    "multimodal_features",
     "cross_source_dup_matrix",
-    "classifier_calibration",
     "gap_islands",
     "sliding_rate_limit",
     "substring_dup_profile",
     "duplicated_spans_topk",
     "kfold_balance",
-    "krippendorff_alpha",
-    "classifier_pr_thresholds",
     "corpus_data_card",
-    "ref_v_app_stats",
-    "ref_v_reviews_sentiment",
-    "ref_v_daily_stats",
-    "ref_v_labeled_reviews",
-    "majority_vote",
-    "cohens_kappa",
-    "labeled_export_join",
-    "dedup_exact_stats",
-    "dedup_exact_keepers",
-    "near_dup_minhash_lsh",
-    "near_dup_ngram_jaccard",
-    "near_dup_simhash",
-    "near_dup_embedding_cosine",
-    "ann_topk_bruteforce",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "inverted_index_search",
-    "token_counts",
-    "language_id_confusion",
-    "quality_scores",
-    "doc_fingerprints",
-    "multimodal_payload_stats",
-    "multimodal_features",
-    "asof_join_events",
-    "sessionization",
-    "cube_counts",
-    "pivot_matrix",
-    "rollup_daily",
-    "month_frequency",
-    "dow_hour_profile",
-    "json_props_extract",
-    "json_report_roundtrip",
-    "anomaly_flags",
-    "backfill_missing_days",
-    "approx_percentiles",
-    "approx_distinct_users",
-    "exact_percentiles_sketch_refine",
-    "near_dup_simhash_multiblock",
-    "weighted_sample",
-    "clean_documents",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
-    "dedup_clusters",
-    "bm25_search",
-    "repetition_quality",
-    "contamination_overlap",
-    "doc_chunks",
-    "corpus_prep_pipeline",
-    "examples_per_group",
-    # r4-green queries rotate to the back (verified most recently)
-    "dp_daily_counts",
-    "mmr_diverse_topk",
-    "bpe_merge_table",
-    "funnel_within_window",
-    "common_event_paths",
-    "token_budget_selection",
-    "confident_joint_matrix",
-    "fold_leakage_audit",
-    "daily_trend_slopes",
-    "cusum_changepoint",
-    "dedup_threshold_sweep",
-    "join_key_skew_profile",
-    "fuzzy_linkage_pairs",
-    "linkage_block_profile",
-    "scd2_user_segments",
-    "scd2_churn_profile",
-    "chi2_lang_source",
-    "metric_correlation_matrix",
-    "ewma_daily_volume",
-    "cdc_apply_state",
-    "cdc_apply_audit",
-    "ks_test_click_purchase",
-    "mann_whitney_u",
-    "weighted_median_by_flag",
-    "grouping_sets_profile",
-    "lang_listagg_by_source",
-    "seasonal_anomaly_flags",
-    "rolling_wau",
-    "rank_function_profile",
-    "keep_rate_wilson",
-    "join_cardinality_profile",
-    "event_transition_matrix",
-    "interarrival_burstiness",
-    "histogram_2d",
-    "user_entropy_profile",
-    "neyman_allocation",
-    "vocab_chao1_estimate",
-    "source_vocab_jaccard",
-    "minhash_estimation_error",
-    "session_bounce_stats",
-    "readability_by_source",
+    "classifier_calibration",
+    "classifier_pr_thresholds",
+    "krippendorff_alpha",
     "revenue_rollup_nation_year",
-    "linkage_entities",
-    "daily_growth_rates",
-    "new_user_share",
-    "funnel_time_to_convert",
     "brand_revenue_share",
     "supplier_concentration_hhi",
     "shipping_delay_profile",
     "customer_rfm_segments",
+    "weighted_median_by_flag",
+    "histogram_2d",
+    "user_entropy_profile",
+    "rank_function_profile",
+    "dedup_threshold_sweep",
+    "minhash_estimation_error",
+    "neyman_allocation",
+    "seasonal_anomaly_flags",
+    "grouping_sets_profile",
+    "lang_listagg_by_source",
+    "session_bounce_stats",
+    "funnel_time_to_convert",
+    "ks_test_click_purchase",
+    "mann_whitney_u",
+    "join_cardinality_profile",
+    "funnel_within_window",
+    "common_event_paths",
+    "rolling_wau",
+    "event_transition_matrix",
+    "interarrival_burstiness",
+    "fold_leakage_audit",
+    "dp_daily_counts",
+    "mmr_diverse_topk",
+    "bpe_merge_table",
+    "token_budget_selection",
+    "confident_joint_matrix",
+    "daily_trend_slopes",
+    "cusum_changepoint",
+    "daily_growth_rates",
+    "new_user_share",
+    "fuzzy_linkage_pairs",
+    "linkage_block_profile",
+    "linkage_entities",
+    "scd2_user_segments",
+    "scd2_churn_profile",
+    "chi2_lang_source",
+    "metric_correlation_matrix",
+    "keep_rate_wilson",
+    "ewma_daily_volume",
+    "cdc_apply_state",
+    "cdc_apply_audit",
+    "join_key_skew_profile",
+    "vocab_chao1_estimate",
+    "source_vocab_jaccard",
+    "readability_by_source",
+    "segment_priority_mix",
+    "brand_basket_lift",
+    "order_size_distribution",
+    "repeat_purchase_interval",
+    "equi_depth_buckets",
+    "equi_depth_buckets_approx",
+    "winsorized_stats",
+    "grouped_percentiles_sketch_refine",
+    "customer_spend_gini",
+    "lorenz_spend_deciles",
+    "abc_brand_classification",
+    "cluster_aware_split_stats",
+    "robust_outlier_profile",
+    "unpivot_metrics",
+    "funnel_conversion",
+    "cohort_retention",
+    "range_join_events",
+    "source_drift_metrics",
+    "token_kl_drift",
+    "psi_drift",
+    "multires_rollup",
+    "invalid_rows_profile",
+    "validated_events",
+    "orphan_check_matrix",
+    "orphan_labels",
+    "contrastive_pairs",
+    "kmeans_cluster_profile",
+    "ann_filtered_topk",
+    "quality_classifier_scores",
+    "schema_evolution_read",
+    "bigram_lm_scores",
+    "bpe_pair_counts",
+    "mixture_weights",
+    "mixture_epoch_sample",
+    "pii_redaction",
+    "pack_training_sequences",
+    "boilerplate_chunks",
+    "time_travel_snapshot",
+    "incremental_daily_view",
+    "reservoir_sample",
+    "semantic_dedup",
+    "semantic_dedup_hier",
+    "hybrid_rrf_search",
+    "nb_weak_label_confusion",
+    "tfidf_top_terms",
+    "vocab_zipf_stats",
+    "token_cooccurrence",
+    "heavy_hitters",
+    "vocab_coverage",
+    "label_centroid_confusion",
 )
 
 

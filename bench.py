@@ -152,6 +152,15 @@ def main() -> None:
             collect_sec[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    anchor = _reference_anchor(spark)
+    # Anchor normalization (VERDICT r5 ask #4): this box drifts ±50%
+    # run-to-run, so raw cross-round deltas are box-confounded. The
+    # anchor (the reference's full view surface at its production size,
+    # measured in THIS session) calibrates the box: normalized seconds =
+    # raw ÷ (anchor_total / REF_ANCHOR_BASELINE_SEC), i.e. what the query
+    # would have read on the fixed r4 reference box. Raw stays alongside.
+    factor = anchor["total"] / REF_ANCHOR_BASELINE_SEC if anchor.get("total") else 1.0
+    normalized = {k: round(v / factor, 3) for k, v in times.items()}
     print(
         json.dumps(
             {
@@ -163,10 +172,56 @@ def main() -> None:
                 "reps": REPS,
                 "collect_sec": collect_sec,
                 "ann_index_train_sec": train_sec,
-                "ref_anchor": _reference_anchor(spark),
+                "ref_anchor": anchor,
+                "anchor_norm_factor": round(factor, 4),
+                "normalized": normalized,
+                "normalized_total": round(sum(normalized.values()), 3),
+                "data_manifest": _data_manifest(sf_dir),
             }
         )
     )
+
+
+# Fixed calibration constant: the r4 session's ref_anchor total (the
+# round whose raw numbers the slope tables in bench_results/SCALING.md
+# were first normalized against). Dividing a session's anchor total by
+# this yields the session's box-speed factor; it is NEVER re-measured.
+REF_ANCHOR_BASELINE_SEC = 2.856
+
+
+def _data_manifest(sf_dir: str) -> dict:
+    """Provenance of the measured corpus (VERDICT r5 ask #3). Generated
+    dirs carry tools/gen_bench_data.py's manifest.json (generator digest,
+    seed, per-table rows + digests); driver-shipped testdata has none, so
+    fall back to a cheap stat fingerprint + footer row counts — enough to
+    detect silent regeneration between rounds."""
+    path = os.path.join(sf_dir, "manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+        return {
+            "source": "manifest",
+            "generator_sha256": m.get("generator_sha256"),
+            "seed": m.get("seed"),
+            "rows": {t: v.get("rows") for t, v in m.get("tables", {}).items()},
+        }
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    rows = {}
+    stat_parts = []
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(p).removesuffix(".parquet")
+        st = os.stat(p)
+        stat_parts.append(f"{name}|{st.st_size}|{st.st_mtime_ns}")
+        rows[name] = pq.ParquetFile(p).metadata.num_rows
+    return {
+        "source": "stat",
+        "fingerprint": hashlib.md5("\n".join(stat_parts).encode()).hexdigest(),
+        "rows": rows,
+    }
 
 
 REF_CORPUS_ROWS = 87_381  # reference corpus size (BASELINE.md: summery_deck.md:205-212)

@@ -483,6 +483,88 @@ def _fine_cell_pairs(fassigned: DataFrame, n_rows: int | None = None) -> DataFra
     )
 
 
+# Corpus floor for dispatching the hierarchical pair term to the dgemm
+# plan (same two-physical-plans idiom as tables._should_pin). Measured
+# same-session: sf10 (200k vectors) relational 200 s vs dgemm 32 s; sf1.0
+# (20k) see bench_results/SCALING.md r6 A/B; sf0.1 (2k) the two are equal
+# within noise. Below the floor the relational join keeps the
+# whole-stage-codegen plan (no Python workers to spin up); above it the
+# per-pair array traffic (O(pairs·DIM) through the self-join) loses to
+# shipping each vector once into its group (O(n·DIM)) and one dgemm.
+SEMDEDUP_BLAS_MIN_ROWS = 16_384
+
+
+def _hier_fassigned(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
+    """The shared hierarchical chain: corpus count, coarse quantizer
+    (memoized k-means), per-cell fine quantizer, fine assignment —
+    everything upstream of the pair term, identical for both physical
+    pair plans. Returns (n, fassigned) with fassigned UN-pinned and
+    UN-checkpointed (each pair plan applies its own materialization)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
+    kc, kf = hier_cells(n)
+    cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir), n_cells=kc)
+    # the assignment checkpoint pins its width first (tables.pin_width):
+    # the skinny argmax shuffles AQE-coalesce to 1-2 partitions, and the
+    # checkpoint would freeze that width under every later dense pass
+    # (fine-centroid Lloyd rounds, fine assignment — measured 2-of-32-core
+    # grind at sf10 unpinned). Keyless: all downstream scoring joins are
+    # broadcast, so round-robin balance beats key co-location.
+    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).localCheckpoint(eager=False)
+    fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
+    return n, assign_fine(cassigned, fcents)
+
+
+_HIER_STATS_SCHEMA = (
+    "cell_id int, fine_id int, n_members long, n_dup_pairs long, n_dropped long"
+)
+
+
+def hier_group_stats(
+    fassigned: DataFrame, n: int, force: str | None = None
+) -> DataFrame:
+    """Per-(cell_id, fine_id) SemDeDup statistics, physical plan picked
+    by corpus size (the production entry point — callers get the sf10
+    32 s dgemm plan above the floor without knowing the variant menu;
+    VERDICT r5 ask #1). `force` pins a variant ("relational"/"blas")
+    for the explicit catalog twins and the plan-assert tests. Both
+    plans return identical rows (pinned row-equal by
+    tests/test_semdedup_classifier.py and the shared driver oracle)."""
+    use_blas = n >= SEMDEDUP_BLAS_MIN_ROWS if force is None else force == "blas"
+    if use_blas:
+        return fassigned.groupBy("cell_id", "fine_id").applyInPandas(
+            make_blas_group_stats(), _HIER_STATS_SCHEMA
+        )
+    # relational pair term: pin-width + checkpoint the assignment (three
+    # consumers: members / both pair sides), then the width-pinned
+    # in-(cell, fine) self-join (AQE's byte-based coalesce must not
+    # starve the quadratic expansion — see _fine_cell_pairs)
+    fassigned = pin_width(fassigned, n_rows=n).localCheckpoint(eager=False)
+    pairs = _fine_cell_pairs(fassigned, n_rows=n).localCheckpoint(eager=False)
+    dropped = pairs.select(
+        "cell_id",
+        "fine_id",
+        F.when(F.col("ca") > F.col("cb"), F.col("va"))
+        .when(F.col("cb") > F.col("ca"), F.col("vb"))
+        .otherwise(F.greatest("va", "vb"))
+        .alias("vec_id"),
+    ).distinct()
+    members = fassigned.groupBy("cell_id", "fine_id").agg(F.count("*").alias("n_members"))
+    pair_counts = pairs.groupBy("cell_id", "fine_id").agg(F.count("*").alias("n_dup_pairs"))
+    drop_counts = dropped.groupBy("cell_id", "fine_id").agg(F.count("*").alias("n_dropped"))
+    return (
+        members.join(pair_counts, ["cell_id", "fine_id"], "left")
+        .join(drop_counts, ["cell_id", "fine_id"], "left")
+        .select(
+            F.col("cell_id").cast("int").alias("cell_id"),
+            F.col("fine_id").cast("int").alias("fine_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 @query("semantic_dedup_hier", oracle=_hier_oracle(), survey="EXT-dedup,EXT-similarity")
 def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical SemDeDup — the scale twin of `semantic_dedup`
@@ -510,50 +592,13 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Extends the reference's exact duplicate detection
     (src/analysis/data_quality_analyzer.py:172) like its flat sibling;
-    same SEM_THRESHOLD contract. The pair term's remaining cost at 10⁶+
-    vectors is array traffic through the self-join — the next escape
-    level is `semantic_dedup_blas` (per-cell dgemm, identical answer;
-    sf10 same-session: 200 s → 32 s)."""
-    n = load_table(spark, sf_dir, "embeddings").count()
-    v = load_vectors(spark, sf_dir)
-    kc, kf = hier_cells(n)
-    cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir), n_cells=kc)
-    # both assignment checkpoints pin their width first (tables.pin_width):
-    # the skinny argmax shuffles AQE-coalesce to 1-2 partitions, and the
-    # checkpoints would freeze that width under every later dense pass
-    # (fine-centroid Lloyd rounds, fine assignment — measured 2-of-32-core
-    # grind at sf10 unpinned). Keyless: all downstream scoring joins are
-    # broadcast, so round-robin balance beats key co-location.
-    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).localCheckpoint(eager=False)
-    fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
-    # assignment feeds three consumers (members / both pair sides)
-    fassigned = pin_width(assign_fine(cassigned, fcents), n_rows=n).localCheckpoint(eager=False)
-    # pin the pair-join width (see _cell_pairs: AQE's byte-based
-    # coalesce must not starve the quadratic expansion)
-    pairs = _fine_cell_pairs(fassigned, n_rows=n).localCheckpoint(eager=False)
-    dropped = pairs.select(
-        "cell_id",
-        "fine_id",
-        F.when(F.col("ca") > F.col("cb"), F.col("va"))
-        .when(F.col("cb") > F.col("ca"), F.col("vb"))
-        .otherwise(F.greatest("va", "vb"))
-        .alias("vec_id"),
-    ).distinct()
-    members = fassigned.groupBy("cell_id", "fine_id").agg(F.count("*").alias("n_members"))
-    pair_counts = pairs.groupBy("cell_id", "fine_id").agg(F.count("*").alias("n_dup_pairs"))
-    drop_counts = dropped.groupBy("cell_id", "fine_id").agg(F.count("*").alias("n_dropped"))
-    return (
-        members.join(pair_counts, ["cell_id", "fine_id"], "left")
-        .join(drop_counts, ["cell_id", "fine_id"], "left")
-        .select(
-            F.col("cell_id").cast("int").alias("cell_id"),
-            F.col("fine_id").cast("int").alias("fine_id"),
-            "n_members",
-            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-        )
-        .orderBy("cell_id", "fine_id")
-    )
+    same SEM_THRESHOLD contract. The pair term is SIZE-DISPATCHED
+    (`hier_group_stats`): relational self-join below
+    SEMDEDUP_BLAS_MIN_ROWS, per-group dgemm above it (sf10
+    same-session: 200 s → 32 s) — one operator, two physical plans,
+    one answer."""
+    n, fassigned = _hier_fassigned(spark, sf_dir)
+    return hier_group_stats(fassigned, n).orderBy("cell_id", "fine_id")
 
 
 def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
@@ -568,7 +613,16 @@ def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
 
     Returned as a self-contained closure so cloudpickle serializes it BY
     VALUE (same reason as multimodal.make_feature_extractor: python
-    workers don't have this package on their PYTHONPATH)."""
+    workers don't have this package on their PYTHONPATH).
+
+    Memory guard: the √n bucket ladder bounds groups to hundreds of rows
+    on well-spread corpora, but a degenerate corpus (many near-identical
+    vectors collapsing into one fine cell) can hand this a group of ANY
+    size — so the matmul runs in row blocks of ≤ ~4M doubles
+    (B = block_elems // m rows at a time): peak extra memory is O(B·m)
+    ≈ 32 MB however large the group, instead of the full m×m matrix plus
+    two O(m²) triu index arrays. Groups that fit one block (every
+    non-degenerate corpus) still run the single full dgemm."""
 
     def stats(pdf):
         import numpy as np
@@ -584,15 +638,27 @@ def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
             )
         e = np.stack(pdf["ev"].to_numpy())          # m × DIM
         nrm = pdf["nrm"].to_numpy()
-        cos = (e @ e.T) / np.outer(nrm, nrm)        # BLAS dgemm — the whole point
-        iu, ju = np.triu_indices(m, k=1)
-        qual = cos[iu, ju] >= threshold
-        qi, qj = iu[qual], ju[qual]
         fcos = pdf["fcos"].to_numpy()
-        # higher fine-cosine member drops; tie → greater vec_id == j (sorted)
-        drop_idx = np.where(fcos[qi] > fcos[qj], qi, qj)
+        block_rows = max(1, min(m, 4_194_304 // m))  # B·m ≤ 4M doubles
+        n_pairs = 0
+        drop_chunks = []
+        for s in range(0, m - 1, block_rows):
+            blk = slice(s, min(s + block_rows, m))
+            # BLAS dgemm per row block — the whole point
+            cos = (e[blk] @ e.T) / np.outer(nrm[blk], nrm)
+            bi, bj = np.nonzero(cos >= threshold)
+            gi = bi + s
+            keep = bj > gi                           # upper triangle (va < vb)
+            qi, qj = gi[keep], bj[keep]
+            n_pairs += int(qi.size)
+            if qi.size:
+                # higher fine-cosine member drops; tie → greater vec_id == j
+                drop_chunks.append(np.where(fcos[qi] > fcos[qj], qi, qj))
+        n_dropped = (
+            int(np.unique(np.concatenate(drop_chunks)).size) if drop_chunks else 0
+        )
         return pd.DataFrame(
-            [[cell_id, fine_id, m, int(qual.sum()), int(np.unique(drop_idx).size)]],
+            [[cell_id, fine_id, m, n_pairs, n_dropped]],
             columns=["cell_id", "fine_id", "n_members", "n_dup_pairs", "n_dropped"],
         )
 
@@ -624,15 +690,5 @@ def semantic_dedup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the op shares `semantic_dedup_hier`'s oracle; a corpus where the
     boundary bites would surface as a driver hash mismatch, not a silent
     wrong answer."""
-    n = load_table(spark, sf_dir, "embeddings").count()
-    v = load_vectors(spark, sf_dir)
-    kc, kf = hier_cells(n)
-    cents = train_centroids(v, cache_key=dataset_cache_key(sf_dir), n_cells=kc)
-    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).localCheckpoint(eager=False)
-    fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
-    fassigned = assign_fine(cassigned, fcents)
-    stats = fassigned.groupBy("cell_id", "fine_id").applyInPandas(
-        make_blas_group_stats(),
-        "cell_id int, fine_id int, n_members long, n_dup_pairs long, n_dropped long",
-    )
-    return stats.orderBy("cell_id", "fine_id")
+    n, fassigned = _hier_fassigned(spark, sf_dir)
+    return hier_group_stats(fassigned, n, force="blas").orderBy("cell_id", "fine_id")

@@ -33,6 +33,26 @@ N_PLANES = 8
 DIM = 64
 
 
+_COL_REF = None  # compiled on first use (module import stays regex-free)
+
+
+def _check_col_ref(ref) -> None:
+    """`ref` must be a bare or alias-qualified column identifier — these
+    strings are interpolated into F.expr SQL, so anything else (spaces,
+    backticks, expression fragments) is rejected HERE with a clear error
+    instead of a parse failure (or worse, a silently-evaluated
+    expression) far from the call site."""
+    global _COL_REF
+    if _COL_REF is None:
+        import re
+
+        _COL_REF = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+    if not isinstance(ref, str) or not _COL_REF.match(ref):
+        raise ValueError(
+            f"expected a column reference like 'ev' or 'a.ev', got {ref!r}"
+        )
+
+
 def _dot(a: str, b: str, dim: int = DIM):
     """Sequential-fold dot product over two double arrays. `a`/`b` are
     SQL column references (e.g. "ev", "a.ev"); the whole expression is
@@ -56,8 +76,8 @@ def _dot(a: str, b: str, dim: int = DIM):
 
     Why strings + F.expr and not Column arithmetic: one py4j call
     instead of a round-trip per operator node."""
-    if not isinstance(a, str) or not isinstance(b, str):
-        raise TypeError("_dot takes SQL column references as strings")
+    _check_col_ref(a)
+    _check_col_ref(b)
     del dim
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"

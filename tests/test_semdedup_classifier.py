@@ -16,10 +16,10 @@ from data_ingestion_system_spark.text.classifier import (
 
 
 def _pad(v):
-    # the module contract is the embeddings-table width (ann.DIM): the
-    # unrolled dot indexes all DIM entries (and errors loudly on shorter
-    # arrays — by design). Zero-pad the 2-dim test geometry; cosines
-    # are unchanged.
+    # keep test vectors at the embeddings-table width (ann.DIM) — the
+    # module contract every production caller feeds (the fold dot itself
+    # is length-agnostic). Zero-pad the 2-dim test geometry; cosines are
+    # unchanged.
     return v + [0.0] * (DIM - len(v))
 
 

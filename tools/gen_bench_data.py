@@ -19,6 +19,7 @@ Usage:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -46,9 +47,46 @@ EPOCH_2024 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
 DAY_US = 86_400_000_000
 
 
+_MANIFEST: dict[str, dict] = {}  # per-table row counts + file digests
+
+
 def _write(d: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+    path = os.path.join(d, f"{name}.parquet")
+    pq.write_table(table, path)
+    _MANIFEST[name] = {
+        "rows": table.num_rows,
+        "sha256": _file_sha256(path),
+        "bytes": os.path.getsize(path),
+    }
     print(f"{name}: {table.num_rows} rows")
+
+
+def _file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def write_manifest(out_dir: str, sf: float, seed: int) -> None:
+    """Provenance manifest (VERDICT r5 ask #3): the r4→r5 sf1.0
+    regeneration silently changed the document mix (generator-code
+    evolution under the same seed) and a cross-round slope comparison
+    cost a re-profile instead of a diff. The manifest pins WHAT corpus a
+    measurement ran on — generator digest + seed + per-table row counts
+    and file digests — and bench.py echoes it into BENCH/SCALING
+    artifacts so slope tables are comparable-or-flagged by inspection."""
+    manifest = {
+        "generator": os.path.basename(__file__),
+        "generator_sha256": _file_sha256(os.path.abspath(__file__)),
+        "seed": seed,
+        "sf": sf,
+        "tables": dict(sorted(_MANIFEST.items())),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"manifest.json: generator {manifest['generator_sha256'][:12]} seed {seed}")
 
 
 def main(sf: float, out_dir: str, seed: int = 42) -> None:
@@ -192,8 +230,37 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
         "label": pa.array(labels, pa.int32()),
     }))
 
+    write_manifest(out_dir, sf, seed)
+
+
+def backfill_manifest(out_dir: str, sf: float, seed: int = 42) -> None:
+    """Write a manifest for an ALREADY-generated dir (hash existing files
+    instead of regenerating — regeneration would risk silently changing
+    the corpus under previously-recorded slope measurements, the exact
+    failure the manifest exists to catch). Marked `backfilled` so a
+    reader knows the generator digest is the one current at manifest
+    time, not necessarily at generation time."""
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(out_dir, f"{name}.parquet")
+        _MANIFEST[name] = {
+            "rows": pq.ParquetFile(path).metadata.num_rows,
+            "sha256": _file_sha256(path),
+            "bytes": os.path.getsize(path),
+        }
+    write_manifest(out_dir, sf, seed)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    m["backfilled"] = True
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(m, f, indent=2)
+
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{sys.argv[1] if len(sys.argv) > 1 else '1.0'}"
-    main(sf, out)
+    if len(sys.argv) > 1 and sys.argv[1] == "--backfill":
+        d = sys.argv[2]
+        backfill_manifest(d, float(os.path.basename(d.rstrip("/")).removeprefix("sf")))
+    else:
+        sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+        out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{sys.argv[1] if len(sys.argv) > 1 else '1.0'}"
+        main(sf, out)
