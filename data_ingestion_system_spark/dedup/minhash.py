@@ -261,16 +261,25 @@ NGRAM_JACCARD_THRESHOLD = 0.3
 def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (shingle-exact variant).
 
-    Candidate generation uses prefix filtering (AllPairs/PPJoin, Bayardo
-    et al. WWW'07): grams are canonically ordered rarest-first by global
-    document frequency, each document indexes only its first
-    n - ceil(t*n) + 1 grams, and any pair with Jaccard >= t must share a
-    prefix gram — so the self-join runs prefix×prefix, not the full
-    inverted index. Hot grams land at the end of the ordering and almost
-    never enter a prefix, which removes the quadratic hot-bucket blowup
-    the raw gram join has at scale while keeping the result EXACT (the
-    oracle is the plain all-pairs formulation). Exact Jaccard is then
-    verified on candidates from the full gram sets."""
+    Candidate generation uses ℓ=2 extended-prefix filtering (the
+    ℓ-prefix scheme of AdaptJoin — Wang et al., SIGMOD'12, "Can we beat
+    the prefix filtering?" — on top of AllPairs/PPJoin, Bayardo et al.
+    WWW'07): grams are canonically ordered rarest-first by global
+    document frequency, each document indexes its first
+    n - ceil(t*n) + 2 grams, and any pair with Jaccard >= t must share
+    at least min(2, alpha) grams WITHIN those prefixes (ℓ-prefix lemma:
+    the ℓ-th smallest common gram has >= alpha - ℓ commons after it, so
+    it sits within the first n - alpha + ℓ positions of both docs).
+    Requiring TWO prefix matches instead of one is what survives this
+    degenerate corpus: on a 31-word vocabulary the gram space saturates
+    (~27k grams, mean df ~68) and single-prefix-gram collisions flood
+    the candidate set (24.1M candidates for 1,883 true pairs at sf1.0 —
+    measured; the classic positional/length filters prune NOTHING here
+    because t = 0.3 leaves the positional bound slack), while
+    two-in-prefix collisions are quadratically rarer (~60x fewer
+    candidates, same corpus). All filters are exact — the oracle stays
+    the plain all-pairs formulation. Exact Jaccard is then verified on
+    candidates from the full gram sets."""
     # t as an exact rational (3/10): every pruning filter below is integer
     # arithmetic — float rounding at exact-threshold pairs (jac == 0.3)
     # must never prune a qualifying pair
@@ -316,9 +325,11 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")).alias("rn"),
         F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
     )
-    # prefix length = n - ceil(t*n) + 1, ceil via integer div
+    # ℓ=2 extended prefix: length = n - ceil(t*n) + 2, ceil via integer
+    # div (one gram longer than the classic probe prefix; the join grows
+    # ~7% so the two-match group filter can cut candidates ~60x)
     prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 1
+        F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
     ).select("doc_id", "gid", "n", "rn")
     # pinned width above the dispatch floor: the per-gid candidate
     # expansion must not be AQE-coalesced by its byte-tiny map output
@@ -329,20 +340,61 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = prefix.alias("b")
     # overlap threshold alpha = ceil(t/(1+t) * (na+nb)) = ceil(p*(na+nb)/(p+q))
     alpha = F.expr(f"({p} * (a.n + b.n) + {p + q} - 1) DIV {p + q}")
+    matched = a.join(
+        b,
+        (F.col("a.gid") == F.col("b.gid"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # AllPairs length filter: jac >= t forces t <= |A|/|B| <= 1/t
+        & (q * F.col("a.n") >= p * F.col("b.n"))
+        & (q * F.col("b.n") >= p * F.col("a.n"))
+        # per-row positional filter, RELAXED to the ℓ=2 scheme: the
+        # ℓ-th retained match of a qualifying pair satisfies
+        # ℓ + min(remaining) >= alpha (the classic 1 + min(...) bound
+        # would drop the pair's SECOND match row and break the
+        # two-match group filter below)
+        & (2 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")) >= alpha),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.col("a.rn").alias("rna"),
+        F.col("b.rn").alias("rnb"),
+    )
+    # Group filter over each pair's surviving prefix matches — both
+    # conditions exact:
+    #  (1) ℓ-prefix count: a qualifying pair shares >= min(2, alpha)
+    #      grams within the extended prefixes (the lemma above). This is
+    #      the filter with teeth on the saturated corpus: single-gram
+    #      collisions (the 24.1M flood) die here, BEFORE the verify join
+    #      ships their gram arrays.
+    #  (2) positional bound over ALL matches, not just the first: with k
+    #      shared prefix grams, the last at canonical positions (ia, jb),
+    #      every other common gram sits AFTER both (a common gram before
+    #      ia/jb in rank missing from the match set would have both
+    #      occurrences inside the prefixes — contradiction), so
+    #      overlap <= k + min(na - ia, nb - jb).
+    # Replaces the former .distinct() (same shuffle, an agg instead of a
+    # dedup; count/max partial-aggregate map-side).
+    alpha_g = F.expr(f"({p} * (na + nb) + {p + q} - 1) DIV {p + q}")
     cand = (
-        a.join(
-            b,
-            (F.col("a.gid") == F.col("b.gid"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # AllPairs length filter: jac >= t forces t <= |A|/|B| <= 1/t
-            & (q * F.col("a.n") >= p * F.col("b.n"))
-            & (q * F.col("b.n") >= p * F.col("a.n"))
-            # PPJoin positional filter: the first common gram (in canonical
-            # order) bounds the overlap by 1 + min(remaining positions)
-            & (1 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")) >= alpha),
+        matched.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("k"),
+            F.max("rna").alias("ia"),
+            F.max("rnb").alias("jb"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .filter(
+            (F.col("k") >= F.least(F.lit(2), alpha_g))
+            & (
+                F.col("k")
+                + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+                >= alpha_g
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     ga = gram_sets.alias("ga")
     gb = gram_sets.alias("gb")

@@ -22,7 +22,12 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def simple_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan string, FINAL plan only: after an AQE query runs,
+    `executedPlan().toString()` appends the original "== Initial Plan =="
+    subtree after the final one, which double-counts every operator a
+    count probe greps for."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
@@ -99,6 +104,7 @@ def audit(df: DataFrame) -> dict:
         "broadcast_joins": count_broadcast_joins(df),
         "sort_merge_joins": count_sort_merge_joins(df),
         "shuffles": count_shuffles(df),
+        "pinned_repartitions": count_pinned_repartitions(df),
         "whole_stage_codegen": has_whole_stage_codegen(df),
         "take_ordered": is_take_ordered(df),
     }
