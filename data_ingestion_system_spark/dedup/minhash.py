@@ -256,86 +256,25 @@ ORDER BY doc_a, doc_b
 
 NGRAM_JACCARD_THRESHOLD = 0.3
 
+# Candidate-scheme dispatch (§4d two-physical-plans): pick pair-key
+# indexing when the ESTIMATED single-gram match volume (Θ(Σ df_prefix²),
+# the quantity that explodes on saturated gram spaces) exceeds this
+# multiple of the estimated pair-key posting volume (n_docs·C(L̄,2),
+# linear in the corpus). The ratio folds in the measured per-row cost
+# difference (pair-key rows are ~4-6x dearer: wider keys, C(L,2)
+# posting build, bigger sort): clean same-session calibration —
+# sf1.0 est-ratio 1.7, single wins 2.4x (17-22 s vs 43-62 s); sf3.0
+# est-ratio 5.1, statistically tied (90-142 s vs 100 s box spread);
+# sf10 est-ratio 13.5, single's est 2.7G match rows are prohibitive
+# while pairkey completes (SCALING.md r6). Crossover set between sf3
+# and sf10. Natural corpora (mean df ~1-5) sit far below the ratio and
+# keep the classic AllPairs join.
+NGRAM_PAIRKEY_COST_RATIO = 8.0
 
-@query("near_dup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey="EXT-dedup")
-def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (shingle-exact variant).
 
-    Candidate generation uses ℓ=2 extended-prefix filtering (the
-    ℓ-prefix scheme of AdaptJoin — Wang et al., SIGMOD'12, "Can we beat
-    the prefix filtering?" — on top of AllPairs/PPJoin, Bayardo et al.
-    WWW'07): grams are canonically ordered rarest-first by global
-    document frequency, each document indexes its first
-    n - ceil(t*n) + 2 grams, and any pair with Jaccard >= t must share
-    at least min(2, alpha) grams WITHIN those prefixes (ℓ-prefix lemma:
-    the ℓ-th smallest common gram has >= alpha - ℓ commons after it, so
-    it sits within the first n - alpha + ℓ positions of both docs).
-    Requiring TWO prefix matches instead of one is what survives this
-    degenerate corpus: on a 31-word vocabulary the gram space saturates
-    (~27k grams, mean df ~68) and single-prefix-gram collisions flood
-    the candidate set (24.1M candidates for 1,883 true pairs at sf1.0 —
-    measured; the classic positional/length filters prune NOTHING here
-    because t = 0.3 leaves the positional bound slack), while
-    two-in-prefix collisions are quadratically rarer (~60x fewer
-    candidates, same corpus). All filters are exact — the oracle stays
-    the plain all-pairs formulation. Exact Jaccard is then verified on
-    candidates from the full gram sets."""
-    # t as an exact rational (3/10): every pruning filter below is integer
-    # arithmetic — float rounding at exact-threshold pairs (jac == 0.3)
-    # must never prune a qualifying pair
-    p, q = 3, 10
-    t = p / q
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # parquet footer statistics — no scan
-    toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
-        F.size("ts") >= 3
-    )
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ts) - 3),"
-                    " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # 2 consumers: gram-id join + df counts
-    )
-    # integer gram ids: the prefix join and the verification intersects then
-    # run on longs, not 3-word strings (ids are internal — never in output)
-    gram_ids = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .select("gram", "df", F.monotonically_increasing_id().alias("gid"))
-    )
-    g2 = grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram").localCheckpoint(
-        eager=False
-    )
-    # per-doc gram set as one sorted id array — verification is an
-    # array_intersect projection over candidates, never an exploded re-join
-    gram_sets = g2.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("gid")).alias("gset"),
-        F.count("*").alias("n"),
-    )
-    ranked = g2.select(
-        "doc_id",
-        "gid",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")).alias("rn"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
-    )
-    # ℓ=2 extended prefix: length = n - ceil(t*n) + 2, ceil via integer
-    # div (one gram longer than the classic probe prefix; the join grows
-    # ~7% so the two-match group filter can cut candidates ~60x)
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
-    ).select("doc_id", "gid", "n", "rn")
-    # pinned width above the dispatch floor: the per-gid candidate
-    # expansion must not be AQE-coalesced by its byte-tiny map output
-    # (tables.pin_join_width; footer count picks the dispatch — the
-    # checkpoint-fed lineage is untraceable)
-    prefix = pin_join_width(prefix, "gid", n_rows=n_docs)
+def _ngram_cand_single(prefix: DataFrame, p: int, q: int) -> DataFrame:
+    """Single-gram candidate join (classic AllPairs shape over the ℓ=2
+    extended prefix): one posting per (doc, prefix gram)."""
     a = prefix.alias("a")
     b = prefix.alias("b")
     # overlap threshold alpha = ceil(t/(1+t) * (na+nb)) = ceil(p*(na+nb)/(p+q))
@@ -374,10 +313,10 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     #      ia/jb in rank missing from the match set would have both
     #      occurrences inside the prefixes — contradiction), so
     #      overlap <= k + min(na - ia, nb - jb).
-    # Replaces the former .distinct() (same shuffle, an agg instead of a
+    # Replaces a plain .distinct() (same shuffle, an agg instead of a
     # dedup; count/max partial-aggregate map-side).
     alpha_g = F.expr(f"({p} * (na + nb) + {p + q} - 1) DIV {p + q}")
-    cand = (
+    return (
         matched.groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("k"),
@@ -396,6 +335,230 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+
+
+def _ngram_cand_pairkey(
+    prefix: DataFrame, p: int, q: int, big: bool = True
+) -> DataFrame:
+    """Pair-key candidate join — the saturated-corpus scheme: index every
+    doc's C(prefix, 2) gram PAIRS and join on (g1, g2).
+
+    Why: a qualifying pair with alpha >= 2 shares >= 2 extended-prefix
+    grams (ℓ-prefix lemma), hence shares the pair key of those two grams
+    — both docs list shared grams in the same relative order (one global
+    canonical rank), so (earlier, later) keys agree. Postings grow
+    C(L,2)/L ≈ 14x per doc but stay LINEAR in the corpus, while the
+    per-key join expansion Σ df_pk² collapses: a pair key's df is the
+    count of docs containing BOTH grams in-prefix, quadratically rarer
+    than single-gram df on a saturated space (measured sf1.0: 26.7M
+    single-gram match rows vs ~20M postings whose join output is
+    posting-sized; sf3.0 is where the schemes diverge — single-gram
+    match rows grow Θ(sf²), postings Θ(sf)).
+
+    Exactness bookkeeping, per candidate group (all C(k,2) pair keys of
+    the k shared prefix grams match, so):
+      k = (1 + sqrt(1 + 8·rows)) / 2   (exact integer recovery),
+      ia/jb = max over rows of the LATER gram's positions = the last
+      shared gram's positions — feeding the same two group filters as
+      the single-gram scheme. No per-row positional filter (it would
+      break the C(k,2) row-count identity).
+
+    alpha = 1 pairs (possible only when na + nb <= 4, i.e. BOTH docs
+    have <= 3 grams) can share just one gram and carry no pair key —
+    they come from a separate single-gram join restricted to those tiny
+    docs (their extended prefix is the whole gram set)."""
+    # per-doc pair enumeration in ONE projection (no self-join): sorted
+    # (rn, gid) structs -> flatten of per-element tail slices
+    parr = prefix.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "gid"))).alias("ps"),
+        F.max("n").alias("n"),
+    )
+    pk = parr.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x.gid AS g1, y.gid AS g2,"
+                " x.rn AS rn1, y.rn AS rn2))))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "n", "e.g1", "e.g2", "e.rn2")
+    # MERGE above the corpus floor: Catalyst's static estimate of this
+    # groupBy+explode lineage is tiny, so it plans a BROADCAST of the
+    # posting relation whose runtime build is tens of millions of rows —
+    # the same driver-heap fatality the MinHash verify join hit at sf10
+    # (commit 6c8aa7f); measured here: sf1.0 pairkey 99-104 s broadcast
+    # vs ~20 s merged, sf3.0 OOM-fatal vs completing. Sort-merge spills
+    # instead of dying. Small forced-test corpora keep AQE's broadcast.
+    if big:
+        pk = pk.hint("merge")
+    a = pk.alias("a")
+    b = pk.alias("b")
+    alpha = F.expr(f"({p} * (a.n + b.n) + {p + q} - 1) DIV {p + q}")
+    pairm = a.join(
+        b,
+        (F.col("a.g1") == F.col("b.g1"))
+        & (F.col("a.g2") == F.col("b.g2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (q * F.col("a.n") >= p * F.col("b.n"))
+        & (q * F.col("b.n") >= p * F.col("a.n"))
+        & (alpha >= 2),  # alpha=1 pairs are the tiny-doc branch's job
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.col("a.rn2").alias("rna2"),
+        F.col("b.rn2").alias("rnb2"),
+    )
+    alpha_g = F.expr(f"({p} * (na + nb) + {p + q} - 1) DIV {p + q}")
+    big = (
+        pairm.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("c"),
+            F.max("rna2").alias("ia"),
+            F.max("rnb2").alias("jb"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+        # k from c = C(k,2); c <= C(~40,2) so the sqrt is exact after round
+        .withColumn(
+            "k", F.round((F.lit(1.0) + F.sqrt(1.0 + 8.0 * F.col("c"))) / 2.0).cast("int")
+        )
+        .filter(
+            F.col("k")
+            + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+            >= alpha_g
+        )
+        .select("doc_a", "doc_b")
+    )
+    # tiny-doc branch: both sides <= 3 grams (the only way alpha can be
+    # 1); prefix == whole gram set there, so a plain single-gram join
+    # among tiny docs is complete. Corpus-bounded by the tiny-doc
+    # population — empty on the shipped corpora (min 15-word docs).
+    # alpha = 1 ⟺ p·(na+nb) <= p+q ⟺ na+nb <= (p+q) div p — so a doc can
+    # sit in an alpha-1 pair only with n <= (p+q) div p - 1 (= 3 at t=3/10)
+    tiny = prefix.filter(F.col("n") <= (p + q) // p - 1)
+    if big:
+        tiny = tiny.hint("merge")
+    ta = tiny.alias("a")
+    tb = tiny.alias("b")
+    small = (
+        ta.join(
+            tb,
+            (F.col("a.gid") == F.col("b.gid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") + F.col("b.n") <= (p + q) // p),  # alpha == 1
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return big.union(small).distinct()
+
+
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, force_scheme: str | None = None
+) -> DataFrame:
+    """Shared builder for `near_dup_ngram_jaccard`; `force_scheme`
+    ("single"/"pairkey") pins a candidate scheme for the equivalence and
+    plan tests — production dispatches on the measured mean gram df."""
+    # t as an exact rational (3/10): every pruning filter below is integer
+    # arithmetic — float rounding at exact-threshold pairs (jac == 0.3)
+    # must never prune a qualifying pair
+    p, q = 3, 10
+    t = p / q
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet footer statistics — no scan
+    toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 3
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 3),"
+                    " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # 3 consumers: gram-id join, df counts, df probe
+    )
+    # integer gram ids: the prefix join and the verification intersects then
+    # run on longs, not 3-word strings (ids are internal — never in output)
+    gram_ids = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .select("gram", "df", F.monotonically_increasing_id().alias("gid"))
+    )
+    g2 = grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram").localCheckpoint(
+        eager=False
+    )
+    # per-doc gram set as one sorted id array — verification is an
+    # array_intersect projection over candidates, never an exploded re-join
+    gram_sets = g2.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gid")).alias("gset"),
+        F.count("*").alias("n"),
+    )
+    ranked = g2.select(
+        "doc_id",
+        "gid",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")).alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    # ℓ=2 extended prefix: length = n - ceil(t*n) + 2, ceil via integer
+    # div (one gram longer than the classic probe prefix, enabling the
+    # two-matches-in-prefix requirement both schemes rely on)
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
+    ).select("doc_id", "gid", "n", "rn")
+    if force_scheme is None:
+        # volume probe: one aggregate over the checkpointed gram relation
+        # estimates BOTH schemes' join volumes. Saturation is a CONTENT
+        # property — corpus size alone cannot see it.
+        st = gram_ids.agg(
+            F.sum("df").alias("postings"),
+            F.sum(F.col("df") * F.col("df")).alias("df_sq"),
+        ).first()
+        mean_len = st.postings / max(1, n_docs)
+        # mean extended-prefix length and its fraction of the doc
+        pref_len = max(1.0, mean_len - (p / q) * mean_len + 2)
+        rho = min(1.0, pref_len / max(1.0, mean_len))
+        # Σ (ρ·df)² / 2: per-gid match rows after the doc_a < doc_b half
+        # (sf1.0 check: est 35M vs 26.7M measured; sf3.0 est 312M vs 240M)
+        est_single_rows = rho * rho * st.df_sq / 2
+        est_pairkey_postings = n_docs * pref_len * (pref_len - 1) / 2
+        scheme = (
+            "pairkey"
+            if est_single_rows > NGRAM_PAIRKEY_COST_RATIO * max(1.0, est_pairkey_postings)
+            else "single"
+        )
+    else:
+        scheme = force_scheme
+    from data_ingestion_system_spark.tables import _should_pin
+
+    big = _should_pin(grams, n_docs)
+    if scheme == "pairkey":
+        # pin on the pair-key join columns: same AQE-coalesce hazard as
+        # every pair-expansion join (tables.pin_join_width)
+        cand = _ngram_cand_pairkey(
+            pin_join_width(prefix, "doc_id", n_rows=n_docs), p, q, big=big
+        )
+    else:
+        cand = _ngram_cand_single(
+            pin_join_width(prefix, "gid", n_rows=n_docs), p, q
+        )
+    # verify join carries NO merge hint: both sides' static estimates
+    # are honest-large (cand is a post-join aggregate, gram_sets a
+    # groupBy over the checkpointed gram relation), so Catalyst plans
+    # sort-merge statically and only AQE's runtime conversion — sized on
+    # ACTUAL bytes, hence OOM-safe — can flip it to broadcast at small
+    # SF. The driver-heap fatality class needs a statically
+    # UNDERESTIMATED build side (the post-explode pairkey lineage above,
+    # the MinHash candidate relation in verified_pairs).
     ga = gram_sets.alias("ga")
     gb = gram_sets.alias("gb")
     jacs = (
@@ -424,6 +587,42 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("near_dup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey="EXT-dedup")
+def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (shingle-exact variant).
+
+    Candidate generation uses ℓ=2 extended-prefix filtering (the
+    ℓ-prefix scheme of AdaptJoin — Wang et al., SIGMOD'12, "Can we beat
+    the prefix filtering?" — on top of AllPairs/PPJoin, Bayardo et al.
+    WWW'07): grams are canonically ordered rarest-first by global
+    document frequency, each document indexes its first
+    n - ceil(t*n) + 2 grams, and any pair with Jaccard >= t must share
+    at least min(2, alpha) grams WITHIN those prefixes (ℓ-prefix lemma:
+    the ℓ-th smallest common gram has >= alpha - ℓ commons after it, so
+    it sits within the first n - alpha + ℓ positions of both docs).
+    Requiring TWO prefix matches instead of one is what survives this
+    degenerate corpus: on a 31-word vocabulary the gram space saturates
+    (~27k grams, mean df ~68) and single-prefix-gram collisions flood
+    the candidate set (24.1M candidates for 1,883 true pairs at sf1.0 —
+    measured; the classic positional/length filters prune NOTHING here
+    because t = 0.3 leaves the positional bound slack), while
+    two-in-prefix collisions are quadratically rarer (32x fewer
+    candidates, same corpus).
+
+    The physical candidate scheme is CONTENT-DISPATCHED
+    (`NGRAM_PAIRKEY_MIN_MEAN_DF`, measured mean gram df): natural
+    corpora (low df) run the classic single-gram prefix join; saturated
+    spaces switch to pair-key indexing (join on gram PAIRS —
+    `_ngram_cand_pairkey`), whose postings stay linear in the corpus
+    while the single-gram match volume grows Θ(Σ df_prefix²) = Θ(sf²)
+    here. All filters in both schemes are exact — the oracle stays the
+    plain all-pairs formulation, and
+    tests/test_ngram_prefix_recall.py pins both schemes against a
+    literal brute force. Exact Jaccard is then verified on candidates
+    from the full gram sets."""
+    return _ngram_jaccard_pairs(spark, sf_dir)
 
 
 _CROSS_SOURCE_ORACLE = f"""

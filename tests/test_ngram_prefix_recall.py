@@ -67,8 +67,11 @@ def _write_docs(tmpdir: str, texts: dict[int, str]) -> str:
     return tmpdir
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
-def test_ngram_prefix_filters_keep_every_qualifying_pair(spark, tmp_path, seed):
+@pytest.mark.parametrize("scheme", ["single", "pairkey", None])
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_ngram_prefix_filters_keep_every_qualifying_pair(spark, tmp_path, seed, scheme):
+    from data_ingestion_system_spark.dedup.minhash import _ngram_jaccard_pairs
+
     rng = random.Random(seed)
     texts = {}
     for i in range(60):
@@ -81,16 +84,20 @@ def test_ngram_prefix_filters_keep_every_qualifying_pair(spark, tmp_path, seed):
 
     got = {
         (r.doc_a, r.doc_b)
-        for r in load_all()["near_dup_ngram_jaccard"].spark(spark, sf_dir).collect()
+        for r in _ngram_jaccard_pairs(spark, sf_dir, force_scheme=scheme).collect()
     }
     assert got == _brute_force(texts)
 
 
-def test_ngram_prefix_filters_alpha_one_pairs(spark, tmp_path):
+@pytest.mark.parametrize("scheme", ["single", "pairkey", None])
+def test_ngram_prefix_filters_alpha_one_pairs(spark, tmp_path, scheme):
+    from data_ingestion_system_spark.dedup.minhash import _ngram_jaccard_pairs
+
     # hand-built minimal sets: single-gram docs (n=1 → alpha can be 1,
-    # where min(2, alpha) = 1 shared gram must suffice) and a 1-vs-3-gram
-    # pair right at the length-filter boundary (10*na >= 3*nb at na=1,
-    # nb=3; jac = 1/3 >= 0.3 qualifies)
+    # where min(2, alpha) = 1 shared gram must suffice — the pair-key
+    # scheme's tiny-doc branch) and a 1-vs-3-gram pair right at the
+    # length-filter boundary (10*na >= 3*nb at na=1, nb=3; jac = 1/3
+    # qualifies)
     texts = {
         0: "a b c",            # grams: {a b c}
         1: "a b c",            # exact dup of 0 → jac 1.0
@@ -101,7 +108,20 @@ def test_ngram_prefix_filters_alpha_one_pairs(spark, tmp_path):
     sf_dir = _write_docs(str(tmp_path), texts)
     got = {
         (r.doc_a, r.doc_b)
-        for r in load_all()["near_dup_ngram_jaccard"].spark(spark, sf_dir).collect()
+        for r in _ngram_jaccard_pairs(spark, sf_dir, force_scheme=scheme).collect()
     }
     assert got == _brute_force(texts)
     assert (0, 1) in got and (0, 2) in got and (2, 3) in got
+
+
+def test_ngram_scheme_dispatch_and_equivalence_on_testdata(spark, sf_dir):
+    """Both candidate schemes return the identical pair set on the
+    shipped testdata, and the registered query (content-dispatched)
+    matches them — one operator, two physical plans, one answer."""
+    from data_ingestion_system_spark.dedup.minhash import _ngram_jaccard_pairs
+
+    single = _ngram_jaccard_pairs(spark, sf_dir, force_scheme="single").collect()
+    pairkey = _ngram_jaccard_pairs(spark, sf_dir, force_scheme="pairkey").collect()
+    dispatched = load_all()["near_dup_ngram_jaccard"].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, single)) == sorted(map(tuple, pairkey))
+    assert sorted(map(tuple, dispatched)) == sorted(map(tuple, single))
