@@ -109,9 +109,17 @@ def verified_pairs(
 ) -> DataFrame:
     """Exact Jaccard on candidates only; keep pairs ≥ threshold.
 
+    Verification is array-based (r6): each doc's shingle set collapses
+    to ONE sorted array row, candidates join the array relation twice,
+    and `array_intersect` computes the overlap per pair — two
+    candidate-sized joins instead of the exploded token⋈token join,
+    whose intermediate is Σ_cand |A| rows (~167M at sf10). Same-session
+    A/B, identical answers: sf1.0 7.5/6.1 s → 3.8/2.6 s, sf10 (4.38M
+    candidates) 64.6/58.8 s → 29.1/24.9 s.
+
     Join strategy is threshold-dispatched like the width pins
     (tables._should_pin): above the corpus floor — or when the lineage
-    can't be sized — the token and candidate joins are hinted MERGE.
+    can't be sized — the set and candidate joins are hinted MERGE.
     Catalyst's static estimate of the candidate relation is taken
     before the LSH bands materialize and can undercount by orders of
     magnitude; at sf10 it planned a broadcast whose runtime build blew
@@ -123,31 +131,31 @@ def verified_pairs(
     from data_ingestion_system_spark.tables import _should_pin
 
     big = _should_pin(tokens, n_docs)
-    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = tokens.hint("merge").alias("ta") if big else tokens.alias("ta")
-    tb = tokens.hint("merge").alias("tb") if big else tokens.alias("tb")
-    cand = cand.hint("merge") if big else cand
-    common = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.token") == F.col("tb.token")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    tsets = tokens.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("tset"),
+        F.count("*").alias("n"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    if big:
+        tsets = tsets.hint("merge")
+        cand = cand.hint("merge")
+    ta = tsets.alias("ta")
+    tb = tsets.alias("tb")
     jac = (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta.tset", "tb.tset")).alias("n_common"),
+            F.col("ta.n").alias("na"),
+            F.col("tb.n").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
             ).alias("jac"),
         )
     )
