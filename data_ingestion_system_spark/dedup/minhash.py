@@ -349,7 +349,7 @@ def _ngram_cand_pairkey(
     prefix: DataFrame, p: int, q: int, big: bool = True
 ) -> DataFrame:
     """Pair-key candidate join — the saturated-corpus scheme: index every
-    doc's C(prefix, 2) gram PAIRS and join on (g1, g2).
+    doc's C(prefix, 2) gram PAIRS and join on the packed pair key.
 
     Why: a qualifying pair with alpha >= 2 shares >= 2 extended-prefix
     grams (ℓ-prefix lemma), hence shares the pair key of those two grams
@@ -392,7 +392,17 @@ def _ngram_cand_pairkey(
                 " x.rn AS rn1, y.rn AS rn2))))"
             )
         ).alias("e"),
-    ).select("doc_id", "n", "e.g1", "e.g2", "e.rn2")
+    ).select(
+        "doc_id",
+        "n",
+        # pair key packed to ONE long: a hash collision can only ADD a
+        # candidate (verified exactly afterwards, and the k recovered
+        # from the row count only grows, relaxing the group bound) —
+        # never drop a qualifying pair. Halves the join key width vs
+        # (g1, g2).
+        F.xxhash64("e.g1", "e.g2").alias("pk"),
+        "e.rn2",
+    )
     # MERGE above the corpus floor: Catalyst's static estimate of this
     # groupBy+explode lineage is tiny, so it plans a BROADCAST of the
     # posting relation whose runtime build is tens of millions of rows —
@@ -407,8 +417,7 @@ def _ngram_cand_pairkey(
     alpha = F.expr(f"({p} * (a.n + b.n) + {p + q} - 1) DIV {p + q}")
     pairm = a.join(
         b,
-        (F.col("a.g1") == F.col("b.g1"))
-        & (F.col("a.g2") == F.col("b.g2"))
+        (F.col("a.pk") == F.col("b.pk"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (q * F.col("a.n") >= p * F.col("b.n"))
         & (q * F.col("b.n") >= p * F.col("a.n"))
