@@ -198,34 +198,28 @@ def semdedup_pairs_dropped(
     return pairs, dropped
 
 
-@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE, survey="EXT-dedup,EXT-similarity")
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cluster SemDeDup report: membership, duplicate-pair count, and
-    how many members the keep rule removes, over the shared trained
-    quantizer. The readout a corpus owner checks before committing to a
-    semantic-dedup pass — which clusters concentrate the redundancy."""
-    # count from the raw table (footer-statistics read), not the
-    # fanned-out vector relation — no shuffle just to size the ladder
-    n = load_table(spark, sf_dir, "embeddings").count()
-    v = load_vectors(spark, sf_dir)
-    # corpus-adaptive K (smallest power of two >= sqrt(n), the FAISS
-    # rule): the in-cell pairwise term is n²/K, so K must grow with the
-    # corpus or the quadratic wins — a fixed K=16 measured 80x wall at
-    # 10x corpus. Same ladder evaluates inside the oracle's kp CTE.
-    cents = train_centroids(
-        v, cache_key=dataset_cache_key(sf_dir), n_cells=adaptive_cells(n)
-    )
-    # assignment feeds three consumers (members / both pair sides) —
-    # materialize it once instead of re-scoring the corpus per branch.
-    # Width pinned BEFORE the checkpoint (tables.pin_width): the skinny
-    # argmax shuffle AQE-coalesces to 1-2 partitions, and a checkpoint
-    # would freeze that width for every downstream dense pass. Keyless
-    # (round-robin): every consumer either re-shuffles on its own keys
-    # (pair join, per-cell aggregates) or broadcast-joins, so balance
-    # beats co-location here.
-    assigned = pin_width(
-        assign_with_centroid_cosine(v, cents), n_rows=n
-    ).localCheckpoint(eager=False)
+def flat_group_stats(assigned: DataFrame, n: int, force: str | None = None) -> DataFrame:
+    """Per-cell SemDeDup statistics for the FLAT op, physical plan picked
+    by corpus size — the same dispatch `hier_group_stats` gives the
+    hierarchical twin (defined below; this one reuses its floor and its
+    blocked-dgemm kernel with keys=(cell_id,) and the keep rule ranking
+    on the COARSE centroid cosine). Identical rows from both plans
+    (forced-side equality pinned in tests/test_semdedup_classifier.py;
+    shared driver oracle)."""
+    use_blas = n >= SEMDEDUP_BLAS_MIN_ROWS if force is None else force == "blas"
+    if use_blas:
+        return assigned.groupBy("cell_id").applyInPandas(
+            make_blas_group_stats(SEM_THRESHOLD, keys=("cell_id",), rank_col="ccos"),
+            "cell_id int, n_members long, n_dup_pairs long, n_dropped long",
+        )
+    # relational pair term: assignment feeds three consumers (members /
+    # both pair sides) — materialize once, width pinned BEFORE the
+    # checkpoint (tables.pin_width): the skinny argmax shuffle
+    # AQE-coalesces to 1-2 partitions, and a checkpoint would freeze
+    # that width for every downstream dense pass. Keyless (round-robin):
+    # every consumer either re-shuffles on its own keys or
+    # broadcast-joins, so balance beats co-location here.
+    assigned = pin_width(assigned, n_rows=n).localCheckpoint(eager=False)
     pairs, dropped = semdedup_pairs_dropped(assigned, n_rows=n)
     members = assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
     pair_counts = pairs.groupBy("cell_id").agg(F.count("*").alias("n_dup_pairs"))
@@ -239,8 +233,36 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
-        .orderBy("cell_id")
     )
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE, survey="EXT-dedup,EXT-similarity")
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup report: membership, duplicate-pair count, and
+    how many members the keep rule removes, over the shared trained
+    quantizer. The readout a corpus owner checks before committing to a
+    semantic-dedup pass — which clusters concentrate the redundancy.
+
+    This op keeps the paper's FLAT quantization (the exact-semantics
+    reference; `semantic_dedup_hier` is the two-level scale twin), but
+    its pair term is SIZE-DISPATCHED like the twin's
+    (`flat_group_stats`): relational in-cell self-join below
+    SEMDEDUP_BLAS_MIN_ROWS, per-cell blocked dgemm above — the flat op
+    was the slowest sf10 probe query (225-248 s) purely on pair-term
+    array traffic its own K≈√n cells bound anyway."""
+    # count from the raw table (footer-statistics read), not the
+    # fanned-out vector relation — no shuffle just to size the ladder
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
+    # corpus-adaptive K (smallest power of two >= sqrt(n), the FAISS
+    # rule): the in-cell pairwise term is n²/K, so K must grow with the
+    # corpus or the quadratic wins — a fixed K=16 measured 80x wall at
+    # 10x corpus. Same ladder evaluates inside the oracle's kp CTE.
+    cents = train_centroids(
+        v, cache_key=dataset_cache_key(sf_dir), n_cells=adaptive_cells(n)
+    )
+    assigned = assign_with_centroid_cosine(v, cents)
+    return flat_group_stats(assigned, n).orderBy("cell_id")
 
 
 # ---------------------------------------------------------------------------
@@ -601,15 +623,22 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hier_group_stats(fassigned, n).orderBy("cell_id", "fine_id")
 
 
-def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
-    """Per-(cell_id, fine_id) SemDeDup statistics via one dense matmul —
-    runs inside `applyInPandas` (Arrow batch in, one aggregate row out).
+def make_blas_group_stats(
+    threshold: float = SEM_THRESHOLD,
+    keys: tuple = ("cell_id", "fine_id"),
+    rank_col: str = "fcos",
+):
+    """Per-`keys` SemDeDup statistics via one dense matmul — runs inside
+    `applyInPandas` (Arrow batch in, one aggregate row out). `keys` /
+    `rank_col` parametrize the bucket identity and the keep-rule rank
+    column: (cell_id, fine_id)/fcos for the hierarchical twin,
+    (cell_id,)/ccos for the flat reference op.
 
-    Mirrors `semantic_dedup_hier`'s relational pair term EXACTLY:
-    pairs are (va < vb) members with cosine ≥ threshold; each pair
-    drops its higher-fine-cosine member (ties → greater vec_id);
-    n_dropped counts distinct dropped members. Sorting the group by
-    vec_id maps (va < vb) onto the upper triangle.
+    Mirrors the relational pair term EXACTLY: pairs are (va < vb)
+    members with cosine ≥ threshold; each pair drops its
+    higher-rank-cosine member (ties → greater vec_id); n_dropped counts
+    distinct dropped members. Sorting the group by vec_id maps
+    (va < vb) onto the upper triangle.
 
     Returned as a self-contained closure so cloudpickle serializes it BY
     VALUE (same reason as multimodal.make_feature_extractor: python
@@ -624,21 +653,20 @@ def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
     two O(m²) triu index arrays. Groups that fit one block (every
     non-degenerate corpus) still run the single full dgemm."""
 
+    out_cols = list(keys) + ["n_members", "n_dup_pairs", "n_dropped"]
+
     def stats(pdf):
         import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         m = len(pdf)
-        cell_id, fine_id = int(pdf["cell_id"].iloc[0]), int(pdf["fine_id"].iloc[0])
+        key_vals = [int(pdf[k].iloc[0]) for k in keys]
         if m < 2:
-            return pd.DataFrame(
-                [[cell_id, fine_id, m, 0, 0]],
-                columns=["cell_id", "fine_id", "n_members", "n_dup_pairs", "n_dropped"],
-            )
+            return pd.DataFrame([key_vals + [m, 0, 0]], columns=out_cols)
         e = np.stack(pdf["ev"].to_numpy())          # m × DIM
         nrm = pdf["nrm"].to_numpy()
-        fcos = pdf["fcos"].to_numpy()
+        rank = pdf[rank_col].to_numpy()
         block_rows = max(1, min(m, 4_194_304 // m))  # B·m ≤ 4M doubles
         n_pairs = 0
         drop_chunks = []
@@ -652,15 +680,12 @@ def make_blas_group_stats(threshold: float = SEM_THRESHOLD):
             qi, qj = gi[keep], bj[keep]
             n_pairs += int(qi.size)
             if qi.size:
-                # higher fine-cosine member drops; tie → greater vec_id == j
-                drop_chunks.append(np.where(fcos[qi] > fcos[qj], qi, qj))
+                # higher rank-cosine member drops; tie → greater vec_id == j
+                drop_chunks.append(np.where(rank[qi] > rank[qj], qi, qj))
         n_dropped = (
             int(np.unique(np.concatenate(drop_chunks)).size) if drop_chunks else 0
         )
-        return pd.DataFrame(
-            [[cell_id, fine_id, m, n_pairs, n_dropped]],
-            columns=["cell_id", "fine_id", "n_members", "n_dup_pairs", "n_dropped"],
-        )
+        return pd.DataFrame([key_vals + [m, n_pairs, n_dropped]], columns=out_cols)
 
     return stats
 

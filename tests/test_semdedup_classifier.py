@@ -151,3 +151,42 @@ def test_blas_twin_matches_hier_exactly(spark, sf_dir):
     h = sorted(map(tuple, reg["semantic_dedup_hier"].spark(spark, sf_dir).collect()))
     b = sorted(map(tuple, reg["semantic_dedup_blas"].spark(spark, sf_dir).collect()))
     assert b == h
+
+
+def test_flat_semdedup_dispatch_sides_agree(spark, sf_dir):
+    """The flat op's size-dispatched pair term (flat_group_stats) must
+    return identical rows from both physical plans — relational in-cell
+    self-join and per-cell dgemm with the keep rule ranking on the
+    coarse centroid cosine."""
+    from data_ingestion_system_spark.dedup.semdedup import (
+        adaptive_cells,
+        assign_with_centroid_cosine,
+        flat_group_stats,
+    )
+    from data_ingestion_system_spark.similarity.ann import load_vectors
+    from data_ingestion_system_spark.similarity.ivf import (
+        dataset_cache_key,
+        train_centroids,
+    )
+    from data_ingestion_system_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
+    cents = train_centroids(
+        v, cache_key=dataset_cache_key(sf_dir), n_cells=adaptive_cells(n)
+    )
+    assigned = assign_with_centroid_cosine(v, cents)
+    rel = sorted(map(tuple, flat_group_stats(assigned, n, force="relational").collect()))
+    blas = sorted(map(tuple, flat_group_stats(assigned, n, force="blas").collect()))
+    assert blas == rel
+
+    # both dispatch sides plan-asserted on the same builder
+    small = flat_group_stats(assigned, n)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in small
+    big = (
+        flat_group_stats(assigned, 16_384)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in big
