@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table, pin_join_width
+from data_ingestion_system_spark.tables import (
+    fan_out,
+    load_table,
+    pin_join_width,
+    pin_width,
+)
 
 N_BITS = 16
 HAMMING_MAX = 3
@@ -315,7 +320,30 @@ def simhash_pairs_direct(hashes: DataFrame) -> DataFrame:
 
 def simhash_pairs_value_collapsed(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Value-collapsed candidate search — the at-scale plan (see
-    `near_dup_simhash`)."""
+    `near_dup_simhash`).
+
+    Recovery-join shape (r6 rework): the corpus-sized doc relation is
+    the round-robin-spread STREAM side and both small relations — the
+    Hamming-filtered value-pair table (≤ 65,536 × 93/2 rows at ANY
+    corpus size) and the (doc_id, simhash) table — BROADCAST. The
+    previous shape keyed the expansion joins BY VALUE, which on a
+    saturated corpus puts Θ(answer) on single tasks: simhash values
+    CONCENTRATE on similar corpora (measured sf10: 12,162 distinct
+    values over 500k docs, hottest held 24,802 docs → its same-value
+    term alone is C(24.8k, 2) ≈ 308M pairs in ONE task; the full
+    defined answer is 4.28G pairs), and the single-JVM run died with
+    one straggler task OOM. Round-robin spreads hot-value doc rows
+    uniformly, broadcast-hash match groups iterate LAZILY (no per-key
+    buffering), so each task streams ≈ answer/width with bounded
+    memory.
+
+    The explicit doc-table broadcast is bounded by the op's own
+    feasibility ceiling: a 16-bit fingerprint space saturates at 65,536
+    values, so the answer grows ~n²/2¹⁶ and the op stops being runnable
+    (multi-billion-row output) long before the 16-bytes-per-doc
+    broadcast (12 MB at 500k docs) approaches broadcast limits —
+    `near_dup_simhash_multiblock` (32-bit space) is the documented
+    scale path."""
     vals = hashes.select("simhash").distinct()
     u = vals.alias("u")
     w = vals.alias("w")
@@ -333,13 +361,12 @@ def simhash_pairs_value_collapsed(hashes: DataFrame, n_docs: int | None = None) 
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
-    vp = pin_join_width(vp, "va", n_rows=n_docs)
-    hp = pin_join_width(hashes, "simhash", n_rows=n_docs)
+    hp = pin_width(hashes, n_rows=n_docs)  # keyless: hot values must spread
     x = hp.alias("x")
-    y = hp.alias("y")
+    y = hashes.alias("y")
     cross = (
-        vp.join(x, F.col("x.simhash") == F.col("va"))
-        .join(y, F.col("y.simhash") == F.col("vb"))
+        x.join(F.broadcast(vp), F.col("x.simhash") == F.col("va"))
+        .join(F.broadcast(y), F.col("y.simhash") == F.col("vb"))
         .select(
             F.least("x.doc_id", "y.doc_id").alias("doc_a"),
             F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
@@ -347,7 +374,7 @@ def simhash_pairs_value_collapsed(hashes: DataFrame, n_docs: int | None = None) 
         )
     )
     same = x.join(
-        y,
+        F.broadcast(y),
         (F.col("x.simhash") == F.col("y.simhash"))
         & (F.col("x.doc_id") < F.col("y.doc_id")),
     ).select(
