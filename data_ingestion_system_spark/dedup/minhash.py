@@ -150,6 +150,12 @@ def verified_pairs(
             F.col("ta.n").alias("na"),
             F.col("tb.n").alias("nb"),
         )
+        # n_common > 0 mirrors the oracle's `common` CTE (an inner join,
+        # so zero-overlap candidates emit NO row): at threshold 0.0 the
+        # sweep/estimation callers must not count pairs whose LSH bucket
+        # collision shares no actual shingle. For threshold > 0 the jac
+        # filter already implies it.
+        .filter(F.col("n_common") > 0)
         .select(
             "doc_a",
             "doc_b",
@@ -395,12 +401,17 @@ def _ngram_cand_pairkey(
     ).select(
         "doc_id",
         "n",
-        # pair key packed to ONE long: a hash collision can only ADD a
-        # candidate (verified exactly afterwards, and the k recovered
-        # from the row count only grows, relaxing the group bound) —
-        # never drop a qualifying pair. Halves the join key width vs
-        # (g1, g2).
+        # pair key packed to ONE long for the shuffle/sort (halves the
+        # join key width vs (g1, g2)); g1/g2 ride along and are
+        # equality-checked in the join, so an xxhash64 collision between
+        # DIFFERENT gram pairs cannot add a row — without that check a
+        # collision row's rn2 could inflate max(ia/jb) while the
+        # recovered k stays below the next triangular number, tightening
+        # k + min(na-ia, nb-jb) enough to prune a qualifying pair.
+        # ~2^-64-scale, but this operator is documented EXACT.
         F.xxhash64("e.g1", "e.g2").alias("pk"),
+        F.col("e.g1").alias("g1"),
+        F.col("e.g2").alias("g2"),
         "e.rn2",
     )
     # MERGE above the corpus floor: Catalyst's static estimate of this
@@ -418,6 +429,11 @@ def _ngram_cand_pairkey(
     pairm = a.join(
         b,
         (F.col("a.pk") == F.col("b.pk"))
+        # collision guard (see pk comment): equi-key stays the single
+        # long, g1/g2 equality runs as a post-match filter on the sorted
+        # streams — no extra shuffle width beyond the two carried longs
+        & (F.col("a.g1") == F.col("b.g1"))
+        & (F.col("a.g2") == F.col("b.g2"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (q * F.col("a.n") >= p * F.col("b.n"))
         & (q * F.col("b.n") >= p * F.col("a.n"))
@@ -431,7 +447,7 @@ def _ngram_cand_pairkey(
         F.col("b.rn2").alias("rnb2"),
     )
     alpha_g = F.expr(f"({p} * (na + nb) + {p + q} - 1) DIV {p + q}")
-    big = (
+    bigcand = (
         pairm.groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("c"),
@@ -472,7 +488,7 @@ def _ngram_cand_pairkey(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return big.union(small).distinct()
+    return bigcand.union(small).distinct()
 
 
 def _ngram_jaccard_pairs(
@@ -505,11 +521,17 @@ def _ngram_jaccard_pairs(
         .localCheckpoint(eager=False)  # 3 consumers: gram-id join, df counts, df probe
     )
     # integer gram ids: the prefix join and the verification intersects then
-    # run on longs, not 3-word strings (ids are internal — never in output)
+    # run on longs, not 3-word strings (ids are internal — never in output).
+    # xxhash64(gram), NOT monotonically_increasing_id: the id column feeds
+    # three consumers downstream of a LAZY checkpoint, and a
+    # nondeterministic id recomputed after partial executor loss on a real
+    # cluster could diverge between consumers (same gram, two gids —
+    # array_intersect silently undercounts). A content hash is identical
+    # under any recomputation; collisions are audited below.
     gram_ids = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("df"))
-        .select("gram", "df", F.monotonically_increasing_id().alias("gid"))
+        .select("gram", "df", F.xxhash64("gram").alias("gid"))
     )
     g2 = grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram").localCheckpoint(
         eager=False
@@ -532,14 +554,23 @@ def _ngram_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
     ).select("doc_id", "gid", "n", "rn")
+    # one aggregate over the checkpointed gram relation serves both the
+    # scheme-dispatch volume probe AND the gid collision audit (the
+    # audit's failure mode — two distinct grams hashing to one gid —
+    # would make array_intersect overcount, so it must hard-fail).
+    # Saturation is a CONTENT property — corpus size alone cannot see it.
+    st = gram_ids.agg(
+        F.sum("df").alias("postings"),
+        F.sum(F.col("df") * F.col("df")).alias("df_sq"),
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gid").alias("n_gids"),
+    ).first()
+    if st.n_gids != st.n_grams:
+        raise ValueError(
+            f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
+            f"{st.n_gids} distinct gids; rerun with a salted hash"
+        )
     if force_scheme is None:
-        # volume probe: one aggregate over the checkpointed gram relation
-        # estimates BOTH schemes' join volumes. Saturation is a CONTENT
-        # property — corpus size alone cannot see it.
-        st = gram_ids.agg(
-            F.sum("df").alias("postings"),
-            F.sum(F.col("df") * F.col("df")).alias("df_sq"),
-        ).first()
         mean_len = st.postings / max(1, n_docs)
         # mean extended-prefix length and its fraction of the doc
         pref_len = max(1.0, mean_len - (p / q) * mean_len + 2)
@@ -628,13 +659,15 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-in-prefix collisions are quadratically rarer (32x fewer
     candidates, same corpus).
 
-    The physical candidate scheme is CONTENT-DISPATCHED
-    (`NGRAM_PAIRKEY_MIN_MEAN_DF`, measured mean gram df): natural
-    corpora (low df) run the classic single-gram prefix join; saturated
-    spaces switch to pair-key indexing (join on gram PAIRS —
-    `_ngram_cand_pairkey`), whose postings stay linear in the corpus
-    while the single-gram match volume grows Θ(Σ df_prefix²) = Θ(sf²)
-    here. All filters in both schemes are exact — the oracle stays the
+    The physical candidate scheme is CONTENT-DISPATCHED by a volume
+    probe (one aggregate over the gram-df relation): when the estimated
+    single-gram match volume Σ(ρ·df)²/2 exceeds
+    `NGRAM_PAIRKEY_COST_RATIO` × the estimated pair-key posting volume
+    n·C(L̄,2), the saturated space switches to pair-key indexing (join
+    on gram PAIRS — `_ngram_cand_pairkey`), whose postings stay linear
+    in the corpus while the single-gram match volume grows
+    Θ(Σ df_prefix²) = Θ(sf²) here. Natural corpora (low df) sit far
+    below the ratio and run the classic single-gram prefix join. All filters in both schemes are exact — the oracle stays the
     plain all-pairs formulation, and
     tests/test_ngram_prefix_recall.py pins both schemes against a
     literal brute force. Exact Jaccard is then verified on candidates
