@@ -153,39 +153,164 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     anchor = _reference_anchor(spark)
-    # Anchor normalization (VERDICT r5 ask #4): this box drifts ±50%
-    # run-to-run, so raw cross-round deltas are box-confounded. The
-    # anchor (the reference's full view surface at its production size,
-    # measured in THIS session) calibrates the box: normalized seconds =
-    # raw ÷ (anchor_total / REF_ANCHOR_BASELINE_SEC), i.e. what the query
-    # would have read on the fixed r4 reference box. Raw stays alongside.
-    factor = anchor["total"] / REF_ANCHOR_BASELINE_SEC if anchor.get("total") else 1.0
-    normalized = {k: round(v / factor, 3) for k, v in times.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "reps": REPS,
-                "collect_sec": collect_sec,
-                "ann_index_train_sec": train_sec,
-                "ref_anchor": anchor,
-                "anchor_norm_factor": round(factor, 4),
-                "normalized": normalized,
-                "normalized_total": round(sum(normalized.values()), 3),
-                "data_manifest": _data_manifest(sf_dir),
-            }
-        )
+    # Box calibration (VERDICT r6 ask #1): this box drifts ±50%
+    # run-to-run, so raw cross-round deltas are box-confounded. The r5/r6
+    # scheme normalized by a single-snapshot anchor run, which cannot
+    # track drift ACROSS a 50 s bench session — r6's anchor said the box
+    # was 10% faster while code-untouched queries ran 1.2-2.3x slower,
+    # yielding a phantom normalized regression. The estimator is now
+    # SELF-normalizing: the median per-query ratio (this round / previous
+    # round) over queries whose implementing module is UNCHANGED since
+    # the previous BENCH file was committed (git diff). Untouched queries
+    # normalize to ~1.0x by construction; touched queries' normalized
+    # deltas are then code-caused, box-corrected. The anchor stays for
+    # the BASELINE.md comparison only — it no longer normalizes anything.
+    boxcal = _box_factor(times, registry, sf)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "reps": REPS,
+        "collect_sec": collect_sec,
+        "ann_index_train_sec": train_sec,
+        "ref_anchor": anchor,
+        "box_cal": boxcal,
+        "data_manifest": _data_manifest(sf_dir),
+    }
+    if boxcal:
+        norm = {k: round(v / boxcal["factor"], 3) for k, v in times.items()}
+        full["normalized_vs_prev"] = norm
+        full["normalized_vs_prev_total"] = round(sum(norm.values()), 3)
+    # full detail to a sidecar; stdout stays ONE lean line — the driver
+    # records only the last ~2000 chars of stdout, and r6's fat line got
+    # truncated past parseability (BENCH_r06.json: parsed=null)
+    try:
+        os.makedirs(os.path.join(_REPO, "bench_results"), exist_ok=True)
+        with open(os.path.join(_REPO, "bench_results", "last_bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    lean = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "reps": REPS,
+        "ann_index_train_sec": train_sec,
+        "ref_anchor_total": anchor.get("total"),
+        "box_cal": (
+            {k: boxcal[k] for k in ("prev_bench", "factor", "n_untouched", "ratio_p25", "ratio_p75")}
+            if boxcal
+            else None
+        ),
+        "normalized_vs_prev_total": full.get("normalized_vs_prev_total"),
+        "manifest_seed": full["data_manifest"].get("seed"),
+    }
+    print(json.dumps(lean))
+
+
+def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
+    """Session box-speed factor vs the previous round's bench: median of
+    per-query time ratios over code-untouched headline queries.
+
+    Untouched = the query's implementing module file (where its
+    registered callable is defined) has no diff since the commit that
+    last touched the previous BENCH_r{N}.json. Shared-infrastructure
+    edits (session/tables) are NOT excluded — a change that shifts every
+    query uniformly is indistinguishable from box drift by this
+    estimator and lands in the factor; per-query module edits are the
+    ones that must not contaminate the box estimate, and those are
+    excluded. Dispersion (p25/p75 of the untouched ratios) is reported
+    so a wide spread flags an untrustworthy factor."""
+    import glob
+    import inspect
+    import re
+    import subprocess
+
+    benches = sorted(
+        glob.glob(os.path.join(_REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if not benches:
+        return None
+    prev_path = benches[-1]
+    prev_n = int(re.search(r"r(\d+)", os.path.basename(prev_path)).group(1))
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    # ratios are only box signal when both rounds measured the same
+    # corpus scale (an sf0.001 smoke vs an sf0.1 round is 0.76x of
+    # nothing)
+    if sf is not None and prev.get("sf") is not None and prev["sf"] != sf:
+        return None
+    # the driver's BENCH_r{N}.json wraps bench stdout: per-query times
+    # live under parsed.queries (parsed is null when the line was
+    # tail-truncated — r6 — in which case the builder's round-stamped
+    # sidecar in bench_results/ carries the same run's full detail)
+    prev_q = prev.get("queries") or (prev.get("parsed") or {}).get("queries") or {}
+    if not prev_q:
+        for cand in glob.glob(
+            os.path.join(_REPO, "bench_results", f"bench_sf*_r{prev_n:02d}.json")
+        ):
+            try:
+                with open(cand) as f:
+                    prev_q = json.load(f).get("queries", {})
+            except (OSError, ValueError):
+                continue
+            if prev_q:
+                break
+    if not prev_q:
+        return None
+    changed: set[str] = set()
+    try:
+        commit = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", os.path.basename(prev_path)],
+            cwd=_REPO, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if commit:
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", commit],
+                cwd=_REPO, capture_output=True, text=True, timeout=30,
+            ).stdout
+            changed = {ln.strip() for ln in diff.splitlines() if ln.strip().endswith(".py")}
+    except (OSError, subprocess.SubprocessError):
+        pass  # no git → no exclusions; the median is still skew-robust
+    ratios: dict[str, float] = {}
+    excluded: list[str] = []
+    for name, t in times.items():
+        pt = prev_q.get(name)
+        if not pt or pt <= 0:
+            continue
+        try:
+            mod = os.path.relpath(inspect.getfile(registry[name].spark), _REPO)
+        except (TypeError, OSError):
+            mod = None
+        if mod in changed:
+            excluded.append(name)
+            continue
+        ratios[name] = t / pt
+    if len(ratios) < 5:
+        return None
+    vals = sorted(ratios.values())
+    med = statistics.median(vals)
+    return {
+        "prev_bench": os.path.basename(prev_path),
+        "factor": round(med, 4),
+        "n_untouched": len(vals),
+        "excluded_touched": sorted(excluded),
+        "ratio_p25": round(vals[len(vals) // 4], 4),
+        "ratio_p75": round(vals[(3 * len(vals)) // 4], 4),
+    }
 
 
-# Fixed calibration constant: the r4 session's ref_anchor total (the
-# round whose raw numbers the slope tables in bench_results/SCALING.md
-# were first normalized against). Dividing a session's anchor total by
-# this yields the session's box-speed factor; it is NEVER re-measured.
+# The r4 session's ref_anchor total — kept ONLY as historical context
+# for reading old SCALING.md tables that were normalized against it;
+# the anchor no longer normalizes anything (see _box_factor).
 REF_ANCHOR_BASELINE_SEC = 2.856
 
 

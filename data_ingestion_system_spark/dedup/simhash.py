@@ -195,11 +195,40 @@ def simhash_pairs_multiblock_direct(hashes: DataFrame, n_docs: int | None = None
     )
 
 
+# A fingerprint value holding more than this many docs is "hot": its doc
+# rows split into k = ceil(cnt / SALT_CAP) deterministic sub-buckets and
+# every recovery join runs on (value, sub) instead of the bare value, so
+# no task ever owns more than ~SALT_CAP docs of one value. Picked so the
+# densest sub-task (a within-value diagonal, C(SALT_CAP, 2) pairs) stays
+# ~2M output rows — small against the 32-way answer split, large enough
+# that the hot-value table stays n_docs/SALT_CAP rows (broadcastable at
+# any corpus size: 1G docs -> <=500k rows of 12 bytes).
+SALT_CAP = 2048
+
+
 def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Value-collapsed multi-table candidate search — the at-scale plan
     (see `near_dup_simhash_multiblock`). Every join below is an
     expansion from byte-tiny inputs — widths pinned against AQE's
-    size-based coalesce (tables.pin_join_width)."""
+    size-based coalesce (tables.pin_join_width).
+
+    Recovery is SALTED (r7, scale-failure class #4 applied here): the
+    r6 shape keyed the doc-expansion joins by fingerprint VALUE, which
+    concentrates Θ(that value's share of the answer) on single tasks —
+    fingerprints concentrate on similar corpora, and the 16-bit variant
+    died of exactly this (hottest value 24,802 docs -> one 308M-pair
+    task). The 16-bit fix (broadcast the value-pair table, stream docs
+    round-robin) does not transfer: this op's value-pair relation grows
+    with the corpus (21.5M rows / ~430 MB at sf10) and must stay a
+    shuffle join. Instead, hot values (> SALT_CAP docs) split into
+    k = ceil(cnt / SALT_CAP) sub-buckets by pmod(xxhash64(doc_id), k):
+    docs carry their sub-bucket, value pairs replicate ka*kb ways (only
+    where a side is hot — cold-cold pairs replicate 1x), and each
+    (value, sub) join key owns <= SALT_CAP docs of that value. Same
+    exact answer, per-task work ~ answer / (width * k). The hot-value
+    table is bounded by n_docs / SALT_CAP rows — broadcast-safe by
+    construction, sized from a counted aggregate (not a Catalyst
+    estimate), so the static-broadcast fatality class does not apply."""
     vals = hashes.select("simhash").distinct()
     vblocks = pin_join_width(
         simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash")),
@@ -225,29 +254,128 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | No
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    vp = pin_join_width(vp, "va", n_rows=n_docs)
-    hp = pin_join_width(hashes, "simhash", n_rows=n_docs)
-    x = hp.alias("x")
-    y = hp.alias("y")
+    # hot fingerprint values and their split factors (empty on corpora
+    # where no value exceeds SALT_CAP — the whole salt degenerates to
+    # sub = 0 / one replica and the plan is the r6 shape plus two
+    # broadcast probes)
+    hot = (
+        hashes.groupBy("simhash")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > SALT_CAP)
+        .select(
+            "simhash",
+            F.ceil(F.col("cnt") / SALT_CAP).cast("int").alias("k"),
+        )
+    )
+    dsub = pin_join_width(
+        hashes.join(F.broadcast(hot), "simhash", "left").select(
+            "doc_id",
+            "simhash",
+            F.pmod(F.xxhash64("doc_id"), F.coalesce(F.col("k"), F.lit(1)))
+            .cast("int")
+            .alias("sub"),
+        ),
+        "simhash",
+        "sub",
+        n_rows=n_docs,
+    )
+    # value pairs fan out over the (sa, sb) salt grid of their sides
+    vps = pin_join_width(
+        vp.join(
+            F.broadcast(hot.select(F.col("simhash").alias("va"), F.col("k").alias("ka"))),
+            "va",
+            "left",
+        )
+        .join(
+            F.broadcast(hot.select(F.col("simhash").alias("vb"), F.col("k").alias("kb"))),
+            "vb",
+            "left",
+        )
+        .select(
+            "va",
+            "vb",
+            "hamming",
+            F.coalesce(F.col("ka"), F.lit(1)).alias("ka"),
+            F.coalesce(F.col("kb"), F.lit(1)).alias("kb"),
+        )
+        .select(
+            "va",
+            "vb",
+            "hamming",
+            "ka",
+            F.explode(F.expr("sequence(0, ka * kb - 1)")).alias("s"),
+        )
+        .select(
+            "va",
+            "vb",
+            "hamming",
+            F.expr("s % ka").cast("int").alias("sa"),
+            F.expr("s div ka").cast("int").alias("sb"),
+        ),
+        "va",
+        "sa",
+        n_rows=n_docs,
+    )
+    x = dsub.alias("x")
+    y = dsub.alias("y")
     cross = (
-        vp.join(x, F.col("x.simhash") == F.col("va"))
-        .join(y, F.col("y.simhash") == F.col("vb"))
+        vps.join(
+            x,
+            (F.col("x.simhash") == F.col("va")) & (F.col("x.sub") == F.col("sa")),
+        )
+        .join(
+            y,
+            (F.col("y.simhash") == F.col("vb")) & (F.col("y.sub") == F.col("sb")),
+        )
         .select(
             F.least("x.doc_id", "y.doc_id").alias("doc_a"),
             F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
             "hamming",
         )
     )
-    same = x.join(
+    # same-value pairs, diagonal: both docs in the same sub-bucket —
+    # covers every cold value (sub = 0 for all its docs) and each hot
+    # value's k within-bucket groups, <= C(SALT_CAP, 2) pairs per key
+    same_diag = x.join(
         y,
         (F.col("x.simhash") == F.col("y.simhash"))
+        & (F.col("x.sub") == F.col("y.sub"))
         & (F.col("x.doc_id") < F.col("y.doc_id")),
     ).select(
         F.col("x.doc_id").alias("doc_a"),
         F.col("y.doc_id").alias("doc_b"),
         F.lit(0).cast("int").alias("hamming"),
     )
-    return cross.unionByName(same)
+    # same-value pairs, off-diagonal: hot values only — the strict
+    # (i < j) sub-bucket grid; each unordered doc pair lands in exactly
+    # one (i, j) cell, so the three branches are disjoint and the union
+    # needs no pair-level DISTINCT
+    offgrid = hot.select(
+        F.col("simhash").alias("v"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, k - 2),"
+                " i -> transform(sequence(i + 1, k - 1),"
+                " j -> named_struct('sa', i, 'sb', j))))"
+            )
+        ).alias("g"),
+    ).select("v", F.col("g.sa").alias("sa"), F.col("g.sb").alias("sb"))
+    same_off = (
+        offgrid.join(
+            x,
+            (F.col("x.simhash") == F.col("v")) & (F.col("x.sub") == F.col("sa")),
+        )
+        .join(
+            y,
+            (F.col("y.simhash") == F.col("v")) & (F.col("y.sub") == F.col("sb")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same_diag).unionByName(same_off)
 
 
 @query("near_dup_simhash_multiblock", oracle=_multiblock_oracle(), survey="EXT-dedup")

@@ -63,3 +63,51 @@ def test_each_doc_lands_in_every_block_table(spark):
     assert bad == 0
     rng = blocks.agg(F.min("bkey").alias("lo"), F.max("bkey").alias("hi")).first()
     assert 0 <= rng.lo and rng.hi <= 255
+
+
+def test_salted_recovery_hot_values_exact(spark, monkeypatch):
+    """The salted recovery (dedup/simhash.py SALT_CAP) must return the
+    exact direct-join answer when values are HOT enough to split into
+    k > 1 sub-buckets — the branch no shipped corpus reaches at test
+    scale. SALT_CAP is monkeypatched tiny so a synthetic corpus with
+    two heavy fingerprint values (one pair within Hamming 3 of each
+    other, one isolated) exercises cross (hot x hot, hot x cold),
+    same-diagonal, and same-off-diagonal branches with real k x k
+    grids, against the doc-level direct join as the oracle."""
+    import itertools
+
+    from data_ingestion_system_spark.dedup import simhash as sh
+
+    monkeypatch.setattr(sh, "SALT_CAP", 4)
+    # fingerprints chosen so: v1/v2 differ in 2 bits (qualifying pair of
+    # values), v3 is far from both; v1 and v2 each held by 11 docs
+    # (k = ceil(11/4) = 3), v3 by 5 docs (k = 2), plus 30 cold docs
+    v1, v2, v3 = 0x12345678, 0x12345672, 0x0F0F0F0F
+    rows = (
+        [(i, v1) for i in range(11)]
+        + [(100 + i, v2) for i in range(11)]
+        + [(200 + i, v3) for i in range(5)]
+        + [(300 + i, 0x40000000 + i * 17) for i in range(30)]
+    )
+    hashes = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in sh.simhash_pairs_multiblock_value_collapsed(hashes).collect()
+    }
+    fps = dict(rows)
+    expected = set()
+    for a, b in itertools.combinations(sorted(fps), 2):
+        # candidate iff some 8-bit block agrees (the direct join's
+        # blocking), then Hamming filter
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h > sh.HAMMING_MAX:
+            continue
+        if any(
+            (fps[a] >> (8 * t)) & 0xFF == (fps[b] >> (8 * t)) & 0xFF
+            for t in range(sh.MB_BLOCKS)
+        ):
+            expected.add((a, b, h))
+    assert got == expected
+    # no duplicates either (exactly one row per unordered pair)
+    n_rows = sh.simhash_pairs_multiblock_value_collapsed(hashes).count()
+    assert n_rows == len(expected)

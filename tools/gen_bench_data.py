@@ -15,6 +15,14 @@ structure, and value ranges match, which is what bench slopes measure.
 
 Usage:
     python tools/gen_bench_data.py 1.0 /tmp/sf1.0
+    python tools/gen_bench_data.py 1.0 /tmp/sf1.0-zipf --vocab zipf
+
+`--vocab zipf` swaps the 31-word uniform vocabulary (which SATURATES
+the 3-gram space — mean gram df ~68 at sf1.0, the adversarial case
+that motivated the pair-key candidate scheme) for a 50,000-word
+Zipf(1.07) vocabulary: heavy-tailed like natural text, mean gram df
+~1, the regime where the classic single-gram prefix join is the
+predicted winner. Document length / dup-plant structure identical.
 """
 
 from __future__ import annotations
@@ -69,7 +77,19 @@ def _file_sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def write_manifest(out_dir: str, sf: float, seed: int) -> None:
+def _make_vocab(mode: str, rng: np.random.Generator):
+    """(word array, draw pmf or None-for-uniform) for a vocabulary mode."""
+    if mode == "zipf":
+        v = 50_000
+        p = np.arange(1, v + 1, dtype="float64") ** -1.07
+        p /= p.sum()
+        return np.array([f"w{i:05d}" for i in range(v)]), p
+    if mode != "uniform":
+        raise ValueError(f"unknown vocab mode {mode!r}")
+    return np.array(VOCAB), None
+
+
+def write_manifest(out_dir: str, sf: float, seed: int, vocab_mode: str = "uniform") -> None:
     """Provenance manifest (VERDICT r5 ask #3): the r4→r5 sf1.0
     regeneration silently changed the document mix (generator-code
     evolution under the same seed) and a cross-round slope comparison
@@ -82,6 +102,7 @@ def write_manifest(out_dir: str, sf: float, seed: int) -> None:
         "generator_sha256": _file_sha256(os.path.abspath(__file__)),
         "seed": seed,
         "sf": sf,
+        "vocab_mode": vocab_mode,
         "tables": dict(sorted(_MANIFEST.items())),
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
@@ -89,7 +110,7 @@ def write_manifest(out_dir: str, sf: float, seed: int) -> None:
     print(f"manifest.json: generator {manifest['generator_sha256'][:12]} seed {seed}")
 
 
-def main(sf: float, out_dir: str, seed: int = 42) -> None:
+def main(sf: float, out_dir: str, seed: int = 42, vocab_mode: str = "uniform") -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     n_cust = int(150_000 * sf / 1.0) or 1
@@ -185,10 +206,19 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
         "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: 31-word vocab, 15-70 words, ~3% near-dup copies of an
-    # earlier doc (a few words swapped) + ~0.5% exact dups — the plant
-    # structure the dedup family's runtime depends on
-    vocab = np.array(VOCAB)
+    # documents: 15-70 words from the selected vocabulary, ~3% near-dup
+    # copies of an earlier doc (a few words swapped) + ~0.5% exact dups —
+    # the plant structure the dedup family's runtime depends on
+    vocab, vocab_p = _make_vocab(vocab_mode, rng)
+    # non-uniform draws come from one vectorized pre-drawn pool: a
+    # per-doc rng.choice against a 50k-entry pmf re-scans the cdf every
+    # call (minutes at sf10), one bulk draw is a single pass
+    pool = (
+        rng.choice(len(vocab), int(n_doc * 46) + 128, p=vocab_p)
+        if vocab_p is not None
+        else None
+    )
+    cursor = 0
     texts: list[str] = []
     for i in range(n_doc):
         r = rng.random()
@@ -203,7 +233,15 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
             texts.append(" ".join(base))
         else:
             n_w = int(rng.integers(15, 71))
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_w)]))
+            if pool is not None:
+                if cursor + n_w > len(pool):
+                    pool = rng.choice(len(vocab), len(pool), p=vocab_p)
+                    cursor = 0
+                idx = pool[cursor : cursor + n_w]
+                cursor += n_w
+            else:
+                idx = rng.integers(0, len(vocab), n_w)
+            texts.append(" ".join(vocab[idx]))
     _write(out_dir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc), pa.int64()),
         "text": texts,
@@ -230,7 +268,7 @@ def main(sf: float, out_dir: str, seed: int = 42) -> None:
         "label": pa.array(labels, pa.int32()),
     }))
 
-    write_manifest(out_dir, sf, seed)
+    write_manifest(out_dir, sf, seed, vocab_mode)
 
 
 def backfill_manifest(out_dir: str, sf: float, seed: int = 42) -> None:
@@ -261,6 +299,8 @@ if __name__ == "__main__":
         d = sys.argv[2]
         backfill_manifest(d, float(os.path.basename(d.rstrip("/")).removeprefix("sf")))
     else:
-        sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-        out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{sys.argv[1] if len(sys.argv) > 1 else '1.0'}"
-        main(sf, out)
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        mode = "zipf" if "--vocab" in sys.argv and "zipf" in sys.argv else "uniform"
+        sf = float(args[0]) if args else 1.0
+        out = args[1] if len(args) > 1 else f"/tmp/sf{args[0] if args else '1.0'}"
+        main(sf, out, vocab_mode=mode)
