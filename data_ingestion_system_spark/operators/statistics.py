@@ -499,15 +499,133 @@ def equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries (orderkey, linenumber) tiebreakers so both engines tile the
     same total order (SURVEY §4.2.4 determinism rule).
 
-    Scale note: a global NTILE is a single-partition sort at the limit;
-    at 100 TB swap in percentile_approx cut points + a codegen bucket
-    join (the `exact_percentiles_sketch_refine` machinery) — kept exact
-    here because the oracle must hash-match."""
+    Size-dispatched (§4d two-physical-plans, r7 — previously a documented
+    single-partition trade): below EQUI_DEPTH_DIRECT_MAX_ROWS the plain
+    global NTILE window wins (one sort of a small relation, no extra
+    passes); above it `_equi_depth_exact_distributed` computes the SAME
+    exact answer with no global sort — range-repartition, per-partition
+    counts, the 9 bucket-boundary tuples located by rank, then a
+    codegen 9-comparison bucket assignment. Both plans pinned by
+    tests/test_plan_quality.py; equality by
+    tests/test_sketch_refine.py."""
     li = load_table(spark, sf_dir, "lineitem")
+    if li.count() >= EQUI_DEPTH_DIRECT_MAX_ROWS:  # parquet footer count
+        return _equi_depth_exact_distributed(li)
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     tiled = li.select("l_extendedprice", F.ntile(N_DEPTH_BUCKETS).over(w).alias("bucket"))
     return (
         tiled.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            round_port(F.min("l_extendedprice"), 6).alias("lo"),
+            round_port(F.max("l_extendedprice"), 6).alias("hi"),
+            round_port(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Above this row count the global-NTILE window's single-partition sort
+# loses to the distributed rank scheme's three bounded passes; below it
+# the extra passes (range exchange + checkpoint + boundary window) cost
+# more than sorting a few MB on one core. Matches the codebase-wide
+# PIN_MIN_ROWS floor so sf0.001 pytest parity exercises the direct plan
+# and the sf0.01 driver gate exercises the distributed one.
+EQUI_DEPTH_DIRECT_MAX_ROWS = 16_384
+
+_EQUI_DEPTH_KEYS = ("l_extendedprice", "l_orderkey", "l_linenumber")
+
+
+def _equi_depth_exact_distributed(li: DataFrame) -> DataFrame:
+    """EXACT global NTILE without a global sort.
+
+    1. Range-repartition on the NTILE total order and eagerly
+       localCheckpoint: partition p then holds a contiguous key range,
+       and RangePartitioning assigns ascending ranges to ascending
+       partition ids (load-bearing — per-partition counts in pid order
+       ARE the global rank offsets). The checkpoint freezes the sampled
+       range boundaries so every downstream pass sees one layout.
+    2. Per-partition counts (a width-sized aggregate) -> driver-side
+       offsets; NTILE bucket sizes are floor/ceil(n/k), so the 9 bucket
+       boundaries are known global RANKS, each mapping to (pid, local
+       rank).
+    3. The boundary TUPLES are read with one row_number window over only
+       the <= 9 partitions containing a boundary (the tiebreakered key
+       tuple is unique — lineitem's PK is in the order), collected (9
+       rows).
+    4. Every row's bucket = 1 + #boundary-tuples strictly below its own
+       tuple — nine 3-way comparisons in one whole-stage-codegen
+       projection, then the 10-group aggregate.
+
+    Driver-held state: one count per partition + 9 tuples — metadata
+    scale at any corpus size. The expensive operations are one range
+    shuffle and two scans of the checkpointed relation."""
+    from data_ingestion_system_spark.tables import _declared_reduce_width
+
+    spark = li.sparkSession
+    keys = list(_EQUI_DEPTH_KEYS)
+    width = _declared_reduce_width(spark)
+    rp = (
+        li.select(*keys)
+        .repartitionByRange(width, *[F.col(k) for k in keys])
+        .localCheckpoint(eager=True)
+    )
+    pc = {
+        r.pid: r.cnt
+        for r in rp.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    total = sum(pc.values())
+    q, rem = divmod(total, N_DEPTH_BUCKETS)
+    sizes = [q + 1 if b < rem else q for b in range(N_DEPTH_BUCKETS)]
+    bound_ranks = []
+    c = 0
+    for s in sizes[:-1]:
+        c += s
+        bound_ranks.append(c)  # global rank of bucket b's LAST row
+    offsets = {}
+    off = 0
+    for pid in sorted(pc):
+        offsets[pid] = off
+        off += pc[pid]
+    locate: dict[int, list[int]] = {}
+    for g in bound_ranks:
+        for pid in sorted(pc):
+            if offsets[pid] < g <= offsets[pid] + pc[pid]:
+                locate.setdefault(pid, []).append(g - offsets[pid])
+                break
+    wloc = Window.partitionBy("pid").orderBy(*keys)
+    pick = F.lit(False)
+    for pid, lrs in locate.items():
+        pick = pick | ((F.col("pid") == pid) & F.col("rn").isin(lrs))
+    btups = (
+        rp.select(*keys, F.spark_partition_id().alias("pid"))
+        .filter(F.col("pid").isin(list(locate)))
+        .select(*keys, "pid", F.row_number().over(wloc).alias("rn"))
+        .filter(pick)
+        .collect()
+    )
+    btups.sort(key=lambda r: (r.l_extendedprice, r.l_orderkey, r.l_linenumber))
+    bucket = F.lit(1)
+    for t in btups:
+        above = (
+            (F.col("l_extendedprice") > t.l_extendedprice)
+            | (
+                (F.col("l_extendedprice") == t.l_extendedprice)
+                & (F.col("l_orderkey") > t.l_orderkey)
+            )
+            | (
+                (F.col("l_extendedprice") == t.l_extendedprice)
+                & (F.col("l_orderkey") == t.l_orderkey)
+                & (F.col("l_linenumber") > t.l_linenumber)
+            )
+        )
+        bucket = bucket + above.cast("int")
+    return (
+        rp.select("l_extendedprice", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
             round_port(F.min("l_extendedprice"), 6).alias("lo"),
