@@ -38,21 +38,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 catalog entries per round (registration
-# order).  Rounds 1-5 accumulated 249 green driver rows (0 red ever); after
-# r5 every SQL-checkable catalog query has a green row.
-# Round-6 window (VERDICT r5 asks #1/#2/#6): `semantic_dedup_blas` first
-# (the one never-driver-checked query, staged since late r5), then
-# `near_dup_ngram_jaccard` (re-verify the de-degenerated PPJoin candidate
-# join under the driver), then the re-verification rotation OLDEST-FIRST —
-# the r01-vintage greens, last checked five rounds ago, under an engine
-# rewritten twice since.  Positions 51+ continue the same oldest-first
-# rotation (r02 → r03 → r04/r05), so future rounds inherit the queue.
-# The full catalog keeps its pytest oracle gate regardless
-# (tests/test_oracle_parity.py parametrizes ALL registered queries).
+# order).  Rounds 1-6 accumulated 300 green driver rows (0 red ever); every
+# SQL-checkable catalog query has a green row.
+# Round-7 window (VERDICT r6 ask #5): rows 1-11 are the dedup/statistics
+# family whose PHYSICAL PLANS were rewritten in r6/r7 (salted multiblock
+# recovery, distributed exact NTILE, pair-key exactness + xxhash64 gram ids,
+# array-collapsed MinHash verify, dgemm-dispatched SemDeDup, and the
+# verified_pairs threshold-0 consumers) — re-proving the rewrites under the
+# driver before anything else.  Rows 12-50 are the stalest greens: the one
+# r01-vintage query, then the r02-vintage block in its existing oldest-first
+# order (rows-only sketch queries excluded — they cannot contribute a hash
+# green).  Positions 51+ continue the same oldest-first rotation, so future
+# rounds inherit the queue.  The full catalog keeps its pytest oracle gate
+# regardless (tests/test_oracle_parity.py parametrizes ALL registered
+# queries).
 _DRIVER_PRIORITY = (
-    "semantic_dedup_blas",
+    "near_dup_simhash_multiblock",
+    "equi_depth_buckets",
     "near_dup_ngram_jaccard",
-    # 3-50: r01-vintage re-verification (oldest greens first)
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "semantic_dedup",
+    "semantic_dedup_hier",
+    "dedup_threshold_sweep",
+    "minhash_estimation_error",
+    "cross_source_dup_matrix",
+    "dedup_clusters",
+    "high_punctuation_docs",
+    "examples_per_group",
+    "exact_percentiles_sketch_refine",
+    "weighted_sample",
+    "anomaly_flags",
+    "backfill_missing_days",
+    "month_frequency",
+    "dow_hour_profile",
+    "json_props_extract",
+    "json_report_roundtrip",
+    "ref_v_app_stats",
+    "ref_v_reviews_sentiment",
+    "ref_v_daily_stats",
+    "ref_v_labeled_reviews",
+    "cube_counts",
+    "pivot_matrix",
+    "rollup_daily",
+    "asof_join_events",
+    "sessionization",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "repetition_quality",
+    "doc_chunks",
+    "near_dup_embedding_cosine",
+    "bm25_search",
+    "inverted_index_search",
+    "contamination_overlap",
+    "corpus_prep_pipeline",
+    "majority_vote",
+    "cohens_kappa",
+    "labeled_export_join",
+    "token_counts",
+    "language_id_confusion",
+    "quality_scores",
+    "doc_fingerprints",
+    "clean_documents",
+    "dedup_exact_stats",
+    "dedup_exact_keepers",
+    "semantic_dedup_blas",
     "dynamic_filter",
     "like_search",
     "case_projection",
@@ -101,58 +152,13 @@ _DRIVER_PRIORITY = (
     "overlap_assignment",
     "quality_flags",
     "script_detection",
-    # ---- positions 51+ (r7 queue: r02-vintage, then r03, r04, r05) ----
-    "high_punctuation_docs",
-    "examples_per_group",
-    "exact_percentiles_sketch_refine",
-    "weighted_sample",
-    "near_dup_minhash_lsh",
-    "anomaly_flags",
-    "backfill_missing_days",
     "approx_percentiles",
     "approx_distinct_users",
-    "month_frequency",
-    "dow_hour_profile",
-    "json_props_extract",
-    "json_report_roundtrip",
-    "ref_v_app_stats",
-    "ref_v_reviews_sentiment",
-    "ref_v_daily_stats",
-    "ref_v_labeled_reviews",
-    "cube_counts",
-    "pivot_matrix",
-    "rollup_daily",
-    "asof_join_events",
-    "sessionization",
-    "ann_topk_bruteforce",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "repetition_quality",
-    "doc_chunks",
-    "near_dup_embedding_cosine",
-    "bm25_search",
-    "inverted_index_search",
-    "contamination_overlap",
-    "dedup_clusters",
-    "corpus_prep_pipeline",
-    "majority_vote",
-    "cohens_kappa",
-    "labeled_export_join",
-    "token_counts",
-    "language_id_confusion",
-    "quality_scores",
-    "doc_fingerprints",
-    "clean_documents",
-    "dedup_exact_stats",
-    "dedup_exact_keepers",
-    "near_dup_simhash_multiblock",
-    "near_dup_simhash",
     "ann_pq_rerank_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "multimodal_payload_stats",
     "multimodal_features",
-    "cross_source_dup_matrix",
     "gap_islands",
     "sliding_rate_limit",
     "substring_dup_profile",
@@ -171,8 +177,6 @@ _DRIVER_PRIORITY = (
     "histogram_2d",
     "user_entropy_profile",
     "rank_function_profile",
-    "dedup_threshold_sweep",
-    "minhash_estimation_error",
     "neyman_allocation",
     "seasonal_anomaly_flags",
     "grouping_sets_profile",
@@ -216,7 +220,6 @@ _DRIVER_PRIORITY = (
     "brand_basket_lift",
     "order_size_distribution",
     "repeat_purchase_interval",
-    "equi_depth_buckets",
     "equi_depth_buckets_approx",
     "winsorized_stats",
     "grouped_percentiles_sketch_refine",
@@ -252,8 +255,6 @@ _DRIVER_PRIORITY = (
     "time_travel_snapshot",
     "incremental_daily_view",
     "reservoir_sample",
-    "semantic_dedup",
-    "semantic_dedup_hier",
     "hybrid_rrf_search",
     "nb_weak_label_confusion",
     "tfidf_top_terms",
