@@ -491,17 +491,59 @@ def _ngram_cand_pairkey(
     return bigcand.union(small).distinct()
 
 
-def _ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, force_scheme: str | None = None
-) -> DataFrame:
-    """Shared builder for `near_dup_ngram_jaccard`; `force_scheme`
-    ("single"/"pairkey") pins a candidate scheme for the equivalence and
-    plan tests — production dispatches on the measured mean gram df."""
-    # t as an exact rational (3/10): every pruning filter below is integer
-    # arithmetic — float rounding at exact-threshold pairs (jac == 0.3)
-    # must never prune a qualifying pair
-    p, q = 3, 10
-    t = p / q
+def _ngram_scheme_probe(
+    gram_ids: DataFrame, n_docs: int, p: int, q: int
+) -> tuple[str, dict]:
+    """One aggregate over the (gram, df, gid) relation → (scheme, stats).
+
+    Estimates BOTH candidate schemes' join volumes and runs the gid
+    collision audit in the same pass. est_single_rows = Σ(ρ·df)²/2 is
+    the per-gid match-row count after the doc_a < doc_b half, with ρ the
+    mean prefix fraction (sf1.0 uniform check: est 35M vs 26.7M
+    measured; sf3.0 est 312M vs 240M); est_pairkey_postings =
+    n·C(L̄_pref, 2) is linear in the corpus. Extracted so the Zipfian
+    validation (tools/ngram_dispatch_probe.py) can interrogate the exact
+    production decision."""
+    st = gram_ids.agg(
+        F.sum("df").alias("postings"),
+        F.sum(F.col("df") * F.col("df")).alias("df_sq"),
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gid").alias("n_gids"),
+    ).first()
+    if st.n_gids != st.n_grams:
+        raise ValueError(
+            f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
+            f"{st.n_gids} distinct gids; rerun with a salted hash"
+        )
+    mean_len = st.postings / max(1, n_docs)
+    # mean extended-prefix length and its fraction of the doc
+    pref_len = max(1.0, mean_len - (p / q) * mean_len + 2)
+    rho = min(1.0, pref_len / max(1.0, mean_len))
+    est_single_rows = rho * rho * st.df_sq / 2
+    est_pairkey_postings = n_docs * pref_len * (pref_len - 1) / 2
+    scheme = (
+        "pairkey"
+        if est_single_rows > NGRAM_PAIRKEY_COST_RATIO * max(1.0, est_pairkey_postings)
+        else "single"
+    )
+    return scheme, {
+        "n_grams": st.n_grams,
+        "postings": st.postings,
+        "mean_df": st.postings / max(1, st.n_grams),
+        "mean_len": mean_len,
+        "pref_len": pref_len,
+        "est_single_rows": est_single_rows,
+        "est_pairkey_postings": est_pairkey_postings,
+        "est_ratio": est_single_rows / max(1.0, est_pairkey_postings),
+    }
+
+
+def _ngram_prefix_relations(
+    spark: SparkSession, sf_dir: str, p: int, q: int
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """(gram_ids, gram_sets, prefix, n_docs) — the shared relational
+    front half of the ngram-Jaccard pipeline, extracted so the dispatch
+    validation tool measures the exact production relations."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # parquet footer statistics — no scan
     toks = fan_out(docs, "doc_id").select("doc_id", F.split(F.col("text"), " ").alias("ts")).filter(
@@ -527,7 +569,7 @@ def _ngram_jaccard_pairs(
     # nondeterministic id recomputed after partial executor loss on a real
     # cluster could diverge between consumers (same gram, two gids —
     # array_intersect silently undercounts). A content hash is identical
-    # under any recomputation; collisions are audited below.
+    # under any recomputation; collisions are audited in the probe.
     gram_ids = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("df"))
@@ -554,41 +596,32 @@ def _ngram_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
     ).select("doc_id", "gid", "n", "rn")
+    return gram_ids, gram_sets, prefix, n_docs
+
+
+def _ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, force_scheme: str | None = None
+) -> DataFrame:
+    """Shared builder for `near_dup_ngram_jaccard`; `force_scheme`
+    ("single"/"pairkey") pins a candidate scheme for the equivalence and
+    plan tests — production dispatches on the volume probe."""
+    # t as an exact rational (3/10): every pruning filter below is integer
+    # arithmetic — float rounding at exact-threshold pairs (jac == 0.3)
+    # must never prune a qualifying pair
+    p, q = 3, 10
+    t = p / q
+    gram_ids, gram_sets, prefix, n_docs = _ngram_prefix_relations(spark, sf_dir, p, q)
     # one aggregate over the checkpointed gram relation serves both the
     # scheme-dispatch volume probe AND the gid collision audit (the
     # audit's failure mode — two distinct grams hashing to one gid —
     # would make array_intersect overcount, so it must hard-fail).
     # Saturation is a CONTENT property — corpus size alone cannot see it.
-    st = gram_ids.agg(
-        F.sum("df").alias("postings"),
-        F.sum(F.col("df") * F.col("df")).alias("df_sq"),
-        F.count("*").alias("n_grams"),
-        F.countDistinct("gid").alias("n_gids"),
-    ).first()
-    if st.n_gids != st.n_grams:
-        raise ValueError(
-            f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
-            f"{st.n_gids} distinct gids; rerun with a salted hash"
-        )
-    if force_scheme is None:
-        mean_len = st.postings / max(1, n_docs)
-        # mean extended-prefix length and its fraction of the doc
-        pref_len = max(1.0, mean_len - (p / q) * mean_len + 2)
-        rho = min(1.0, pref_len / max(1.0, mean_len))
-        # Σ (ρ·df)² / 2: per-gid match rows after the doc_a < doc_b half
-        # (sf1.0 check: est 35M vs 26.7M measured; sf3.0 est 312M vs 240M)
-        est_single_rows = rho * rho * st.df_sq / 2
-        est_pairkey_postings = n_docs * pref_len * (pref_len - 1) / 2
-        scheme = (
-            "pairkey"
-            if est_single_rows > NGRAM_PAIRKEY_COST_RATIO * max(1.0, est_pairkey_postings)
-            else "single"
-        )
-    else:
+    scheme, _probe = _ngram_scheme_probe(gram_ids, n_docs, p, q)
+    if force_scheme is not None:
         scheme = force_scheme
     from data_ingestion_system_spark.tables import _should_pin
 
-    big = _should_pin(grams, n_docs)
+    big = _should_pin(prefix, n_docs)  # n_docs decides (counted above)
     if scheme == "pairkey":
         # pin on the pair-key join columns: same AQE-coalesce hazard as
         # every pair-expansion join (tables.pin_join_width)

@@ -395,8 +395,10 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Above VALUE_COLLAPSE_MIN_DOCS the candidate search runs over
     DISTINCT fingerprint VALUES (large corpora repeat ~45% of values),
     so the block join and the Hamming filter touch the collapsed value
-    relation; doc pairs are recovered by two value-keyed joins, and the
-    cross/same split makes the expansion duplicate-free WITHOUT the
+    relation; doc pairs are recovered by SALTED sub-bucket joins (hot
+    values split k ways on both sides — see
+    `simhash_pairs_multiblock_value_collapsed`), and the cross/diag/
+    off-diag split makes the expansion duplicate-free WITHOUT the
     pair-level DISTINCT the doc-level join needs over its (answer ×
     shared-blocks) blowup. Below the threshold the direct doc-level
     block join is cheaper (same dispatch as `near_dup_simhash`;
