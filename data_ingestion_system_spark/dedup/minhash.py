@@ -271,18 +271,21 @@ ORDER BY doc_a, doc_b
 NGRAM_JACCARD_THRESHOLD = 0.3
 
 # Candidate-scheme dispatch (§4d two-physical-plans): pick pair-key
-# indexing when the ESTIMATED single-gram match volume (Θ(Σ df_prefix²),
-# the quantity that explodes on saturated gram spaces) exceeds this
-# multiple of the estimated pair-key posting volume (n_docs·C(L̄,2),
-# linear in the corpus). The ratio folds in the measured per-row cost
-# difference (pair-key rows are ~4-6x dearer: wider keys, C(L,2)
-# posting build, bigger sort): clean same-session calibration —
-# sf1.0 est-ratio 1.7, single wins 2.4x (17-22 s vs 43-62 s); sf3.0
-# est-ratio 5.1, statistically tied (90-142 s vs 100 s box spread);
-# sf10 est-ratio 13.5, single's est 2.7G match rows are prohibitive
-# while pairkey completes (SCALING.md r6). Crossover set between sf3
-# and sf10. Natural corpora (mean df ~1-5) sit far below the ratio and
-# keep the classic AllPairs join.
+# indexing when the single-gram match volume (Σ C(c_gid, 2) over prefix
+# posting counts — the quantity that explodes on saturated gram spaces)
+# exceeds this multiple of the pair-key posting volume (Σ C(L_pref, 2)
+# per doc, linear in the corpus). Both volumes are measured EXACTLY
+# from the prefix relation (r7 — the r6 Σ(ρ·df)² model was 257× over
+# on Zipfian df, see _ngram_scheme_probe). The ratio folds in the
+# measured per-row cost difference (pair-key rows are ~4-6x dearer:
+# wider keys, C(L,2) posting build, bigger sort): same-session
+# calibration on the uniform corpus — sf1.0 ratio 1.8, single wins
+# 2.4x (17-22 s vs 43-62 s); sf3.0 ratio ~5, statistically tied
+# (90-142 s vs 100 s box spread); sf10 ratio ~13, single's 2.7G match
+# rows are prohibitive while pairkey completes (SCALING.md r6).
+# Crossover set between sf3 and sf10. Natural corpora (mean df ~1,
+# sf1.0-zipf measured ratio 0.002) sit far below and keep the classic
+# AllPairs join.
 NGRAM_PAIRKEY_COST_RATIO = 8.0
 
 
@@ -492,21 +495,30 @@ def _ngram_cand_pairkey(
 
 
 def _ngram_scheme_probe(
-    gram_ids: DataFrame, n_docs: int, p: int, q: int
+    gram_ids: DataFrame, prefix: DataFrame, n_docs: int, p: int, q: int
 ) -> tuple[str, dict]:
-    """One aggregate over the (gram, df, gid) relation → (scheme, stats).
+    """Dispatch probe: EXACT join volumes of both candidate schemes,
+    measured from the (already materialized) prefix relation, plus the
+    gid collision audit over gram_ids.
 
-    Estimates BOTH candidate schemes' join volumes and runs the gid
-    collision audit in the same pass. est_single_rows = Σ(ρ·df)²/2 is
-    the per-gid match-row count after the doc_a < doc_b half, with ρ the
-    mean prefix fraction (sf1.0 uniform check: est 35M vs 26.7M
-    measured; sf3.0 est 312M vs 240M); est_pairkey_postings =
-    n·C(L̄_pref, 2) is linear in the corpus. Extracted so the Zipfian
-    validation (tools/ngram_dispatch_probe.py) can interrogate the exact
-    production decision."""
+      single_rows  = Σ_gid C(c_gid, 2)  — the single-gram join's exact
+                     match-row count (c = prefix posting count per gid)
+      pk_postings  = Σ_doc C(L_pref, 2) — the pair-key index's exact
+                     posting count
+
+    r6 MODELED single_rows as Σ(ρ·df)²/2 (uniform prefix survival).
+    The r7 Zipfian validation measured that model 257× OVER on
+    heavy-tailed df (sf1.0-zipf: est 13.4M vs 52,293 measured): the
+    head grams that dominate Σdf² are ranked commonest-LAST and hence
+    systematically excluded from the rarest-first prefixes, so uniform
+    survival is exactly wrong where it matters, and on a large enough
+    natural corpus the inflated estimate would have mispicked pairkey.
+    The model is gone: both volumes are one linear aggregate each over
+    the prefix relation every scheme consumes anyway (on the uniform
+    corpus the exact ratio at sf1.0 is 1.82 vs the model's 1.76, so the
+    NGRAM_PAIRKEY_COST_RATIO=8 calibration carries over unchanged)."""
     st = gram_ids.agg(
         F.sum("df").alias("postings"),
-        F.sum(F.col("df") * F.col("df")).alias("df_sq"),
         F.count("*").alias("n_grams"),
         F.countDistinct("gid").alias("n_gids"),
     ).first()
@@ -515,26 +527,26 @@ def _ngram_scheme_probe(
             f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
             f"{st.n_gids} distinct gids; rerun with a salted hash"
         )
-    mean_len = st.postings / max(1, n_docs)
-    # mean extended-prefix length and its fraction of the doc
-    pref_len = max(1.0, mean_len - (p / q) * mean_len + 2)
-    rho = min(1.0, pref_len / max(1.0, mean_len))
-    est_single_rows = rho * rho * st.df_sq / 2
-    est_pairkey_postings = n_docs * pref_len * (pref_len - 1) / 2
+    vol = prefix.groupBy("gid").agg(F.count("*").alias("c")).agg(
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("single_rows")
+    ).first()
+    pkv = prefix.groupBy("doc_id").agg(F.count("*").alias("lp")).agg(
+        F.sum(F.expr("lp * (lp - 1) DIV 2")).alias("pk_postings")
+    ).first()
+    single_rows = int(vol.single_rows or 0)
+    pk_postings = int(pkv.pk_postings or 0)
     scheme = (
         "pairkey"
-        if est_single_rows > NGRAM_PAIRKEY_COST_RATIO * max(1.0, est_pairkey_postings)
+        if single_rows > NGRAM_PAIRKEY_COST_RATIO * max(1, pk_postings)
         else "single"
     )
     return scheme, {
         "n_grams": st.n_grams,
         "postings": st.postings,
         "mean_df": st.postings / max(1, st.n_grams),
-        "mean_len": mean_len,
-        "pref_len": pref_len,
-        "est_single_rows": est_single_rows,
-        "est_pairkey_postings": est_pairkey_postings,
-        "est_ratio": est_single_rows / max(1.0, est_pairkey_postings),
+        "single_rows": single_rows,
+        "pk_postings": pk_postings,
+        "ratio": single_rows / max(1, pk_postings),
     }
 
 
@@ -592,10 +604,17 @@ def _ngram_prefix_relations(
     )
     # ℓ=2 extended prefix: length = n - ceil(t*n) + 2, ceil via integer
     # div (one gram longer than the classic probe prefix, enabling the
-    # two-matches-in-prefix requirement both schemes rely on)
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
-    ).select("doc_id", "gid", "n", "rn")
+    # two-matches-in-prefix requirement both schemes rely on).
+    # Eagerly checkpointed: the dispatch probe aggregates it twice and
+    # the chosen candidate scheme consumes it once or twice more — the
+    # rank window must run ONCE.
+    prefix = (
+        ranked.filter(
+            F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
+        )
+        .select("doc_id", "gid", "n", "rn")
+        .localCheckpoint(eager=True)
+    )
     return gram_ids, gram_sets, prefix, n_docs
 
 
@@ -611,12 +630,12 @@ def _ngram_jaccard_pairs(
     p, q = 3, 10
     t = p / q
     gram_ids, gram_sets, prefix, n_docs = _ngram_prefix_relations(spark, sf_dir, p, q)
-    # one aggregate over the checkpointed gram relation serves both the
-    # scheme-dispatch volume probe AND the gid collision audit (the
-    # audit's failure mode — two distinct grams hashing to one gid —
-    # would make array_intersect overcount, so it must hard-fail).
-    # Saturation is a CONTENT property — corpus size alone cannot see it.
-    scheme, _probe = _ngram_scheme_probe(gram_ids, n_docs, p, q)
+    # the dispatch probe measures both schemes' EXACT join volumes from
+    # the checkpointed prefix relation and runs the gid collision audit
+    # (two distinct grams hashing to one gid would make array_intersect
+    # overcount, so it must hard-fail). Saturation is a CONTENT property
+    # — corpus size alone cannot see it.
+    scheme, _probe = _ngram_scheme_probe(gram_ids, prefix, n_docs, p, q)
     if force_scheme is not None:
         scheme = force_scheme
     from data_ingestion_system_spark.tables import _should_pin
@@ -693,14 +712,16 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, same corpus).
 
     The physical candidate scheme is CONTENT-DISPATCHED by a volume
-    probe (one aggregate over the gram-df relation): when the estimated
-    single-gram match volume Σ(ρ·df)²/2 exceeds
-    `NGRAM_PAIRKEY_COST_RATIO` × the estimated pair-key posting volume
-    n·C(L̄,2), the saturated space switches to pair-key indexing (join
-    on gram PAIRS — `_ngram_cand_pairkey`), whose postings stay linear
-    in the corpus while the single-gram match volume grows
-    Θ(Σ df_prefix²) = Θ(sf²) here. Natural corpora (low df) sit far
-    below the ratio and run the classic single-gram prefix join. All filters in both schemes are exact — the oracle stays the
+    probe (`_ngram_scheme_probe`): when the EXACT single-gram match
+    volume Σ C(c_gid, 2), measured from the checkpointed prefix
+    relation, exceeds `NGRAM_PAIRKEY_COST_RATIO` × the exact pair-key
+    posting volume Σ C(L_pref, 2), the saturated space switches to
+    pair-key indexing (join on gram PAIRS — `_ngram_cand_pairkey`),
+    whose postings stay linear in the corpus while the single-gram
+    match volume grows Θ(Σ df_prefix²) = Θ(sf²) here. Natural corpora
+    (low df; validated on the Zipf(1.07) 50k-word family) sit orders of
+    magnitude below the ratio and run the classic single-gram prefix
+    join. All filters in both schemes are exact — the oracle stays the
     plain all-pairs formulation, and
     tests/test_ngram_prefix_recall.py pins both schemes against a
     literal brute force. Exact Jaccard is then verified on candidates
