@@ -88,6 +88,11 @@ HEADLINE = [
     # dgemm per fine cell) — the pair-term scale path, tracked alongside
     # its relational sibling (sf10: hier 200 s, blas 32 s, same answer)
     "semantic_dedup_blas",
+    # round-7 addition: the exact equi-depth histogram, size-dispatched
+    # this round to the distributed rank scheme (range-repartition +
+    # boundary tuples) — at sf0.1 it runs the no-global-sort plan, the
+    # shape worth tracking alongside its sketch-refine approx twin
+    "equi_depth_buckets",
 ]
 
 REPS = 3  # median-of-3 per query

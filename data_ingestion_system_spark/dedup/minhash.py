@@ -358,7 +358,7 @@ def _ngram_cand_pairkey(
     prefix: DataFrame, p: int, q: int, big: bool = True
 ) -> DataFrame:
     """Pair-key candidate join — the saturated-corpus scheme: index every
-    doc's C(prefix, 2) gram PAIRS and join on the packed pair key.
+    doc's C(prefix, 2) gram PAIRS and join on the (g1, g2) gid pair.
 
     Why: a qualifying pair with alpha >= 2 shares >= 2 extended-prefix
     grams (ℓ-prefix lemma), hence shares the pair key of those two grams
@@ -404,15 +404,16 @@ def _ngram_cand_pairkey(
     ).select(
         "doc_id",
         "n",
-        # pair key packed to ONE long for the shuffle/sort (halves the
-        # join key width vs (g1, g2)); g1/g2 ride along and are
-        # equality-checked in the join, so an xxhash64 collision between
-        # DIFFERENT gram pairs cannot add a row — without that check a
-        # collision row's rn2 could inflate max(ia/jb) while the
-        # recovered k stays below the next triangular number, tightening
-        # k + min(na-ia, nb-jb) enough to prune a qualifying pair.
-        # ~2^-64-scale, but this operator is documented EXACT.
-        F.xxhash64("e.g1", "e.g2").alias("pk"),
+        # the join key is the RAW gid pair (g1, g2) — exact by
+        # construction. r6 packed it to one xxhash64 long, which leaves
+        # a ~2^-64 exactness hole (a collision row's rn2 can inflate
+        # max(ia/jb) while the recovered k stays below the next
+        # triangular number, tightening k + min(na-ia, nb-jb) enough to
+        # prune a qualifying pair); r7 first tried pk + carried (g1,g2)
+        # equality columns, whose +2 longs/row (~+50% posting width)
+        # OOM'd the sf10 sort-merge join that the r6 width completed.
+        # Two raw longs (+1 field vs r6) is the measured middle: exact,
+        # and the sf10 run completes (SCALING.md r7).
         F.col("e.g1").alias("g1"),
         F.col("e.g2").alias("g2"),
         "e.rn2",
@@ -431,11 +432,7 @@ def _ngram_cand_pairkey(
     alpha = F.expr(f"({p} * (a.n + b.n) + {p + q} - 1) DIV {p + q}")
     pairm = a.join(
         b,
-        (F.col("a.pk") == F.col("b.pk"))
-        # collision guard (see pk comment): equi-key stays the single
-        # long, g1/g2 equality runs as a post-match filter on the sorted
-        # streams — no extra shuffle width beyond the two carried longs
-        & (F.col("a.g1") == F.col("b.g1"))
+        (F.col("a.g1") == F.col("b.g1"))
         & (F.col("a.g2") == F.col("b.g2"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (q * F.col("a.n") >= p * F.col("b.n"))
