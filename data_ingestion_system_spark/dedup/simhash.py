@@ -298,19 +298,24 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | No
             F.coalesce(F.col("ka"), F.lit(1)).alias("ka"),
             F.coalesce(F.col("kb"), F.lit(1)).alias("kb"),
         )
+        # NESTED explodes, not one sequence(0, ka*kb - 1): the flat grid
+        # materializes a ka·kb-element array in ONE row buffer before
+        # exploding — for a hot×hot value pair that is k² ints in memory
+        # (quadratic in corpus/CAP), while each nested array is bounded
+        # by a single k
         .select(
             "va",
             "vb",
             "hamming",
-            "ka",
-            F.explode(F.expr("sequence(0, ka * kb - 1)")).alias("s"),
+            "kb",
+            F.explode(F.expr("sequence(0, ka - 1)")).alias("sa"),
         )
         .select(
             "va",
             "vb",
             "hamming",
-            F.expr("s % ka").cast("int").alias("sa"),
-            F.expr("s div ka").cast("int").alias("sb"),
+            "sa",
+            F.explode(F.expr("sequence(0, kb - 1)")).alias("sb"),
         ),
         "va",
         "sa",
@@ -350,16 +355,20 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | No
     # (i < j) sub-bucket grid; each unordered doc pair lands in exactly
     # one (i, j) cell, so the three branches are disjoint and the union
     # needs no pair-level DISTINCT
-    offgrid = hot.select(
-        F.col("simhash").alias("v"),
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, k - 2),"
-                " i -> transform(sequence(i + 1, k - 1),"
-                " j -> named_struct('sa', i, 'sb', j))))"
-            )
-        ).alias("g"),
-    ).select("v", F.col("g.sa").alias("sa"), F.col("g.sb").alias("sb"))
+    offgrid = (
+        hot.select(
+            F.col("simhash").alias("v"),
+            "k",
+            # nested explodes again — a flattened C(k, 2) struct array
+            # would buffer quadratically for a very hot value
+            F.explode(F.expr("sequence(0, k - 2)")).alias("sa"),
+        )
+        .select(
+            "v",
+            "sa",
+            F.explode(F.expr("sequence(sa + 1, k - 1)")).alias("sb"),
+        )
+    )
     same_off = (
         offgrid.join(
             x,
