@@ -111,3 +111,48 @@ def test_salted_recovery_hot_values_exact(spark, monkeypatch):
     # no duplicates either (exactly one row per unordered pair)
     n_rows = sh.simhash_pairs_multiblock_value_collapsed(hashes).count()
     assert n_rows == len(expected)
+
+
+def test_salted_recovery_randomized_fuzz(spark, monkeypatch):
+    """Randomized differential fuzz of the salted multiblock recovery:
+    seeded random fingerprint multisets (some values deliberately hot
+    relative to a tiny SALT_CAP, some Hamming-close value pairs) vs a
+    literal brute force over the doc-level blocking semantics. Catches
+    grid-enumeration bugs (a missed (sa, sb) cell silently drops pairs)
+    that a hand-built corpus might not hit."""
+    import random
+
+    from data_ingestion_system_spark.dedup import simhash as sh
+
+    monkeypatch.setattr(sh, "SALT_CAP", 3)
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        base_vals = [rng.getrandbits(32) for _ in range(8)]
+        vals = []
+        for v in base_vals:
+            vals.append(v)
+            # a Hamming-1..3 neighbor, and sometimes a far value
+            for _ in range(rng.randint(0, 2)):
+                w = v
+                for _ in range(rng.randint(1, 3)):
+                    w ^= 1 << rng.randrange(32)
+                vals.append(w)
+        rows = []
+        doc = 0
+        for v in vals:
+            for _ in range(rng.randint(1, 11)):  # some values hot vs CAP=3
+                rows.append((doc, v))
+                doc += 1
+        hashes = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in sh.simhash_pairs_multiblock_value_collapsed(hashes).collect()
+        }
+        fps = dict(rows)
+        expected = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a, b in itertools.combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= sh.HAMMING_MAX
+        }
+        assert got == expected, f"seed {seed}: {len(got)} vs {len(expected)}"
+        assert sh.simhash_pairs_multiblock_value_collapsed(hashes).count() == len(expected), seed

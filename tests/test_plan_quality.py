@@ -702,3 +702,62 @@ def test_pair_expansion_joins_pin_their_width(spark, sf_dir):
     )
     assert count_pinned_repartitions(_fine_cell_pairs(fassigned)) >= 1
     assert count_pinned_repartitions(_fine_cell_pairs(fassigned, n_rows=PIN_MIN_ROWS)) >= 1
+
+
+def test_equi_depth_distributed_exact_under_heavy_ties(spark, tmp_path):
+    """Adversarial input for the distributed rank scheme: only 3 distinct
+    prices over 40k rows, so every bucket boundary lands mid-tie (the
+    tuple tiebreakers decide), and the range partitioner sees a 3-value
+    key distribution (most partitions empty or single-value). The
+    distributed answer must still equal the global NTILE window's."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from data_ingestion_system_spark.functions.scalar import round_port
+    from data_ingestion_system_spark.operators.statistics import (
+        N_DEPTH_BUCKETS,
+        _equi_depth_exact_distributed,
+    )
+    from data_ingestion_system_spark.tables import load_table
+
+    n = 40_000
+    rng = np.random.default_rng(5)
+    prices = np.array([10.0, 10.0, 10.0, 20.5, 99.9])[rng.integers(0, 5, n)]
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(rng.permutation(n).astype("int64")),
+            "l_partkey": pa.array(np.zeros(n, dtype="int64")),
+            "l_suppkey": pa.array(np.zeros(n, dtype="int64")),
+            "l_linenumber": pa.array(np.ones(n, dtype="int32")),
+            "l_quantity": np.ones(n),
+            "l_extendedprice": prices,
+            "l_discount": np.zeros(n),
+            "l_tax": np.zeros(n),
+            "l_returnflag": pa.array(["A"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array(
+                np.full(n, np.datetime64("2024-01-01", "us"))
+            ),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    li = load_table(spark, str(tmp_path), "lineitem")
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    direct = (
+        li.select("l_extendedprice", F.ntile(N_DEPTH_BUCKETS).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            round_port(F.min("l_extendedprice"), 6).alias("lo"),
+            round_port(F.max("l_extendedprice"), 6).alias("hi"),
+            round_port(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    dist = _equi_depth_exact_distributed(li).collect()
+    assert [r.asDict() for r in direct] == [r.asDict() for r in dist]
