@@ -30,8 +30,6 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from data_ingestion_system_spark.session import get_spark  # noqa: E402
 from data_ingestion_system_spark.streaming.ingest import (  # noqa: E402
     IngestPaths,
