@@ -1,0 +1,91 @@
+"""Run named catalog queries against an arbitrary sf directory and print
+one JSON line of wall timings — the generic scale-probe harness the
+per-round SCALING.md sweeps have been re-implementing ad hoc.
+
+Usage:
+    python tools/query_probe.py SF_DIR QUERY [QUERY ...] [--reps N]
+    python tools/query_probe.py SF_DIR --all           # whole catalog
+
+Timing convention matches bench.py: queries whose DEFINED answer is
+pair-scale (bench.OUTPUT_BOUND) execute via .count() — the full plan
+runs engine-side and the count doubles as the answer row count — while
+everything else is .collect()ed. With --reps N the per-query value is
+the median of N runs (default 1: scale probes are usually one-shot).
+The ANN index cache is warmed first (untimed) whenever an `ann_*` query
+is requested, mirroring bench.py's serving-vs-training split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from bench import OUTPUT_BOUND  # noqa: E402
+from data_ingestion_system_spark.registry import load_all  # noqa: E402
+from data_ingestion_system_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    reps = 1
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    if not args:
+        sys.exit(__doc__)
+    sf_dir = args[0]
+    registry = load_all()
+    names = list(registry) if "--all" in argv else args[1:]
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    spark = get_spark(app_name="dis-spark-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_sec = None
+    if any(n.startswith("ann_") for n in names):
+        from data_ingestion_system_spark.similarity.ivf import warm_index_cache
+
+        t0 = time.perf_counter()
+        warm_index_cache(spark, sf_dir)
+        warm_sec = round(time.perf_counter() - t0, 3)
+    out: dict[str, dict] = {}
+    for name in names:
+        sink_measured = name in OUTPUT_BOUND
+        walls, rows = [], None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = registry[name].spark(spark, sf_dir)
+            rows = df.count() if sink_measured else len(df.collect())
+            walls.append(round(time.perf_counter() - t0, 3))
+        out[name] = {
+            "sec": round(statistics.median(walls), 3),
+            "rows": rows,
+            "reps": walls if reps > 1 else None,
+            "sink_measured": sink_measured or None,
+        }
+        print(f"  {name}: {out[name]['sec']} s, {rows} rows", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "ann_warm_sec": warm_sec,
+                "queries": {
+                    k: {kk: vv for kk, vv in v.items() if vv is not None}
+                    for k, v in out.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
