@@ -540,7 +540,10 @@ def _equi_depth_exact_distributed(li: DataFrame) -> DataFrame:
     """EXACT global NTILE without a global sort.
 
     1. Range-repartition on the NTILE total order and eagerly
-       localCheckpoint: partition p then holds a contiguous key range,
+       bulk_checkpoint (DISK_ONLY — the relation is corpus-sized and
+       its consumers are sequential scans; MEMORY_AND_DISK storage
+       starved the downstream aggregates at 180M rows):
+       partition p then holds a contiguous key range,
        and RangePartitioning assigns ascending ranges to ascending
        partition ids (load-bearing — per-partition counts in pid order
        ARE the global rank offsets). The checkpoint freezes the sampled
@@ -560,15 +563,17 @@ def _equi_depth_exact_distributed(li: DataFrame) -> DataFrame:
     Driver-held state: one count per partition + 9 tuples — metadata
     scale at any corpus size. The expensive operations are one range
     shuffle and two scans of the checkpointed relation."""
-    from data_ingestion_system_spark.tables import _declared_reduce_width
+    from data_ingestion_system_spark.tables import _declared_reduce_width, bulk_checkpoint
 
     spark = li.sparkSession
     keys = list(_EQUI_DEPTH_KEYS)
     width = _declared_reduce_width(spark)
-    rp = (
-        li.select(*keys)
-        .repartitionByRange(width, *[F.col(k) for k in keys])
-        .localCheckpoint(eager=True)
+    # bulk_checkpoint (DISK_ONLY), not plain localCheckpoint: this is the
+    # largest checkpointed relation in the codebase (every fact row), and
+    # at 180M rows its MEMORY_AND_DISK blocks starved the very next hash
+    # aggregate of execution memory (tables.bulk_checkpoint docstring)
+    rp = bulk_checkpoint(
+        li.select(*keys).repartitionByRange(width, *[F.col(k) for k in keys])
     )
     pc = {
         r.pid: r.cnt

@@ -241,6 +241,28 @@ def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
+def bulk_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint a CORPUS-SIZED relation to DISK_ONLY.
+
+    Scale-failure class #5 (found at sf30, 180M rows, 32 task threads):
+    `localCheckpoint`'s default MEMORY_AND_DISK storage competes with
+    execution memory in the unified pool — an eager checkpoint of a
+    corpus-sized relation fills the storage half, and the very next
+    wide aggregate over it dies with UNABLE_TO_ACQUIRE_MEMORY while
+    trying to allocate its first 256 KB hash map (32 concurrent tasks
+    × near-zero evictable execution share). DISK_ONLY reserves nothing
+    from the pool; the consumers of a bulk checkpoint are sequential
+    scans, which read back at disk bandwidth exactly like the parquet
+    scan that produced the relation. Use this for relations that grow
+    with the corpus (fact-table keys, per-token/per-gram expansions);
+    plain `localCheckpoint` remains right for bounded relations
+    (centroids, codebooks, boundary tuples) where memory residency is
+    the point."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def _declared_reduce_width(spark: SparkSession) -> int:
     """`spark.sql.shuffle.partitions` as an int; managed platforms set it
     to "auto", where the cluster's default parallelism is the honest
