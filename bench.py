@@ -139,7 +139,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     collect_sec: dict[str, float] = {}
+    from data_ingestion_system_spark.tables import release_session_checkpoints
+
     for name in HEADLINE:
+        # free finished queries' checkpoint blocks so no query is
+        # measured under another's leftover storage pressure
+        # (tables.release_session_checkpoints — scale-failure class #6)
+        release_session_checkpoints(spark)
         sink_measured = name in OUTPUT_BOUND
         reps = []
         for _ in range(REPS):

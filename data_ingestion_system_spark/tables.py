@@ -263,6 +263,28 @@ def bulk_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
 
 
+def release_session_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD in the session; returns the count.
+
+    Scale-failure class #6 (found at sf30 in a sequential multi-query
+    session): localCheckpoint blocks belong to the SESSION, not the
+    query — nothing unpersists them when a query's DataFrames go out of
+    scope, because ContextCleaner is weak-reference-driven and a JVM
+    under storage pressure does not reliably GC the handles in time.
+    Query 4 of a sequential sweep died of Java-heap OOM executing a
+    pipeline that runs standalone in 90 s: three finished queries'
+    checkpoint blocks were still pinning the heap. Call this BETWEEN
+    queries in any long-lived session (sweep, notebook, server); never
+    during one — it destroys in-flight checkpoints. Bounded driver
+    caches (ANN index rows, broadcast handles) are not persistent RDDs
+    and survive."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    return len(rdds)
+
+
 def _declared_reduce_width(spark: SparkSession) -> int:
     """`spark.sql.shuffle.partitions` as an int; managed platforms set it
     to "auto", where the cluster's default parallelism is the honest

@@ -1,0 +1,58 @@
+"""Session-lifetime memory hygiene (tables.py): the two sf30 findings.
+
+Class #5 — corpus-sized checkpoints must store DISK_ONLY so they reserve
+nothing from the unified pool (`bulk_checkpoint`); class #6 — finished
+queries' checkpoint blocks must be releasable between queries in a
+long-lived session (`release_session_checkpoints`), because nothing else
+unpersists them and four sequential sf30 queries OOM'd a heap whose
+every single query runs standalone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark.registry import load_all
+from data_ingestion_system_spark.tables import (
+    bulk_checkpoint,
+    load_table,
+    release_session_checkpoints,
+)
+
+
+def test_bulk_checkpoint_is_disk_only_and_lossless(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    cp = bulk_checkpoint(li.repartitionByRange(8, "l_extendedprice"))
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    new = [jmap[k] for k in set(jmap.keys()) - before]
+    assert new, "bulk_checkpoint persisted nothing"
+    for rdd in new:  # (df.rdd would wrap a fresh conversion RDD — level NONE)
+        lvl = rdd.getStorageLevel()
+        assert lvl.useDisk() and not lvl.useMemory(), lvl.description()
+    assert cp.count() == li.count()
+    # the checkpoint freezes the range layout: partition ids are stable
+    # across two reads (the property the equi-depth rank scheme rests on)
+    a = cp.select(F.spark_partition_id().alias("p"), "l_orderkey").collect()
+    b = cp.select(F.spark_partition_id().alias("p"), "l_orderkey").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_release_session_checkpoints_frees_and_queries_rerun(spark, sf_dir):
+    registry = load_all()
+    before = registry["dedup_clusters"].spark(spark, sf_dir).collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(jmap) > 0  # the pipeline checkpointed something
+    n = release_session_checkpoints(spark)
+    assert n == len(jmap)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # a fresh run rebuilds its own checkpoints and returns the same rows
+    after = registry["dedup_clusters"].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_release_is_idempotent_on_empty_session(spark):
+    release_session_checkpoints(spark)
+    assert release_session_checkpoints(spark) == 0

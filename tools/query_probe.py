@@ -30,6 +30,7 @@ if _REPO not in sys.path:
 from bench import OUTPUT_BOUND  # noqa: E402
 from data_ingestion_system_spark.registry import load_all  # noqa: E402
 from data_ingestion_system_spark.session import get_spark  # noqa: E402
+from data_ingestion_system_spark.tables import release_session_checkpoints  # noqa: E402
 
 
 def main() -> None:
@@ -59,6 +60,10 @@ def main() -> None:
         warm_sec = round(time.perf_counter() - t0, 3)
     out: dict[str, dict] = {}
     for name in names:
+        # between-queries hygiene (tables.release_session_checkpoints):
+        # a sequential sweep otherwise accumulates every finished
+        # query's checkpoint blocks until the heap dies (class #6)
+        release_session_checkpoints(spark)
         sink_measured = name in OUTPUT_BOUND
         walls, rows = [], None
         for _ in range(reps):
