@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table, pin_join_width
+from data_ingestion_system_spark.tables import (
+    bulk_checkpoint,
+    fan_out,
+    load_table,
+    pin_join_width,
+)
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -569,7 +574,11 @@ def _ngram_prefix_relations(
             ).alias("gram"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # 3 consumers: gram-id join, df counts, df probe
+        # 3 consumers: gram-id join, df counts, df probe. bulk_checkpoint
+        # (DISK_ONLY): corpus-sized with 3-word strings — its
+        # MEMORY_AND_DISK blocks were party to the sf30 heap OOM (class
+        # #5, tables.bulk_checkpoint)
+        .transform(lambda df: bulk_checkpoint(df, eager=False))
     )
     # integer gram ids: the prefix join and the verification intersects then
     # run on longs, not 3-word strings (ids are internal — never in output).
@@ -584,8 +593,9 @@ def _ngram_prefix_relations(
         .agg(F.count("*").alias("df"))
         .select("gram", "df", F.xxhash64("gram").alias("gid"))
     )
-    g2 = grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram").localCheckpoint(
-        eager=False
+    # corpus-sized like grams → DISK_ONLY
+    g2 = bulk_checkpoint(
+        grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram"), eager=False
     )
     # per-doc gram set as one sorted id array — verification is an
     # array_intersect projection over candidates, never an exploded re-join
@@ -604,13 +614,12 @@ def _ngram_prefix_relations(
     # two-matches-in-prefix requirement both schemes rely on).
     # Eagerly checkpointed: the dispatch probe aggregates it twice and
     # the chosen candidate scheme consumes it once or twice more — the
-    # rank window must run ONCE.
-    prefix = (
+    # rank window must run ONCE. DISK_ONLY like grams/g2: prefix is
+    # corpus-sized (4 longs per surviving gram posting).
+    prefix = bulk_checkpoint(
         ranked.filter(
             F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
-        )
-        .select("doc_id", "gid", "n", "rn")
-        .localCheckpoint(eager=True)
+        ).select("doc_id", "gid", "n", "rn")
     )
     return gram_ids, gram_sets, prefix, n_docs
 

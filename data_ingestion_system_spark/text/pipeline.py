@@ -159,7 +159,10 @@ def stage_clf_keep_ids(
 def stage_contaminated(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """Stage 4: doc_ids whose n-gram overlap with the eval slice crosses
     the contamination threshold."""
-    grams = doc_ngrams(docs, toks=toks).localCheckpoint(eager=False)
+    from data_ingestion_system_spark.tables import bulk_checkpoint
+
+    # corpus-sized (every doc's contamination n-grams) → DISK_ONLY
+    grams = bulk_checkpoint(doc_ngrams(docs, toks=toks), eager=False)
     is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
     train_grams = grams.filter(~is_bench)
@@ -185,7 +188,10 @@ def stage_dup_drop(
     """Stage 3: doc_ids dropped as non-canonical members of near-dup
     clusters (closure over the FULL corpus — a doc whose cluster canon
     is an eval doc is dropped, same as the SQL)."""
-    tokens = token_sets(docs, toks=toks).localCheckpoint(eager=False)
+    from data_ingestion_system_spark.tables import bulk_checkpoint
+
+    # corpus-sized (every doc's sorted shingle array) → DISK_ONLY
+    tokens = bulk_checkpoint(token_sets(docs, toks=toks), eager=False)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
@@ -196,6 +202,16 @@ def stage_dup_drop(
     return comp.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
 
 
+# Above this corpus size the four stage DAGs materialize serially instead
+# of in a 4-thread pool: each corpus-scale stage saturates the executors
+# alone, so concurrent submission adds no throughput — it multiplies the
+# peak working set (4 concurrent corpus DAGs OOM'd the sf30 heap while
+# every stage runs comfortably standalone). Floor chosen at the sf1.0
+# corpus size (50k docs ≪ 200k), where the parallel plan's latency win is
+# measured and memory is far from pressure.
+PIPELINE_PARALLEL_MAX_DOCS = 200_000
+
+
 @query("corpus_prep_pipeline", oracle=_ORACLE, survey="EXT-pipeline")
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training-corpus yield: candidate docs (outside the
@@ -203,50 +219,74 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks and tokens emitted."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics — picks the verify-join dispatch
-    # Stage materialization is PARALLEL: the four filter stages are
-    # independent DAGs, and the dup stage's serial chain (shingles →
-    # signatures → banded pairs → verify → iterative closure) is the
-    # critical path — running it in its own thread overlaps it with the
-    # quality/classifier/contamination passes instead of queueing them
-    # behind it (Spark schedules concurrently-submitted jobs across the
-    # same executors; on a cluster this is straight utilization).
+    # Stage materialization is SIZE-DISPATCHED (§4d two-physical-plans):
+    #
+    # Below PIPELINE_PARALLEL_MAX_DOCS the four filter stages materialize
+    # in PARALLEL — they are independent DAGs, the dup stage's serial
+    # chain (shingles → signatures → banded pairs → verify → iterative
+    # closure) is the critical path, and overlapping it with the
+    # quality/classifier/contamination passes (Spark schedules
+    # concurrently-submitted jobs across the same executors) is pure
+    # latency win while every working set is small. The dup stage
+    # tokenizes independently there so it starts at t=0 instead of
+    # behind the toks checkpoint.
+    #
+    # Above the floor the stages run SERIALLY and the dup stage REUSES
+    # the shared token relation: each corpus-scale stage saturates the
+    # executors by itself, so concurrency buys no throughput — it only
+    # multiplies the peak working set, which is exactly how the sf30 run
+    # (1.5M docs, 4 concurrent corpus DAGs in one heap) died of
+    # Java-heap OOM while every stage completes comfortably alone.
     #
     # Within the token-based stages the corpus is tokenized ONCE
     # (fan_out + split, checkpointed) and the unigram explode+count is
     # shared between the repetition filters and the classifier's
     # feature stream (the round-3 bench showed the classifier stage
-    # re-tokenizing what stage 1 had already tokenized). The dup stage
-    # tokenizes independently so it can start at t=0 instead of behind
-    # the toks checkpoint.
+    # re-tokenizing what stage 1 had already tokenized).
     from concurrent.futures import ThreadPoolExecutor
 
-    from data_ingestion_system_spark.tables import fan_out
+    from data_ingestion_system_spark.tables import bulk_checkpoint, fan_out
     from data_ingestion_system_spark.text.repetition import word_counts
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs, n_docs=n_docs)))
-
-        toks = _ckpt(
+    def _toks() -> DataFrame:
+        # the token relation is CORPUS-SIZED (every doc's split array) —
+        # MEMORY_AND_DISK blocks here starved the sf30 heap (class #5,
+        # tables.bulk_checkpoint); the per-stage outputs are doc-id
+        # lists / vocabulary aggregates and stay memory-resident
+        return bulk_checkpoint(
             fan_out(docs, "doc_id").select(
                 "doc_id", "source", F.split("text", " ").alias("ts")
             )
         )
-        wcounts = _ckpt(word_counts(toks, "source"))
-        q_fut = pool.submit(
-            lambda: _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
-        )
-        clf_fut = pool.submit(
-            lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
-        )
-        contam_fut = pool.submit(lambda: _ckpt(stage_contaminated(docs, toks=toks)))
 
-        quality_ids = q_fut.result()
-        clf_keep_ids = clf_fut.result()
-        contaminated = contam_fut.result()
-        dup_drop = dup_fut.result()
+    if n_docs <= PIPELINE_PARALLEL_MAX_DOCS:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs, n_docs=n_docs)))
+            toks = _toks()
+            wcounts = _ckpt(word_counts(toks, "source"))
+            q_fut = pool.submit(
+                lambda: _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
+            )
+            clf_fut = pool.submit(
+                lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
+            )
+            contam_fut = pool.submit(lambda: _ckpt(stage_contaminated(docs, toks=toks)))
+
+            quality_ids = q_fut.result()
+            clf_keep_ids = clf_fut.result()
+            contaminated = contam_fut.result()
+            dup_drop = dup_fut.result()
+    else:
+        toks = _toks()
+        wcounts = _ckpt(word_counts(toks, "source"))
+        quality_ids = _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
+        clf_keep_ids = _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
+        contaminated = _ckpt(stage_contaminated(docs, toks=toks))
+        # heaviest stage last, reusing the disk-resident token relation
+        dup_drop = _ckpt(stage_dup_drop(docs, toks=toks, n_docs=n_docs))
 
     candidates = docs.filter(~(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0))
     # materialize the filtered corpus once: survivors feeds the kept
@@ -259,7 +299,9 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clf_keep_ids, "doc_id", "left_semi")
         .join(dup_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-    ).localCheckpoint(eager=False)
+    )
+    # corpus-sized (full text of every kept doc) → DISK_ONLY like toks
+    survivors = bulk_checkpoint(survivors, eager=False)
 
     # stage 5: chunk survivors, report yield per source
     chunks = chunk_documents(survivors.select("doc_id", "text")).join(

@@ -48,3 +48,17 @@ def test_runner_recomputes_torn_and_downstream_missing_stages(spark, sf_dir, tmp
     assert r["skipped"] == ["quality_ids", "clf_keep_ids", "dup_drop", "contaminated"]
     oneshot = load_all()["corpus_prep_pipeline"].spark(spark, sf_dir)
     assert _report_rows(r["report"]) == _report_rows(oneshot)
+
+
+def test_serial_stage_dispatch_equals_parallel(spark, sf_dir, monkeypatch):
+    """The >PIPELINE_PARALLEL_MAX_DOCS plan (serial stage
+    materialization, dup stage reusing the shared token relation) must
+    return the identical yield report as the small-corpus parallel plan
+    — the dispatch changes scheduling and checkpoint storage, never the
+    answer."""
+    from data_ingestion_system_spark.text import pipeline as pl
+
+    par = _report_rows(pl.corpus_prep_pipeline(spark, sf_dir))
+    monkeypatch.setattr(pl, "PIPELINE_PARALLEL_MAX_DOCS", 0)
+    ser = _report_rows(pl.corpus_prep_pipeline(spark, sf_dir))
+    assert par == ser
