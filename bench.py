@@ -270,9 +270,15 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
         ):
             try:
                 with open(cand) as f:
-                    prev_q = json.load(f).get("queries", {})
+                    side = json.load(f)
             except (OSError, ValueError):
                 continue
+            # a round can leave sidecars at several scales (r4 shipped
+            # sf0.1 AND sf1.0) — an sf-mismatched one would make every
+            # ratio ~sf_prev/sf_now and fabricate a huge box factor
+            if sf is not None and side.get("sf") is not None and side["sf"] != sf:
+                continue
+            prev_q = side.get("queries", {})
             if prev_q:
                 break
     if not prev_q:

@@ -41,7 +41,7 @@ from data_ingestion_system_spark.dedup.minhash import (
     verified_pairs,
 )
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import bulk_checkpoint, load_table
 
 MAX_ITERS = 20  # >> observed duplicate-chain diameter; convergence asserted
 
@@ -121,7 +121,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     false` rows are exactly the set a dedup job would drop."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False)
     cand = candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs)
     pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     comp = connected_components(pairs)

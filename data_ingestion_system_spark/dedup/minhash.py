@@ -234,10 +234,11 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pairs with exact Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # parquet footer statistics — no scan
-    # localCheckpoint materializes the shingle sets once for the three
-    # consumers (signatures, verify join ×2) without leaving a lingering
-    # cache entry behind after the query returns
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    # checkpoint materializes the shingle sets once for the three
+    # consumers (signatures, verify join ×2); DISK_ONLY because the
+    # relation is corpus-sized (scale-failure class #5 —
+    # tables.bulk_checkpoint) and its consumers are sequential scans
+    tokens = bulk_checkpoint(token_sets(docs), eager=False)
     sigs = minhash_signatures(tokens)
     cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
     pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
@@ -496,12 +497,26 @@ def _ngram_cand_pairkey(
     return bigcand.union(small).distinct()
 
 
-def _ngram_scheme_probe(
-    gram_ids: DataFrame, prefix: DataFrame, n_docs: int, p: int, q: int
-) -> tuple[str, dict]:
+def _gid_collision_audit(gram_ids: DataFrame) -> None:
+    """Hard-fail if two distinct grams hashed to one xxhash64 gid —
+    array_intersect over gid arrays would overcount shared grams and
+    the operator's EXACT contract would silently break."""
+    st = gram_ids.agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gid").alias("n_gids"),
+    ).first()
+    if st.n_gids != st.n_grams:
+        raise ValueError(
+            f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
+            f"{st.n_gids} distinct gids; rerun with a salted hash"
+        )
+
+
+def _ngram_scheme_probe(gram_ids: DataFrame, prefix: DataFrame) -> tuple[str, dict]:
     """Dispatch probe: EXACT join volumes of both candidate schemes,
-    measured from the (already materialized) prefix relation, plus the
-    gid collision audit over gram_ids.
+    measured from the (already materialized) prefix relation. (The gid
+    collision audit is `_gid_collision_audit` — it runs on every path,
+    including force_scheme pins that skip this probe.)
 
       single_rows  = Σ_gid C(c_gid, 2)  — the single-gram join's exact
                      match-row count (c = prefix posting count per gid)
@@ -522,13 +537,7 @@ def _ngram_scheme_probe(
     st = gram_ids.agg(
         F.sum("df").alias("postings"),
         F.count("*").alias("n_grams"),
-        F.countDistinct("gid").alias("n_gids"),
     ).first()
-    if st.n_gids != st.n_grams:
-        raise ValueError(
-            f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
-            f"{st.n_gids} distinct gids; rerun with a salted hash"
-        )
     vol = prefix.groupBy("gid").agg(F.count("*").alias("c")).agg(
         F.sum(F.expr("c * (c - 1) DIV 2")).alias("single_rows")
     ).first()
@@ -542,10 +551,13 @@ def _ngram_scheme_probe(
         if single_rows > NGRAM_PAIRKEY_COST_RATIO * max(1, pk_postings)
         else "single"
     )
+    # `or 0` guards: F.sum/F.count over an EMPTY gram relation (no doc
+    # has >= 3 tokens) yield NULLs — the query must return its defined
+    # empty result, not TypeError on None arithmetic
     return scheme, {
-        "n_grams": st.n_grams,
-        "postings": st.postings,
-        "mean_df": st.postings / max(1, st.n_grams),
+        "n_grams": int(st.n_grams or 0),
+        "postings": int(st.postings or 0),
+        "mean_df": int(st.postings or 0) / max(1, int(st.n_grams or 0)),
         "single_rows": single_rows,
         "pk_postings": pk_postings,
         "ratio": single_rows / max(1, pk_postings),
@@ -636,14 +648,17 @@ def _ngram_jaccard_pairs(
     p, q = 3, 10
     t = p / q
     gram_ids, gram_sets, prefix, n_docs = _ngram_prefix_relations(spark, sf_dir, p, q)
-    # the dispatch probe measures both schemes' EXACT join volumes from
-    # the checkpointed prefix relation and runs the gid collision audit
-    # (two distinct grams hashing to one gid would make array_intersect
-    # overcount, so it must hard-fail). Saturation is a CONTENT property
-    # — corpus size alone cannot see it.
-    scheme, _probe = _ngram_scheme_probe(gram_ids, prefix, n_docs, p, q)
+    # the gid collision audit must hard-fail on EVERY path (two distinct
+    # grams hashing to one gid would make array_intersect overcount);
+    # the volume probe only runs when it actually decides the scheme —
+    # force_scheme callers (equivalence tests, the dispatch tool's
+    # forced timings) skip its two prefix-relation aggregates.
+    # Saturation is a CONTENT property — corpus size alone cannot see it.
+    _gid_collision_audit(gram_ids)
     if force_scheme is not None:
         scheme = force_scheme
+    else:
+        scheme, _probe = _ngram_scheme_probe(gram_ids, prefix)
     from data_ingestion_system_spark.tables import _should_pin
 
     big = _should_pin(prefix, n_docs)  # n_docs decides (counted above)
@@ -768,7 +783,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a sources²-bounded aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
@@ -822,7 +837,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescans of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False)
     jacs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),

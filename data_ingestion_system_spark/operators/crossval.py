@@ -26,7 +26,7 @@ from data_ingestion_system_spark.functions.scalar import (
     u52_terms_sql,
 )
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import bulk_checkpoint, load_table
 
 K_FOLDS = 5
 FOLD_SEED = 23
@@ -137,7 +137,7 @@ def fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),

@@ -337,11 +337,12 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified_pairs,
     )
     from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+    from data_ingestion_system_spark.tables import bulk_checkpoint
     from data_ingestion_system_spark.tables import load_table as _lt
 
     docs = _lt(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = token_sets(docs).localCheckpoint(eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),

@@ -505,9 +505,11 @@ def equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes); above it `_equi_depth_exact_distributed` computes the SAME
     exact answer with no global sort — range-repartition, per-partition
     counts, the 9 bucket-boundary tuples located by rank, then a
-    codegen 9-comparison bucket assignment. Both plans pinned by
-    tests/test_plan_quality.py; equality by
-    tests/test_sketch_refine.py."""
+    codegen 9-comparison bucket assignment. Both plans pinned and their
+    equality asserted by tests/test_plan_quality.py
+    (test_equi_depth_exact_dispatch_plans,
+    test_equi_depth_distributed_equals_direct, and the heavy-ties
+    variant test_equi_depth_distributed_exact_under_heavy_ties)."""
     li = load_table(spark, sf_dir, "lineitem")
     if li.count() >= EQUI_DEPTH_DIRECT_MAX_ROWS:  # parquet footer count
         return _equi_depth_exact_distributed(li)

@@ -299,8 +299,30 @@ if __name__ == "__main__":
         d = sys.argv[2]
         backfill_manifest(d, float(os.path.basename(d.rstrip("/")).removeprefix("sf")))
     else:
-        args = [a for a in sys.argv[1:] if not a.startswith("--")]
-        mode = "zipf" if "--vocab" in sys.argv and "zipf" in sys.argv else "uniform"
+        # consume --vocab's VALUE as part of the option (both
+        # `--vocab zipf` and `--vocab=zipf`), so it is never mistaken
+        # for the positional out_dir
+        argv = sys.argv[1:]
+        mode = "uniform"
+        args: list[str] = []
+        i = 0
+        while i < len(argv):
+            a = argv[i]
+            if a == "--vocab":
+                if i + 1 >= len(argv):
+                    raise SystemExit("--vocab requires a value (uniform|zipf)")
+                mode = argv[i + 1]
+                i += 2
+            elif a.startswith("--vocab="):
+                mode = a.split("=", 1)[1]
+                i += 1
+            elif a.startswith("--"):
+                raise SystemExit(f"unknown option {a}")
+            else:
+                args.append(a)
+                i += 1
+        if mode not in ("uniform", "zipf"):
+            raise SystemExit(f"--vocab must be uniform or zipf, got {mode!r}")
         sf = float(args[0]) if args else 1.0
         out = args[1] if len(args) > 1 else f"/tmp/sf{args[0] if args else '1.0'}"
         main(sf, out, vocab_mode=mode)

@@ -39,7 +39,7 @@ P, Q = 3, 10
 
 def probe_dir(spark, sf_dir: str, time_schemes: bool = True) -> dict:
     gram_ids, _gram_sets, prefix, n_docs = _ngram_prefix_relations(spark, sf_dir, P, Q)
-    scheme, stats = _ngram_scheme_probe(gram_ids, prefix, n_docs, P, Q)
+    scheme, stats = _ngram_scheme_probe(gram_ids, prefix)
     out = {
         "sf_dir": sf_dir,
         "n_docs": n_docs,
