@@ -142,13 +142,19 @@ def main() -> None:
     from data_ingestion_system_spark.tables import release_session_checkpoints
 
     for name in HEADLINE:
-        # free finished queries' checkpoint blocks so no query is
-        # measured under another's leftover storage pressure
-        # (tables.release_session_checkpoints — scale-failure class #6)
-        release_session_checkpoints(spark)
         sink_measured = name in OUTPUT_BOUND
         reps = []
         for _ in range(REPS):
+            # free finished runs' checkpoint blocks so no rep is
+            # measured under another's leftover storage pressure
+            # (tables.release_session_checkpoints — scale-failure class
+            # #6). Per-REP, not just per-query: an iterative query's
+            # rep 1 otherwise leaves ~20 rounds of component
+            # checkpoints pinned under reps 2-3, and dedup_clusters
+            # reps were observed growing 9.8 -> 12.1 -> 17.8 s at
+            # sf1.0 from exactly that. (The ANN index cache is
+            # driver-row-mirrored, so the release cannot evict it.)
+            release_session_checkpoints(spark)
             t0 = time.perf_counter()
             df = registry[name].spark(spark, sf_dir)
             if sink_measured:

@@ -60,13 +60,16 @@ def main() -> None:
         warm_sec = round(time.perf_counter() - t0, 3)
     out: dict[str, dict] = {}
     for name in names:
-        # between-queries hygiene (tables.release_session_checkpoints):
-        # a sequential sweep otherwise accumulates every finished
-        # query's checkpoint blocks until the heap dies (class #6)
-        release_session_checkpoints(spark)
         sink_measured = name in OUTPUT_BOUND
         walls, rows = [], None
         for _ in range(reps):
+            # between-RUNS hygiene (tables.release_session_checkpoints):
+            # a sequential sweep otherwise accumulates every finished
+            # run's checkpoint blocks until the heap dies (class #6).
+            # Inside the reps loop, not just per query: an iterative
+            # query's earlier reps otherwise pin their component
+            # checkpoints under the later ones and the walls creep up.
+            release_session_checkpoints(spark)
             t0 = time.perf_counter()
             df = registry[name].spark(spark, sf_dir)
             rows = df.count() if sink_measured else len(df.collect())
