@@ -41,7 +41,12 @@ from data_ingestion_system_spark.dedup.minhash import (
     verified_pairs,
 )
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import bulk_checkpoint, load_table
+from data_ingestion_system_spark.tables import (
+    bulk_checkpoint,
+    corpus_checkpoint,
+    corpus_checkpoint_lazy,
+    load_table,
+)
 
 MAX_ITERS = 20  # >> observed duplicate-chain diameter; convergence asserted
 
@@ -57,13 +62,13 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
@@ -78,7 +83,7 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(corpus_checkpoint_lazy)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -121,7 +126,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     false` rows are exactly the set a dedup job would drop."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
     cand = candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs)
     pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     comp = connected_components(pairs)

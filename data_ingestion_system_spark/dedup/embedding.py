@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import pin_join_width
+from data_ingestion_system_spark.tables import corpus_checkpoint, pin_join_width
 from data_ingestion_system_spark.similarity.ann import (
     DIM,
     load_vectors,
@@ -102,7 +102,7 @@ def near_dup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ev",
         F.expr(f"({lsh_bucket_expr('ev', 'instr', 'div', MAX_PLANES)})").alias("bfull"),
         F.sqrt(_dot("ev", "ev")).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    ).transform(corpus_checkpoint)
     n = bucketed.count()
     divisor = _divisor_for(n)
     bucketed = bucketed.withColumn("bucket", F.pmod("bfull", F.lit(divisor)))

@@ -238,7 +238,7 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (signatures, verify join ×2); DISK_ONLY because the
     # relation is corpus-sized (scale-failure class #5 —
     # tables.bulk_checkpoint) and its consumers are sequential scans
-    tokens = bulk_checkpoint(token_sets(docs), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
     sigs = minhash_signatures(tokens)
     cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
     pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
@@ -590,7 +590,7 @@ def _ngram_prefix_relations(
         # (DISK_ONLY): corpus-sized with 3-word strings — its
         # MEMORY_AND_DISK blocks were party to the sf30 heap OOM (class
         # #5, tables.bulk_checkpoint)
-        .transform(lambda df: bulk_checkpoint(df, eager=False))
+        .transform(lambda df: bulk_checkpoint(df, eager=False, n_rows=n_docs))
     )
     # integer gram ids: the prefix join and the verification intersects then
     # run on longs, not 3-word strings (ids are internal — never in output).
@@ -607,7 +607,9 @@ def _ngram_prefix_relations(
     )
     # corpus-sized like grams → DISK_ONLY
     g2 = bulk_checkpoint(
-        grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram"), eager=False
+        grams.join(gram_ids, "gram").select("doc_id", "gid", "df", "gram"),
+        eager=False,
+        n_rows=n_docs,
     )
     # per-doc gram set as one sorted id array — verification is an
     # array_intersect projection over candidates, never an exploded re-join
@@ -631,7 +633,8 @@ def _ngram_prefix_relations(
     prefix = bulk_checkpoint(
         ranked.filter(
             F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q} - 1) DIV {q}") + 2
-        ).select("doc_id", "gid", "n", "rn")
+        ).select("doc_id", "gid", "n", "rn"),
+        n_rows=n_docs,
     )
     return gram_ids, gram_sets, prefix, n_docs
 
@@ -783,7 +786,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a sources²-bounded aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
@@ -837,7 +840,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescans of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
     jacs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),

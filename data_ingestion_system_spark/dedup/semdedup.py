@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table, pin_join_width, pin_width
+from data_ingestion_system_spark.tables import (
+    corpus_checkpoint_lazy,
+    load_table,
+    pin_join_width,
+    pin_width,
+)
 from data_ingestion_system_spark.similarity.ann import DIM, _dot, load_vectors
 from data_ingestion_system_spark.similarity.ivf import (
     N_ITERS,
@@ -114,7 +119,7 @@ def assign_with_centroid_cosine(v: DataFrame, cents: DataFrame) -> DataFrame:
     to n, the same restructure that fixed large-K training
     (train_centroids): shuffling arrays through the scored relation was
     the dominant cost at K=256."""
-    vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=False)
+    vn = _with_norm(v, "ev", "nrm").transform(corpus_checkpoint_lazy)
     cn = _with_norm(cents, "cv", "cnrm")
     best = (
         vn.select("vec_id", "ev", "nrm")
@@ -187,7 +192,7 @@ def semdedup_pairs_dropped(
     target the EXPANDED work, not the map bytes."""
     # two consumers (pair counts + the drop rule) — materialize the
     # in-cell join once instead of running it per branch
-    pairs = _cell_pairs(assigned, threshold, n_rows=n_rows).localCheckpoint(eager=False)
+    pairs = _cell_pairs(assigned, threshold, n_rows=n_rows).transform(corpus_checkpoint_lazy)
     dropped = pairs.select(
         "cell_id",
         F.when(F.col("ca") > F.col("cb"), F.col("va"))
@@ -219,7 +224,7 @@ def flat_group_stats(assigned: DataFrame, n: int, force: str | None = None) -> D
     # that width for every downstream dense pass. Keyless (round-robin):
     # every consumer either re-shuffles on its own keys or
     # broadcast-joins, so balance beats co-location here.
-    assigned = pin_width(assigned, n_rows=n).localCheckpoint(eager=False)
+    assigned = pin_width(assigned, n_rows=n).transform(corpus_checkpoint_lazy)
     pairs, dropped = semdedup_pairs_dropped(assigned, n_rows=n)
     members = assigned.groupBy("cell_id").agg(F.count("*").alias("n_members"))
     pair_counts = pairs.groupBy("cell_id").agg(F.count("*").alias("n_dup_pairs"))
@@ -360,7 +365,7 @@ def assign_coarse(v: DataFrame, cents: DataFrame) -> DataFrame:
     Same skinny-score-then-join-back argmax as
     `assign_with_centroid_cosine`, without keeping the centroid cosine
     (the hierarchical keep rule ranks on the FINE centroid cosine)."""
-    vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=False)
+    vn = _with_norm(v, "ev", "nrm").transform(corpus_checkpoint_lazy)
     cn = _with_norm(cents, "cv", "cnrm")
     best = (
         vn.select("vec_id", "ev", "nrm")
@@ -532,7 +537,7 @@ def _hier_fassigned(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
     # (fine-centroid Lloyd rounds, fine assignment — measured 2-of-32-core
     # grind at sf10 unpinned). Keyless: all downstream scoring joins are
     # broadcast, so round-robin balance beats key co-location.
-    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).localCheckpoint(eager=False)
+    cassigned = pin_width(assign_coarse(v, cents), n_rows=n).transform(corpus_checkpoint_lazy)
     fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
     return n, assign_fine(cassigned, fcents)
 
@@ -561,8 +566,8 @@ def hier_group_stats(
     # consumers: members / both pair sides), then the width-pinned
     # in-(cell, fine) self-join (AQE's byte-based coalesce must not
     # starve the quadratic expansion — see _fine_cell_pairs)
-    fassigned = pin_width(fassigned, n_rows=n).localCheckpoint(eager=False)
-    pairs = _fine_cell_pairs(fassigned, n_rows=n).localCheckpoint(eager=False)
+    fassigned = pin_width(fassigned, n_rows=n).transform(corpus_checkpoint_lazy)
+    pairs = _fine_cell_pairs(fassigned, n_rows=n).transform(corpus_checkpoint_lazy)
     dropped = pairs.select(
         "cell_id",
         "fine_id",

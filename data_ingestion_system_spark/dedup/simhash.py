@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import (
+    corpus_checkpoint,
     fan_out,
     load_table,
     pin_join_width,
@@ -423,7 +424,7 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: extends docs/summery_deck.md's near-dup goal
     (reference has no simhash; cited for the dedup requirement only)."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = simhash_fingerprints(docs, MB_BITS).localCheckpoint(eager=True)
+    hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS))
     n_docs = hashes.count()  # counts the already-materialized checkpoint
     pairs = (
         simhash_pairs_multiblock_value_collapsed(hashes, n_docs=n_docs)
@@ -553,7 +554,7 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint) and every downstream join reads the 1-row-per-doc
     relation."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    hashes = corpus_checkpoint(simhash_fingerprints(docs))
     n_docs = hashes.count()  # counts the already-materialized checkpoint
     pairs = (
         simhash_pairs_value_collapsed(hashes, n_docs=n_docs)

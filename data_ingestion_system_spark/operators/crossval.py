@@ -137,7 +137,7 @@ def fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),

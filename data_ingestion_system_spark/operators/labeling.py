@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, load_table
 
 # Deduped annotation relation: one label per (item, annotator), keeping the
 # latest by event_id — mirrors UNIQUE(review_id, annotator_id) (schema.sql:304).
@@ -164,7 +164,7 @@ def pairwise_kappa_stats(
     )
     # localCheckpoint: pairs feed three aggregations; a plain cache would
     # linger in executor memory after the query returns
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = corpus_checkpoint(pairs, eager=False)
     po = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.avg(F.when(F.col("label_a") == F.col("label_b"), 1.0).otherwise(0.0)).alias("p_observed"),

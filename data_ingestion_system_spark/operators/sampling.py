@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import det_rank_key
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, load_table
 
 # per-tier quotas, mirroring LABEL_QUEUE_TIER_ALLOCATION (settings.py:149-154)
 TIER_QUOTAS = {1: 800, 2: 700, 3: 500, 4: 400}
@@ -342,7 +342,7 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _lt(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
@@ -367,7 +367,7 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
-    assigned = units.join(unit_split, "unit_id").localCheckpoint(eager=False)
+    assigned = corpus_checkpoint(units.join(unit_split, "unit_id"), eager=False)
     straddle = (
         assigned.groupBy("unit_id")
         .agg(F.countDistinct("split").alias("n_splits"))

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out_if_narrow, load_table
+from data_ingestion_system_spark.tables import (
+    corpus_checkpoint_lazy,
+    fan_out_if_narrow,
+    load_table,
+)
 
 N_QUERIES = 3  # vec_id < 3 are the query vectors
 TOP_K = 5
@@ -250,7 +254,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join (measured 10s → ~3s at sf0.1)
     bucketed = v.withColumn(
         "bucket", F.expr(lsh_bucket_expr("ev", "instr", "div"))
-    ).localCheckpoint(eager=False)
+    ).transform(corpus_checkpoint_lazy)
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), "bucket"
     )
@@ -353,7 +357,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt(_dot("cv", "cv"))
             )
         ).alias("cosine"),
-    ).localCheckpoint(eager=False)
+    ).transform(corpus_checkpoint_lazy)
     w_pos = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     pos = (
         scored.withColumn("rn", F.row_number().over(w_pos))

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.similarity.ann import DIM, N_QUERIES, TOP_K, _dot, load_vectors
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import (
+    corpus_checkpoint,
+    corpus_checkpoint_lazy,
+    load_table,
+)
 
 N_CELLS = 16
 CENTROID_BASE = 100  # vec_ids seeding the coarse quantizer
@@ -239,7 +243,7 @@ def train_centroids(
     memo = ("centroids", cache_key, n_cells)
     if cache is not None and memo in cache:
         return replay_rows_df(spark, cache[memo], CENT_SCHEMA)
-    vn = _with_norm(v, "ev", "nrm").localCheckpoint(eager=True)
+    vn = corpus_checkpoint(_with_norm(v, "ev", "nrm"))
     # bounded training sample: the mod ladder keeps Lloyd cost
     # corpus-size-independent (counts the materialized checkpoint)
     mod = adaptive_train_mod(vn.count())
@@ -388,7 +392,7 @@ def assign_and_probes(
         "nrm",
         "cell_id",
         (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
-    ).localCheckpoint(eager=False)
+    ).transform(corpus_checkpoint_lazy)
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -587,7 +591,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id",
             (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
         )
-        .localCheckpoint(eager=False)
+        .transform(corpus_checkpoint_lazy)
     )
     assigned = (
         scored_cells.withColumn("rn", F.row_number().over(w_assign))

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
+from data_ingestion_system_spark.tables import corpus_checkpoint
 from data_ingestion_system_spark.similarity.ivf import (
     adaptive_train_mod,
     adaptive_train_mod_case_sql,
@@ -109,7 +110,7 @@ def train_codebooks(
     if cache is not None and memo in cache:
         return replay_rows_df(spark, cache[memo], CODES_SCHEMA)
     if sv is None:
-        sv = subvectors(v).localCheckpoint(eager=True)
+        sv = corpus_checkpoint(subvectors(v))
     # bounded training sample, same mod ladder as the IVF quantizer
     # (sv is checkpointed: n_vectors = rows / M subspaces, counted cheap)
     mod = adaptive_train_mod(sv.count() // M_SUB)
@@ -152,7 +153,7 @@ def pq_topk(
 ) -> DataFrame:
     """ADC search: encode the corpus to (vec_id, m, code), build the
     query x code inner-product LUT, sum LUT hits per candidate."""
-    sv = subvectors(v).localCheckpoint(eager=False)
+    sv = corpus_checkpoint(subvectors(v), eager=False)
     encoded = _assign(sv.filter(F.col("vec_id") >= n_queries), codes).select(
         F.col("vec_id").alias("cand_id"), "m", "code"
     )
@@ -461,7 +462,7 @@ def ivfpq_topk(
         v, centroids, NPROBE if nprobe is None else nprobe, n_queries
     )
     if sv is None:
-        sv = subvectors(v).localCheckpoint(eager=False)
+        sv = corpus_checkpoint(subvectors(v), eager=False)
     encoded = _assign(sv.filter(F.col("vec_id") >= n_queries), codes).select(
         F.col("vec_id").alias("cand_id"), "m", "code"
     )
@@ -512,7 +513,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.similarity.ivf import train_centroids
 
     v = load_vectors(spark, sf_dir)
-    sv = subvectors(v).localCheckpoint(eager=True)
+    sv = corpus_checkpoint(subvectors(v))
     out = ivfpq_topk(v, train_centroids(v, cache_key=dataset_cache_key(sf_dir)), train_codebooks(v, sv=sv, cache_key=dataset_cache_key(sf_dir)), sv=sv)
     return out.select(
         "query_id",

@@ -241,9 +241,70 @@ def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
-def bulk_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """localCheckpoint a CORPUS-SIZED relation to DISK_ONLY.
+# Reliable-checkpoint mode (cluster fault tolerance). localCheckpoint
+# truncates lineage into EXECUTOR-LOCAL blocks: free on local[32], but on
+# a real cluster an executor loss makes the truncated lineage
+# unrecoverable and fails the job — and at 100 TB with thousands of
+# executors over hours, preemption/loss is the expected case. When this
+# env var (or the Spark conf `spark.graft.reliableCheckpointDir`) names a
+# directory on fault-tolerant storage (HDFS/S3/NFS), corpus-sized
+# truncations (`bulk_checkpoint`, `corpus_checkpoint`) switch to reliable
+# `df.checkpoint()` against `setCheckpointDir` — same asymptotic cost
+# (the consumers are sequential scans that read back at storage bandwidth
+# either way), but the blocks survive executor loss. Bounded relations
+# (centroids, codebooks, boundary tuples) keep plain localCheckpoint:
+# their blocks are a few KB and the cost of losing one is a cheap task
+# retry of a driver-small job, not hours of corpus work.
+RELIABLE_CHECKPOINT_ENV = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
+_RELIABLE_DIR_SET_FOR: set[str] = set()  # app ids with setCheckpointDir done
 
+
+def _reliable_checkpoint_dir(spark: SparkSession) -> str | None:
+    d = os.environ.get(RELIABLE_CHECKPOINT_ENV)
+    if not d:
+        d = spark.conf.get("spark.graft.reliableCheckpointDir", None)
+    return d or None
+
+
+def _reliable_checkpoint(df: DataFrame, ckpt_dir: str, eager: bool) -> DataFrame:
+    spark = df.sparkSession
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _RELIABLE_DIR_SET_FOR:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        _RELIABLE_DIR_SET_FOR.add(app_id)
+    return df.checkpoint(eager=eager)
+
+
+# Storage-level floor for bulk (local) checkpoints (§4d threshold
+# dispatch; documented next to text/pipeline.PIPELINE_PARALLEL_MAX_DOCS,
+# the sibling corpus floor). Above the floor DISK_ONLY wins: at sf10
+# (500k docs) MEMORY_AND_DISK token blocks fill the unified pool's
+# storage half and starve wide aggregates / trigger GCLocker stalls
+# (sf10 A/B: 58.8/54.3 → 39.4/51.3 s). Below it the relation fits in
+# memory and the disk round-trip is pure overhead (r7's blanket
+# DISK_ONLY cost near_dup_minhash_lsh ×1.84 at sf0.1). Callers that
+# already counted the corpus pass `n_rows`; otherwise a planning-time
+# bytes probe of the lineage's source files decides; untraceable
+# lineages (checkpoint-fed) go DISK_ONLY — the scale-safe default.
+BULK_DISK_ONLY_MIN_ROWS = 200_000
+_BULK_DISK_ONLY_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _bulk_wants_disk_only(df: DataFrame, n_rows: int | None) -> bool:
+    if n_rows is not None:
+        return n_rows >= BULK_DISK_ONLY_MIN_ROWS
+    total = _local_input_bytes(df)
+    if total is not None and 0 < total < _BULK_DISK_ONLY_MIN_BYTES:
+        return False
+    return True
+
+
+def bulk_checkpoint(
+    df: DataFrame, eager: bool = True, n_rows: int | None = None
+) -> DataFrame:
+    """Truncate the lineage of a CORPUS-SIZED relation.
+
+    Default mode: localCheckpoint with a size-dispatched storage level.
     Scale-failure class #5 (found at sf30, 180M rows, 32 task threads):
     `localCheckpoint`'s default MEMORY_AND_DISK storage competes with
     execution memory in the unified pool — an eager checkpoint of a
@@ -253,14 +314,52 @@ def bulk_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     × near-zero evictable execution share). DISK_ONLY reserves nothing
     from the pool; the consumers of a bulk checkpoint are sequential
     scans, which read back at disk bandwidth exactly like the parquet
-    scan that produced the relation. Use this for relations that grow
-    with the corpus (fact-table keys, per-token/per-gram expansions);
-    plain `localCheckpoint` remains right for bounded relations
-    (centroids, codebooks, boundary tuples) where memory residency is
-    the point."""
+    scan that produced the relation. Below `BULK_DISK_ONLY_MIN_ROWS`
+    the relation fits comfortably in the storage half and memory
+    residency is strictly faster, so small corpora keep MEMORY_AND_DISK
+    (two physical plans, one answer — CONVENTIONS.md §4d).
+
+    Reliable mode (`SPARK_GRAFT_RELIABLE_CHECKPOINT=dir`): uses
+    `df.checkpoint()` against that directory instead, so the truncated
+    lineage survives executor loss on a real cluster (see
+    `RELIABLE_CHECKPOINT_ENV`).
+
+    Use this for relations that grow with the corpus (fact-table keys,
+    per-token/per-gram expansions); plain `localCheckpoint` remains
+    right for bounded relations (centroids, codebooks, boundary tuples)
+    where memory residency is the point."""
     from pyspark.storagelevel import StorageLevel
 
-    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+    ckpt_dir = _reliable_checkpoint_dir(df.sparkSession)
+    if ckpt_dir:
+        return _reliable_checkpoint(df, ckpt_dir, eager)
+    level = (
+        StorageLevel.DISK_ONLY
+        if _bulk_wants_disk_only(df, n_rows)
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    return df.localCheckpoint(eager=eager, storageLevel=level)
+
+
+def corpus_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate the lineage of a corpus-sized relation that WANTS memory
+    residency (iterative label relations, per-vector normed embeddings,
+    per-gram working sets consumed repeatedly within one job).
+
+    Default mode: identical to `df.localCheckpoint(eager=...)`. Reliable
+    mode (`SPARK_GRAFT_RELIABLE_CHECKPOINT=dir`): reliable
+    `df.checkpoint()` so an executor loss mid-iteration doesn't kill the
+    job (see `RELIABLE_CHECKPOINT_ENV`). Bounded relations should keep
+    calling `localCheckpoint` directly."""
+    ckpt_dir = _reliable_checkpoint_dir(df.sparkSession)
+    if ckpt_dir:
+        return _reliable_checkpoint(df, ckpt_dir, eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def corpus_checkpoint_lazy(df: DataFrame) -> DataFrame:
+    """`corpus_checkpoint(df, eager=False)` in `.transform(...)`-chain form."""
+    return corpus_checkpoint(df, eager=False)
 
 
 def release_session_checkpoints(spark: SparkSession) -> int:

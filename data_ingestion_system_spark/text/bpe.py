@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, fan_out, load_table
 
 N_MERGES = 5
 
@@ -74,7 +74,7 @@ def bpe_train(wf: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
                     F.replace(F.replace("w", pat, rep), pat, rep).alias("w"),
                     "freq",
                 )
-                .localCheckpoint(eager=True)
+                .transform(corpus_checkpoint)
             )
     return merges.select(
         "step",

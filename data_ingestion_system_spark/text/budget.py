@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint_lazy, load_table
 
 BUDGET_FRACTION = 0.3  # spend 30% of the corpus token mass
 N_SCORE_BUCKETS = 10
@@ -71,7 +71,7 @@ def select_within_budget(scored: DataFrame, budget_fraction: float = BUDGET_FRAC
         "n_tokens",
         "s6",
         F.size(F.filter(F.col("vals"), lambda c: F.col("s6") > c)).alias("bkt"),
-    ).localCheckpoint(eager=False)
+    ).transform(corpus_checkpoint_lazy)
 
     budget = bucketed.agg(
         F.floor(F.sum("n_tokens") * F.lit(budget_fraction)).cast("bigint").alias("budget")

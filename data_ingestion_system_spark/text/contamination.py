@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, fan_out, load_table
 
 CONTAM_N = 5        # words per gram
 BENCH_MOD = 25      # doc_id % BENCH_MOD == 0 → benchmark slice
@@ -102,7 +102,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram count, how many of them appear anywhere in the benchmark,
     the contamination fraction, and the ≥10% flag."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = doc_ngrams(docs).localCheckpoint(eager=False)
+    grams = corpus_checkpoint(doc_ngrams(docs), eager=False)
     is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
     bench = grams.filter(is_bench).select("gram").distinct()
     train = grams.filter(~is_bench)

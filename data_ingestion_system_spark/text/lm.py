@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, fan_out, load_table
 
 TEMPERATURE = 0.7
 TOP_BPE_PAIRS = 20
@@ -103,7 +103,7 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates of it plus the unigram vocabulary size; scoring is a
     broadcast join of the model back onto the per-doc bigrams."""
     docs = load_table(spark, sf_dir, "documents")
-    bi = _doc_bigrams(docs).localCheckpoint(eager=False)
+    bi = corpus_checkpoint(_doc_bigrams(docs), eager=False)
     vocab = docs.select(F.explode(F.split("text", " ")).alias("a")).agg(
         F.countDistinct("a").alias("v")
     )

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, fan_out, load_table
 from data_ingestion_system_spark.text.repetition import (
     DUP_TRIGRAM_MAX,
     REPETITION_CTES,
@@ -133,7 +133,7 @@ def nb_weak_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .join(labels, "doc_id")
     )
-    toks = toks.localCheckpoint(eager=False)  # feeds training AND scoring
+    toks = corpus_checkpoint(toks, eager=False)  # feeds training AND scoring
     wts = nb_weights(toks)
     prior = labels.agg(
         F.log(

@@ -46,7 +46,7 @@ from data_ingestion_system_spark.dedup.minhash import (
     verified_pairs,
 )
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint, load_table
 from data_ingestion_system_spark.text.chunking import chunk_documents
 from data_ingestion_system_spark.text.classifier import (
     CLASSIFIER_CTES,
@@ -156,13 +156,15 @@ def stage_clf_keep_ids(
     )
 
 
-def stage_contaminated(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
+def stage_contaminated(
+    docs: DataFrame, toks: DataFrame | None = None, n_docs: int | None = None
+) -> DataFrame:
     """Stage 4: doc_ids whose n-gram overlap with the eval slice crosses
     the contamination threshold."""
     from data_ingestion_system_spark.tables import bulk_checkpoint
 
     # corpus-sized (every doc's contamination n-grams) → DISK_ONLY
-    grams = bulk_checkpoint(doc_ngrams(docs, toks=toks), eager=False)
+    grams = bulk_checkpoint(doc_ngrams(docs, toks=toks), eager=False, n_rows=n_docs)
     is_bench = F.pmod("doc_id", F.lit(BENCH_MOD)) == 0
     bench_grams = grams.filter(is_bench).select("gram").distinct()
     train_grams = grams.filter(~is_bench)
@@ -191,7 +193,7 @@ def stage_dup_drop(
     from data_ingestion_system_spark.tables import bulk_checkpoint
 
     # corpus-sized (every doc's sorted shingle array) → DISK_ONLY
-    tokens = bulk_checkpoint(token_sets(docs, toks=toks), eager=False)
+    tokens = bulk_checkpoint(token_sets(docs, toks=toks), eager=False, n_rows=n_docs)
     pairs = verified_pairs(
         tokens,
         candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
@@ -249,7 +251,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.text.repetition import word_counts
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+        return corpus_checkpoint(df, eager=True)
 
     def _toks() -> DataFrame:
         # the token relation is CORPUS-SIZED (every doc's split array) —
@@ -259,7 +261,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return bulk_checkpoint(
             fan_out(docs, "doc_id").select(
                 "doc_id", "source", F.split("text", " ").alias("ts")
-            )
+            ),
+            n_rows=n_docs,
         )
 
     if n_docs <= PIPELINE_PARALLEL_MAX_DOCS:
@@ -273,7 +276,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             clf_fut = pool.submit(
                 lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
             )
-            contam_fut = pool.submit(lambda: _ckpt(stage_contaminated(docs, toks=toks)))
+            contam_fut = pool.submit(lambda: _ckpt(stage_contaminated(docs, toks=toks, n_docs=n_docs)))
 
             quality_ids = q_fut.result()
             clf_keep_ids = clf_fut.result()
@@ -284,7 +287,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         wcounts = _ckpt(word_counts(toks, "source"))
         quality_ids = _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
         clf_keep_ids = _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
-        contaminated = _ckpt(stage_contaminated(docs, toks=toks))
+        contaminated = _ckpt(stage_contaminated(docs, toks=toks, n_docs=n_docs))
         # heaviest stage last, reusing the disk-resident token relation
         dup_drop = _ckpt(stage_dup_drop(docs, toks=toks, n_docs=n_docs))
 
@@ -301,7 +304,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
     )
     # corpus-sized (full text of every kept doc) → DISK_ONLY like toks
-    survivors = bulk_checkpoint(survivors, eager=False)
+    survivors = bulk_checkpoint(survivors, eager=False, n_rows=n_docs)
 
     # stage 5: chunk survivors, report yield per source
     chunks = chunk_documents(survivors.select("doc_id", "text")).join(

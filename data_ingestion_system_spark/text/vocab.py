@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import round_port
 from data_ingestion_system_spark.registry import query
-from data_ingestion_system_spark.tables import fan_out, load_table
+from data_ingestion_system_spark.tables import corpus_checkpoint_lazy, fan_out, load_table
 
 HEAD_K = 10  # head terms for the concentration ratio
 
@@ -154,7 +154,7 @@ def token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(corpus_checkpoint_lazy)
     )
     n_docs = dt.select(F.countDistinct("doc_id").alias("n"))
     df = dt.groupBy("token").agg(F.count("*").alias("df"))
@@ -223,7 +223,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
-        .localCheckpoint(eager=False)  # feeds both the total and the filter
+        .transform(corpus_checkpoint_lazy)  # feeds both the total and the filter
     )
     total = tf.agg(F.sum("freq").alias("n"))
     return (

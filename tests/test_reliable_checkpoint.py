@@ -1,0 +1,94 @@
+"""Reliable-checkpoint mode and bulk-checkpoint storage-level dispatch.
+
+Two cluster-scale behaviors of `tables` (VERDICT r7 asks #1/#2):
+
+1. `SPARK_GRAFT_RELIABLE_CHECKPOINT=dir` switches `bulk_checkpoint` /
+   `corpus_checkpoint` from executor-pinned `localCheckpoint` to reliable
+   `df.checkpoint()` against `setCheckpointDir`, so the truncated lineage
+   of a 100 TB job survives executor loss. Both modes must produce
+   identical answers; reliable mode must actually write RDD files.
+2. In local mode the bulk storage level is size-dispatched (§4d): small
+   corpora keep MEMORY_AND_DISK (the r7 blanket DISK_ONLY cost
+   near_dup_minhash_lsh ×1.84 at sf0.1); above `BULK_DISK_ONLY_MIN_ROWS`
+   (or the bytes-probe floor) DISK_ONLY avoids starving the unified
+   pool's execution half (scale-failure class #5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_system_spark import tables
+from data_ingestion_system_spark.tables import (
+    BULK_DISK_ONLY_MIN_ROWS,
+    _bulk_wants_disk_only,
+    bulk_checkpoint,
+    corpus_checkpoint,
+    load_table,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def reliable_dir(tmp_path, monkeypatch):
+    d = str(tmp_path / "ckpt")
+    monkeypatch.setenv(tables.RELIABLE_CHECKPOINT_ENV, d)
+    yield d
+
+
+def test_storage_dispatch_by_n_rows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert _bulk_wants_disk_only(docs, BULK_DISK_ONLY_MIN_ROWS) is True
+    assert _bulk_wants_disk_only(docs, BULK_DISK_ONLY_MIN_ROWS - 1) is False
+
+
+def test_storage_dispatch_by_bytes_probe(spark, sf_dir):
+    # sf0.001 documents.parquet is a few KB — far under the bytes floor
+    docs = load_table(spark, sf_dir, "documents")
+    assert _bulk_wants_disk_only(docs, None) is False
+    # untraceable lineage (checkpoint-fed) → DISK_ONLY, the scale-safe arm
+    ck = docs.localCheckpoint(eager=True)
+    assert _bulk_wants_disk_only(ck, None) is True
+
+
+def test_bulk_checkpoint_both_levels_same_answer(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    small = bulk_checkpoint(docs, n_rows=1)  # MEMORY_AND_DISK arm
+    large = bulk_checkpoint(docs, n_rows=BULK_DISK_ONLY_MIN_ROWS)  # DISK_ONLY arm
+    assert _rows(small) == _rows(large)
+
+
+def test_reliable_mode_writes_rdd_files_and_matches(spark, sf_dir, reliable_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    expected = _rows(docs)
+    ck_bulk = bulk_checkpoint(docs, eager=True, n_rows=10**9)
+    ck_corpus = corpus_checkpoint(docs.filter(F.col("doc_id") >= 0), eager=True)
+    assert _rows(ck_bulk) == expected
+    assert _rows(ck_corpus) == expected
+    parts = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(reliable_dir)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert len(parts) >= 2, "reliable mode must write RDD part files"
+
+
+def test_reliable_mode_query_parity(spark, sf_dir, reliable_dir):
+    """The flagship iterative dedup query (tokens bulk checkpoint +
+    per-round label truncation in connected components) returns the
+    identical answer under reliable checkpointing."""
+    from data_ingestion_system_spark.dedup.clusters import dedup_clusters
+
+    got = _rows(dedup_clusters(spark, sf_dir))
+    # wipe env (monkeypatch scope is the test, but compare inside it)
+    os.environ.pop(tables.RELIABLE_CHECKPOINT_ENV)
+    want = _rows(dedup_clusters(spark, sf_dir))
+    assert got == want
+    assert len(got) > 0

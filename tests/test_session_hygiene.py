@@ -25,7 +25,14 @@ def test_bulk_checkpoint_is_disk_only_and_lossless(spark, sf_dir):
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
-    cp = bulk_checkpoint(li.repartitionByRange(8, "l_extendedprice"))
+    # n_rows above the dispatch floor forces the DISK_ONLY arm (the r8
+    # size dispatch keeps small corpora MEMORY_AND_DISK; this test pins
+    # the at-scale storage class)
+    from data_ingestion_system_spark.tables import BULK_DISK_ONLY_MIN_ROWS
+
+    cp = bulk_checkpoint(
+        li.repartitionByRange(8, "l_extendedprice"), n_rows=BULK_DISK_ONLY_MIN_ROWS
+    )
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     new = [jmap[k] for k in set(jmap.keys()) - before]
     assert new, "bulk_checkpoint persisted nothing"
