@@ -497,26 +497,37 @@ def _ngram_cand_pairkey(
     return bigcand.union(small).distinct()
 
 
+def _raise_if_gid_collision(n_grams: int, n_gids: int) -> None:
+    if n_gids != n_grams:
+        raise ValueError(
+            f"xxhash64 gram-id collision: {n_grams} distinct grams -> "
+            f"{n_gids} distinct gids; rerun with a salted hash"
+        )
+
+
 def _gid_collision_audit(gram_ids: DataFrame) -> None:
     """Hard-fail if two distinct grams hashed to one xxhash64 gid —
     array_intersect over gid arrays would overcount shared grams and
-    the operator's EXACT contract would silently break."""
+    the operator's EXACT contract would silently break.
+
+    Standalone form for `force_scheme` paths only (equivalence tests,
+    forced timings); the production dispatch path folds the same
+    countDistinct into `_ngram_scheme_probe`'s single gram_ids
+    aggregate, so the corpus-scale gram groupBy+hash runs ONCE (r7
+    ADVICE: the extracted audit was re-running it as a second job)."""
     st = gram_ids.agg(
         F.count("*").alias("n_grams"),
         F.countDistinct("gid").alias("n_gids"),
     ).first()
-    if st.n_gids != st.n_grams:
-        raise ValueError(
-            f"xxhash64 gram-id collision: {st.n_grams} distinct grams -> "
-            f"{st.n_gids} distinct gids; rerun with a salted hash"
-        )
+    _raise_if_gid_collision(int(st.n_grams or 0), int(st.n_gids or 0))
 
 
 def _ngram_scheme_probe(gram_ids: DataFrame, prefix: DataFrame) -> tuple[str, dict]:
     """Dispatch probe: EXACT join volumes of both candidate schemes,
-    measured from the (already materialized) prefix relation. (The gid
-    collision audit is `_gid_collision_audit` — it runs on every path,
-    including force_scheme pins that skip this probe.)
+    measured from the (already materialized) prefix relation. The gid
+    collision audit is folded into this probe's gram_ids aggregate
+    (hard-fails here); force_scheme pins that skip the probe run the
+    standalone `_gid_collision_audit` instead.
 
       single_rows  = Σ_gid C(c_gid, 2)  — the single-gram join's exact
                      match-row count (c = prefix posting count per gid)
@@ -537,7 +548,11 @@ def _ngram_scheme_probe(gram_ids: DataFrame, prefix: DataFrame) -> tuple[str, di
     st = gram_ids.agg(
         F.sum("df").alias("postings"),
         F.count("*").alias("n_grams"),
+        # the gid collision audit's countDistinct rides the SAME agg job
+        # so the gram relation is aggregated once on the dispatch path
+        F.countDistinct("gid").alias("n_gids"),
     ).first()
+    _raise_if_gid_collision(int(st.n_grams or 0), int(st.n_gids or 0))
     vol = prefix.groupBy("gid").agg(F.count("*").alias("c")).agg(
         F.sum(F.expr("c * (c - 1) DIV 2")).alias("single_rows")
     ).first()
@@ -652,13 +667,14 @@ def _ngram_jaccard_pairs(
     t = p / q
     gram_ids, gram_sets, prefix, n_docs = _ngram_prefix_relations(spark, sf_dir, p, q)
     # the gid collision audit must hard-fail on EVERY path (two distinct
-    # grams hashing to one gid would make array_intersect overcount);
-    # the volume probe only runs when it actually decides the scheme —
-    # force_scheme callers (equivalence tests, the dispatch tool's
-    # forced timings) skip its two prefix-relation aggregates.
+    # grams hashing to one gid would make array_intersect overcount).
+    # On the dispatch path it rides the probe's single gram_ids
+    # aggregate; force_scheme callers (equivalence tests, the dispatch
+    # tool's forced timings) skip the probe's prefix-relation
+    # aggregates, so they run the standalone audit instead.
     # Saturation is a CONTENT property — corpus size alone cannot see it.
-    _gid_collision_audit(gram_ids)
     if force_scheme is not None:
+        _gid_collision_audit(gram_ids)
         scheme = force_scheme
     else:
         scheme, _probe = _ngram_scheme_probe(gram_ids, prefix)

@@ -259,11 +259,15 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | No
     # where no value exceeds SALT_CAP — the whole salt degenerates to
     # sub = 0 / one replica and the plan is the r6 shape plus two
     # broadcast probes)
-    # eager checkpoint: hot feeds FOUR distinct subtrees (dsub, both vps
+    # lazy checkpoint: hot feeds FOUR distinct subtrees (dsub, both vps
     # probes, offgrid) whose aliased shapes defeat exchange reuse — the
-    # corpus-sized groupBy over `hashes` must run once, not four times.
-    # Bounded relation (<= n_docs / SALT_CAP rows), so memory residency
-    # is the point (class #5 does not apply).
+    # checkpoint makes the corpus-sized groupBy over `hashes` run once,
+    # not four times, and eager=False defers that job to the first
+    # consumer so plan-only inspections (EXPLAIN, test_plan_quality)
+    # stay execution-free (r7 ADVICE: the eager form ran the groupBy at
+    # DataFrame-construction time and measured slightly slower in the
+    # interleaved sf10 A/B). Bounded relation (<= n_docs / SALT_CAP
+    # rows), so memory residency is the point (class #5 does not apply).
     hot = (
         hashes.groupBy("simhash")
         .agg(F.count("*").alias("cnt"))
@@ -272,7 +276,7 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | No
             "simhash",
             F.ceil(F.col("cnt") / SALT_CAP).cast("int").alias("k"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dsub = pin_join_width(
         hashes.join(F.broadcast(hot), "simhash", "left").select(

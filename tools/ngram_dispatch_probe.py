@@ -39,6 +39,8 @@ P, Q = 3, 10
 
 def probe_dir(spark, sf_dir: str, time_schemes: bool = True) -> dict:
     gram_ids, _gram_sets, prefix, n_docs = _ngram_prefix_relations(spark, sf_dir, P, Q)
+    # the probe hard-fails on a gid collision (audit folded into its
+    # gram_ids aggregate) — same contract as the production dispatch
     scheme, stats = _ngram_scheme_probe(gram_ids, prefix)
     out = {
         "sf_dir": sf_dir,
