@@ -57,7 +57,7 @@ _DRIVER_PRIORITY = (
     "equi_depth_buckets",
     "near_dup_ngram_jaccard",
     "near_dup_minhash_lsh",
-    "near_dup_simhash",
+    "near_dup_simhash_multiblock_keepers",
     "semantic_dedup",
     "semantic_dedup_hier",
     "dedup_threshold_sweep",

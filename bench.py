@@ -39,7 +39,6 @@ HEADLINE = [
     "stratified_split",
     "dedup_exact_stats",
     "near_dup_minhash_lsh",
-    "near_dup_simhash",
     "ann_topk_bruteforce",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -93,6 +92,11 @@ HEADLINE = [
     # boundary tuples) — at sf0.1 it runs the no-global-sort plan, the
     # shape worth tracking alongside its sketch-refine approx twin
     "equi_depth_buckets",
+    # round-8 addition (VERDICT r7 ask #3): the multiblock-simhash
+    # production surface — value-graph components + keepers, replacing
+    # the demoted 16-bit pair diagnostic's slot; corpus-sized output, so
+    # collect-measured like every keeper query
+    "near_dup_simhash_multiblock_keepers",
 ]
 
 REPS = 3  # median-of-3 per query
@@ -104,7 +108,7 @@ REPS = 3  # median-of-3 per query
 # are timed via `.count()` (full plan executes engine-side; VERDICT r4
 # ask #3); the driver-collect time is reported alongside once under
 # `collect_sec` so r4↔r5 totals stay comparable.
-OUTPUT_BOUND = {"near_dup_simhash", "near_dup_simhash_multiblock"}
+OUTPUT_BOUND = {"near_dup_simhash_multiblock"}
 
 
 def main() -> None:

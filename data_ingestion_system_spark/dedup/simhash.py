@@ -207,6 +207,40 @@ def simhash_pairs_multiblock_direct(hashes: DataFrame, n_docs: int | None = None
 SALT_CAP = 2048
 
 
+def _multiblock_value_pairs(vals: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """DISTINCT (va, vb, hamming) fingerprint-VALUE pairs within
+    HAMMING_MAX that agree on >= 1 of the 4 block keys — the bounded
+    value-graph edge relation shared by the salted pair-recovery plan
+    (`simhash_pairs_multiblock_value_collapsed`) and the keeper surface
+    (`near_dup_simhash_multiblock_keepers`). `vals` is the one-column
+    DISTINCT simhash relation; the join is (t, bkey)-bucketed, never
+    all-pairs, and its size is bounded by the saturating value space,
+    not the corpus."""
+    vblocks = pin_join_width(
+        simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash")),
+        "t",
+        "bkey",
+        n_rows=n_docs,
+    )
+    a = vblocks.alias("a")
+    b = vblocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.simhash").alias("va"),
+            F.col("b.simhash").alias("vb"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
 def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Value-collapsed multi-table candidate search — the at-scale plan
     (see `near_dup_simhash_multiblock`). Every join below is an
@@ -231,30 +265,8 @@ def simhash_pairs_multiblock_value_collapsed(hashes: DataFrame, n_docs: int | No
     construction, sized from a counted aggregate (not a Catalyst
     estimate), so the static-broadcast fatality class does not apply."""
     vals = hashes.select("simhash").distinct()
-    vblocks = pin_join_width(
-        simhash_blocks(vals.select(F.col("simhash").alias("doc_id"), "simhash")),
-        "t",
-        "bkey",
-        n_rows=n_docs,
-    )
-    a = vblocks.alias("a")
-    b = vblocks.alias("b")
     # distinct value pairs sharing >= 1 block, within the Hamming bound
-    vp = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        )
-        .select(
-            F.col("a.simhash").alias("va"),
-            F.col("b.simhash").alias("vb"),
-            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
-    )
+    vp = _multiblock_value_pairs(vals, n_docs=n_docs)
     # hot fingerprint values and their split factors (empty on corpora
     # where no value exceeds SALT_CAP — the whole salt degenerates to
     # sub = 0 / one replica and the plan is the r6 shape plus two
@@ -535,12 +547,25 @@ def simhash_pairs_value_collapsed(hashes: DataFrame, n_docs: int | None = None) 
     return cross.unionByName(same)
 
 
-@query("near_dup_simhash", oracle=_oracle(), survey="EXT-dedup")
+# pytest-gated oracle for the demoted diagnostic below
+# (tests/test_simhash_keepers.py::test_near_dup_simhash_oracle_parity)
+SIMHASH_PAIRS_ORACLE = _oracle()
+
+
 def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming ≤ 3 among docs sharing the top
     fingerprint byte (the blocking key). Blocking keeps the join from
     going quadratic; recall can be raised by re-running with rotated
     fingerprints (Manku et al.'s table approach).
+
+    LIBRARY DIAGNOSTIC since round 8 (catalog slot handed to
+    `near_dup_simhash_multiblock_keepers`, the production surface —
+    VERDICT r7 asks #3/#9): this 16-bit single-table variant has known
+    imperfect recall and a pair-sized answer that saturates at scale;
+    `near_dup_simhash_multiblock` is the exact-recall pair diagnostic
+    and the keeper query is what a pipeline consumes. Correctness stays
+    pinned by the pytest oracle gate (SIMHASH_PAIRS_ORACLE) and the
+    direct/collapsed equivalence tests.
 
     Above VALUE_COLLAPSE_MIN_DOCS the candidate search runs over
     DISTINCT fingerprint VALUES, not docs
@@ -566,3 +591,132 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         else simhash_pairs_direct(hashes)
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+def _multiblock_keepers_oracle() -> str:
+    vblocks = "\n  UNION ALL ".join(
+        f"SELECT simhash, {t} AS t, (simhash // {d}) % {2**MB_BLOCK_BITS} AS bkey FROM vals"
+        for t, d in enumerate(_mb_block_divs())
+    )
+    return f"""
+WITH RECURSIVE tokens AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) t
+), hashed AS (
+  SELECT doc_id, substr(md5(token), 1, {MB_BITS // 4}) AS h FROM tokens
+), nibbled AS (
+  SELECT doc_id, {", ".join(_nibble_projs("strpos", MB_BITS // 4))} FROM hashed
+), votes AS (
+  SELECT doc_id,
+    {_vote_sums("//", MB_BITS)}
+  FROM nibbled GROUP BY doc_id
+), hashes AS MATERIALIZED (
+  SELECT doc_id, CAST({_simhash_value(MB_BITS)} AS BIGINT) AS simhash FROM votes
+), vals AS MATERIALIZED (
+  SELECT simhash, COUNT(*) AS cnt FROM hashes GROUP BY simhash
+), vblocks AS MATERIALIZED (
+  {vblocks}
+), vp AS MATERIALIZED (
+  SELECT DISTINCT a.simhash AS va, b.simhash AS vb
+  FROM vblocks a
+  JOIN vblocks b ON a.t = b.t AND a.bkey = b.bkey AND a.simhash < b.simhash
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+), edges AS MATERIALIZED (
+  SELECT va AS src, vb AS dst FROM vp
+  UNION ALL
+  SELECT vb AS src, va AS dst FROM vp
+), walk(v, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.v
+), vcomp AS MATERIALIZED (
+  SELECT v, MIN(label) AS vlab FROM walk GROUP BY v
+), cluster_vals AS MATERIALIZED (
+  SELECT vl.simhash, COALESCE(c.vlab, vl.simhash) AS vlab
+  FROM vals vl LEFT JOIN vcomp c ON c.v = vl.simhash
+  WHERE vl.cnt >= 2 OR c.v IS NOT NULL
+), members AS MATERIALIZED (
+  SELECT h.doc_id, cv.vlab FROM hashes h JOIN cluster_vals cv USING (simhash)
+), cids AS MATERIALIZED (
+  SELECT vlab, MIN(doc_id) AS cluster_id, COUNT(*) AS cluster_size
+  FROM members GROUP BY vlab
+)
+SELECT m.doc_id, s.cluster_id, s.cluster_size, m.doc_id = s.cluster_id AS is_keeper
+FROM members m JOIN cids s USING (vlab)
+ORDER BY m.doc_id
+"""
+
+
+@query(
+    "near_dup_simhash_multiblock_keepers",
+    oracle=_multiblock_keepers_oracle(),
+    survey="EXT-dedup,A15",
+)
+def near_dup_simhash_multiblock_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup surface for the 32-bit multiblock SimHash family:
+    per-doc cluster assignment + keeper flag, computed WITHOUT ever
+    materializing the doc-pair relation (whose DEFINED answer is
+    Θ(n²/2³²) on a saturating corpus — 7.8G pairs ≈ 500 s at sf10, an
+    output-bound dump no pipeline consumes; the pair query
+    `near_dup_simhash_multiblock` remains the recall diagnostic).
+
+    The doc-pair graph is exactly the value-pair graph expanded by
+    same-value cliques: two docs pair iff their fingerprints agree on
+    ≥ 1 block within Hamming ≤ 3, a property of the VALUES alone (same
+    value ⇒ Hamming 0 ⇒ always a pair). So connected components run on
+    the BOUNDED value graph — nodes ≤ distinct 32-bit fingerprints
+    present (≤ min(corpus, 2³²), saturating), edges =
+    `_multiblock_value_pairs` — via the same min-label propagation as
+    `dedup_clusters`, and docs pick up their value's component label
+    with ONE corpus-sized hash join afterwards. Output is one row per
+    doc with ≥ 1 near-dup: cluster id (min doc_id), cluster size,
+    keeper flag — the is_keeper = false rows are the drop set, the
+    `dedup_clusters` contract.
+
+    Scale shape: candidate work is value-space-bounded, component
+    iterations run on the value graph (tiny diameter: block-overlap
+    cliques), and the only corpus-sized operations are the fingerprint
+    pass, one join, and one aggregate — at sf10 this replaces the 500 s
+    pair dump with seconds of work. The DuckDB oracle closes the same
+    value graph with a recursive CTE and expands through the identical
+    joins, so the differential test covers the value-clique theorem,
+    not just the plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS))
+    n_docs = hashes.count()  # counts the already-materialized checkpoint
+    # bounded by the saturating value space — memory-resident lazy
+    # checkpoint (feeds the value-pair join AND the cluster_vals join)
+    vals = (
+        hashes.groupBy("simhash")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vp = _multiblock_value_pairs(vals.select("simhash"), n_docs=n_docs)
+    from data_ingestion_system_spark.dedup.clusters import connected_components
+
+    vcomp = connected_components(
+        vp.select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vsim"), F.col("cluster_id").alias("vlab"))
+    # a value belongs to a cluster iff it pairs with another value
+    # (vcomp) or holds >= 2 docs (same-value clique, vlab = itself)
+    cluster_vals = (
+        vals.join(vcomp, vals["simhash"] == vcomp["vsim"], "left")
+        .filter((F.col("cnt") >= 2) | F.col("vsim").isNotNull())
+        .select("simhash", F.coalesce("vlab", "simhash").alias("vlab"))
+    )
+    members = hashes.join(cluster_vals, "simhash").select("doc_id", "vlab")
+    cids = members.groupBy("vlab").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return (
+        members.join(cids, "vlab")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

@@ -566,8 +566,14 @@ def test_simhash_candidates_join_on_fingerprint_value(spark, sf_dir):
     assert "bkey" in mb_direct
 
     # the sf0.001 corpus (500 docs) is below the threshold → direct plan
-    for name in ("near_dup_simhash", "near_dup_simhash_multiblock"):
-        small = REGISTRY[name].spark(spark, sf_dir)
+    # (near_dup_simhash is a library diagnostic since r8 — called direct)
+    from data_ingestion_system_spark.dedup.simhash import near_dup_simhash
+
+    for name, build in (
+        ("near_dup_simhash", near_dup_simhash),
+        ("near_dup_simhash_multiblock", REGISTRY["near_dup_simhash_multiblock"].spark),
+    ):
+        small = build(spark, sf_dir)
         assert "CartesianProduct" not in simple_plan_str(small), name
 
 
