@@ -5,6 +5,13 @@ per-round SCALING.md sweeps have been re-implementing ad hoc.
 Usage:
     python tools/query_probe.py SF_DIR QUERY [QUERY ...] [--reps N]
     python tools/query_probe.py SF_DIR --all           # whole catalog
+    python tools/query_probe.py SF_DIR Q... --master local-cluster[4,8,4096]
+
+--master overrides the session master (default: local[$SPARK_GRAFT_CPUS]).
+local-cluster[N,C,M] launches REAL separate executor JVMs with their own
+python workers — the cheapest non-single-JVM datapoint (VERDICT r7 ask
+#4); the probe sets spark.executorEnv.PYTHONPATH so executors can import
+the package for Pandas-UDF paths.
 
 Timing convention matches bench.py: queries whose DEFINED answer is
 pair-scale (bench.OUTPUT_BOUND) execute via .count() — the full plan
@@ -40,6 +47,11 @@ def main() -> None:
         i = argv.index("--reps")
         reps = int(argv[i + 1])
         del argv[i : i + 2]
+    master = None
+    if "--master" in argv:
+        i = argv.index("--master")
+        master = argv[i + 1]
+        del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     if not args:
         sys.exit(__doc__)
@@ -49,7 +61,8 @@ def main() -> None:
     unknown = [n for n in names if n not in registry]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
-    spark = get_spark(app_name="dis-spark-probe")
+    extra = {"spark.executorEnv.PYTHONPATH": _REPO} if master else None
+    spark = get_spark(app_name="dis-spark-probe", master=master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     warm_sec = None
     if any(n.startswith("ann_") for n in names):
@@ -85,6 +98,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
+                "master": spark.sparkContext.master,
                 "ann_warm_sec": warm_sec,
                 "queries": {
                     k: {kk: vv for kk, vv in v.items() if vv is not None}
