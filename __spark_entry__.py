@@ -40,30 +40,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver verifies the FIRST 50 catalog entries per round (registration
 # order).  Rounds 1-6 accumulated 300 green driver rows (0 red ever); every
 # SQL-checkable catalog query has a green row.
-# Round-7 window (VERDICT r6 ask #5): rows 1-11 are the dedup/statistics
-# family whose PHYSICAL PLANS were rewritten in r6/r7 (salted multiblock
-# recovery, distributed exact NTILE, pair-key exactness + xxhash64 gram ids,
-# array-collapsed MinHash verify, dgemm-dispatched SemDeDup, and the
-# verified_pairs threshold-0 consumers) — re-proving the rewrites under the
-# driver before anything else.  Rows 12-50 are the stalest greens: the one
-# r01-vintage query, then the r02-vintage block in its existing oldest-first
-# order (rows-only sketch queries excluded — they cannot contribute a hash
-# green).  Positions 51+ continue the same oldest-first rotation, so future
-# rounds inherit the queue.  The full catalog keeps its pytest oracle gate
+# Round-8 window: rows 1-42 are the queries whose PHYSICAL PLANS changed
+# this round — the new keeper surface (near_dup_simhash_multiblock_keepers,
+# replacing the demoted 16-bit near_dup_simhash diagnostic), the folded
+# gid-audit + lazy hot checkpoint (ngram/multiblock), and every query whose
+# lineage passes a checkpoint site touched by the r8 reliable-checkpoint /
+# size-dispatched-storage refactor (token_sets + gram consumers, SemDeDup
+# and ANN corpus_checkpoint conversions, text vocab/bpe/lm/nb/budget/
+# contamination, equi-depth's bulk rp, the pipeline, labeling pairs,
+# cluster-aware split) — re-proving the refactor under the driver before
+# anything else.  Rows 43-50 are the stalest hash-greens (r03/r04 vintage).
+# Positions 51+ continue the same oldest-first rotation, so future rounds
+# inherit the queue.  The full catalog keeps its pytest oracle gate
 # regardless (tests/test_oracle_parity.py parametrizes ALL registered
 # queries).
 _DRIVER_PRIORITY = (
+    "near_dup_simhash_multiblock_keepers",
     "near_dup_simhash_multiblock",
-    "equi_depth_buckets",
     "near_dup_ngram_jaccard",
     "near_dup_minhash_lsh",
-    "near_dup_simhash_multiblock_keepers",
-    "semantic_dedup",
-    "semantic_dedup_hier",
+    "dedup_clusters",
+    "cross_source_dup_matrix",
     "dedup_threshold_sweep",
     "minhash_estimation_error",
-    "cross_source_dup_matrix",
-    "dedup_clusters",
+    "equi_depth_buckets",
+    "corpus_prep_pipeline",
+    "semantic_dedup",
+    "semantic_dedup_hier",
+    "semantic_dedup_blas",
+    "near_dup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_filtered_topk",
+    "kmeans_cluster_profile",
+    "token_cooccurrence",
+    "vocab_coverage",
+    "vocab_zipf_stats",
+    "vocab_chao1_estimate",
+    "source_vocab_jaccard",
+    "bpe_merge_table",
+    "bpe_pair_counts",
+    "contamination_overlap",
+    "token_budget_selection",
+    "bigram_lm_scores",
+    "nb_weak_label_confusion",
+    "classifier_calibration",
+    "classifier_pr_thresholds",
+    "cluster_aware_split_stats",
+    "fold_leakage_audit",
+    "cohens_kappa",
+    "krippendorff_alpha",
+    "majority_vote",
+    "multimodal_payload_stats",
+    "multimodal_features",
+    "corpus_data_card",
+    "duplicated_spans_topk",
+    "gap_islands",
+    "kfold_balance",
+    "sliding_rate_limit",
+    "substring_dup_profile",
+    "brand_revenue_share",
+    "cdc_apply_state",
     "high_punctuation_docs",
     "examples_per_group",
     "exact_percentiles_sketch_refine",
@@ -83,18 +124,10 @@ _DRIVER_PRIORITY = (
     "rollup_daily",
     "asof_join_events",
     "sessionization",
-    "ann_topk_bruteforce",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "repetition_quality",
     "doc_chunks",
-    "near_dup_embedding_cosine",
     "bm25_search",
     "inverted_index_search",
-    "contamination_overlap",
-    "corpus_prep_pipeline",
-    "majority_vote",
-    "cohens_kappa",
     "labeled_export_join",
     "token_counts",
     "language_id_confusion",
@@ -103,7 +136,6 @@ _DRIVER_PRIORITY = (
     "clean_documents",
     "dedup_exact_stats",
     "dedup_exact_keepers",
-    "semantic_dedup_blas",
     "dynamic_filter",
     "like_search",
     "case_projection",
@@ -154,22 +186,7 @@ _DRIVER_PRIORITY = (
     "script_detection",
     "approx_percentiles",
     "approx_distinct_users",
-    "ann_pq_rerank_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "multimodal_payload_stats",
-    "multimodal_features",
-    "gap_islands",
-    "sliding_rate_limit",
-    "substring_dup_profile",
-    "duplicated_spans_topk",
-    "kfold_balance",
-    "corpus_data_card",
-    "classifier_calibration",
-    "classifier_pr_thresholds",
-    "krippendorff_alpha",
     "revenue_rollup_nation_year",
-    "brand_revenue_share",
     "supplier_concentration_hhi",
     "shipping_delay_profile",
     "customer_rfm_segments",
@@ -191,11 +208,8 @@ _DRIVER_PRIORITY = (
     "rolling_wau",
     "event_transition_matrix",
     "interarrival_burstiness",
-    "fold_leakage_audit",
     "dp_daily_counts",
     "mmr_diverse_topk",
-    "bpe_merge_table",
-    "token_budget_selection",
     "confident_joint_matrix",
     "daily_trend_slopes",
     "cusum_changepoint",
@@ -210,11 +224,8 @@ _DRIVER_PRIORITY = (
     "metric_correlation_matrix",
     "keep_rate_wilson",
     "ewma_daily_volume",
-    "cdc_apply_state",
     "cdc_apply_audit",
     "join_key_skew_profile",
-    "vocab_chao1_estimate",
-    "source_vocab_jaccard",
     "readability_by_source",
     "segment_priority_mix",
     "brand_basket_lift",
@@ -226,7 +237,6 @@ _DRIVER_PRIORITY = (
     "customer_spend_gini",
     "lorenz_spend_deciles",
     "abc_brand_classification",
-    "cluster_aware_split_stats",
     "robust_outlier_profile",
     "unpivot_metrics",
     "funnel_conversion",
@@ -241,12 +251,8 @@ _DRIVER_PRIORITY = (
     "orphan_check_matrix",
     "orphan_labels",
     "contrastive_pairs",
-    "kmeans_cluster_profile",
-    "ann_filtered_topk",
     "quality_classifier_scores",
     "schema_evolution_read",
-    "bigram_lm_scores",
-    "bpe_pair_counts",
     "mixture_weights",
     "mixture_epoch_sample",
     "pii_redaction",
@@ -256,12 +262,8 @@ _DRIVER_PRIORITY = (
     "incremental_daily_view",
     "reservoir_sample",
     "hybrid_rrf_search",
-    "nb_weak_label_confusion",
     "tfidf_top_terms",
-    "vocab_zipf_stats",
-    "token_cooccurrence",
     "heavy_hitters",
-    "vocab_coverage",
     "label_centroid_confusion",
 )
 
