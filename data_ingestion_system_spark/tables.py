@@ -289,8 +289,24 @@ def _reliable_checkpoint(df: DataFrame, ckpt_dir: str, eager: bool) -> DataFrame
 BULK_DISK_ONLY_MIN_ROWS = 200_000
 _BULK_DISK_ONLY_MIN_BYTES = 32 * 1024 * 1024
 
+# Operator override for the bulk storage level: "auto" (the floor above),
+# "disk" (always DISK_ONLY), "memory" (always MEMORY_AND_DISK). The r8
+# interleaved sf10 A/Bs measured the crossover as BOX-DEPENDENT — r7's
+# box: DISK_ONLY 39.4 s vs MEMORY_AND_DISK 58.8 s (GCLocker stalls);
+# r8's box, same corpus and code: 67.2 s vs 41.0 s, no stalls — so auto
+# keeps the arm that degrades gracefully (DISK_ONLY never OOMs: class
+# #5's MEMORY_AND_DISK failure at sf30 is fatal, its DISK_ONLY cost is
+# a bounded slowdown), and a deployment that has measured its own
+# heap/disk balance pins the other arm here.
+BULK_STORAGE_ENV = "SPARK_GRAFT_BULK_STORAGE"
+
 
 def _bulk_wants_disk_only(df: DataFrame, n_rows: int | None) -> bool:
+    mode = os.environ.get(BULK_STORAGE_ENV, "auto").lower()
+    if mode == "disk":
+        return True
+    if mode == "memory":
+        return False
     if n_rows is not None:
         return n_rows >= BULK_DISK_ONLY_MIN_ROWS
     total = _local_input_bytes(df)

@@ -92,3 +92,13 @@ def test_reliable_mode_query_parity(spark, sf_dir, reliable_dir):
     want = _rows(dedup_clusters(spark, sf_dir))
     assert got == want
     assert len(got) > 0
+
+
+def test_bulk_storage_env_override(spark, sf_dir, monkeypatch):
+    docs = load_table(spark, sf_dir, "documents")
+    monkeypatch.setenv(tables.BULK_STORAGE_ENV, "disk")
+    assert _bulk_wants_disk_only(docs, 1) is True
+    monkeypatch.setenv(tables.BULK_STORAGE_ENV, "memory")
+    assert _bulk_wants_disk_only(docs, 10**12) is False
+    monkeypatch.setenv(tables.BULK_STORAGE_ENV, "auto")
+    assert _bulk_wants_disk_only(docs, 10**12) is True
