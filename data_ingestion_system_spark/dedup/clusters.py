@@ -77,9 +77,13 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        # non-eager: the convergence agg right below materializes the
-        # checkpoint in the SAME job — eager=True ran two jobs per round
-        # (checkpoint, then sum), doubling the per-iteration fixed cost
+        # non-eager: in LOCAL mode the convergence agg right below
+        # materializes the checkpoint in the SAME job — eager=True ran
+        # two jobs per round (checkpoint, then sum), doubling the
+        # per-iteration fixed cost. In reliable mode Spark's
+        # checkpoint-write job re-runs the round's join once more, but
+        # it reads the PREVIOUS round's checkpoint, so the extra cost
+        # stays one bounded join per round (tables._reliable_checkpoint)
         labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select("doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label"))

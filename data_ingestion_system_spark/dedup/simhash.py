@@ -685,12 +685,12 @@ def near_dup_simhash_multiblock_keepers(spark: SparkSession, sf_dir: str) -> Dat
     docs = load_table(spark, sf_dir, "documents")
     hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS))
     n_docs = hashes.count()  # counts the already-materialized checkpoint
-    # bounded by the saturating value space — memory-resident lazy
-    # checkpoint (feeds the value-pair join AND the cluster_vals join)
-    vals = (
-        hashes.groupBy("simhash")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
+    # pre-saturation this is corpus-sized (one row per distinct value,
+    # <= n_docs), so it takes the corpus truncation helper: memory-
+    # resident lazily in local mode (feeds the value-pair join AND the
+    # cluster_vals join), reliable df.checkpoint() when the mode is on
+    vals = corpus_checkpoint(
+        hashes.groupBy("simhash").agg(F.count("*").alias("cnt")), eager=False
     )
     vp = _multiblock_value_pairs(vals.select("simhash"), n_docs=n_docs)
     from data_ingestion_system_spark.dedup.clusters import connected_components

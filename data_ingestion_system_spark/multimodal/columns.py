@@ -56,6 +56,8 @@ def _make_ppm_decoder():
     def decode(payload: bytes):
         import numpy as np
 
+        if len(payload) < 2:
+            raise ValueError("malformed image payload: shorter than any magic")
         if payload[:2] != b"P6":
             # codec formats (JPEG \xff\xd8, PNG \x89PNG, ...) need
             # libraries this container does not ship — honest stub
@@ -83,11 +85,20 @@ def _make_ppm_decoder():
         w, h, maxval = fields
         if maxval > 255:
             raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
+        if maxval <= 0:
+            raise ValueError(f"malformed PPM: maxval {maxval}")
         n = w * h * 3
         data = payload[i : i + n]
         if len(data) != n:
             raise ValueError(f"truncated PPM: want {n} pixel bytes, have {len(data)}")
-        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        img = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        if maxval != 255:
+            # spec: samples are 0..maxval — rescale to the uint8 contract
+            # (round-half-up via +0.5 floor, exact for the integer grid)
+            img = ((img.astype(np.uint16) * 255 + maxval // 2) // maxval).astype(
+                np.uint8
+            )
+        return img
 
     return decode
 

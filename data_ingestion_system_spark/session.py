@@ -66,6 +66,11 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot
         # read natively; read as epoch-nanos long, converted in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable-mode (SPARK_GRAFT_RELIABLE_CHECKPOINT) hygiene: let
+        # ContextCleaner delete df.checkpoint() files when their RDDs
+        # are GC'd; tables.release_session_checkpoints sweeps the rest
+        # deterministically between queries
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.shuffledHashJoinFactor", "3")
         # bucketed tables (sources/bucketing.py) live in the session
         # catalog; keep the warehouse out of the repo checkout

@@ -256,7 +256,7 @@ def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame
 # their blocks are a few KB and the cost of losing one is a cheap task
 # retry of a driver-small job, not hours of corpus work.
 RELIABLE_CHECKPOINT_ENV = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
-_RELIABLE_DIR_SET_FOR: set[str] = set()  # app ids with setCheckpointDir done
+_RELIABLE_DIR_SET_FOR: dict[str, str] = {}  # app id -> dir last set
 
 
 def _reliable_checkpoint_dir(spark: SparkSession) -> str | None:
@@ -267,11 +267,20 @@ def _reliable_checkpoint_dir(spark: SparkSession) -> str | None:
 
 
 def _reliable_checkpoint(df: DataFrame, ckpt_dir: str, eager: bool) -> DataFrame:
+    """Reliable `df.checkpoint()` against `ckpt_dir`. setCheckpointDir is
+    re-issued whenever the configured dir CHANGES (keyed per app id) — a
+    once-per-session memo would silently keep writing into a stale
+    directory after the operator rotates it. Note Spark computes a lazy
+    reliable checkpoint's subtree up to twice (the action, then the
+    checkpoint-write job re-runs the lineage); for the iterative callers
+    each round's subtree reads the previous round's checkpoint, so the
+    extra cost is one bounded join per round — measured at parity with
+    the local arms at sf10 (SCALING.md round-8)."""
     spark = df.sparkSession
     app_id = spark.sparkContext.applicationId
-    if app_id not in _RELIABLE_DIR_SET_FOR:
+    if _RELIABLE_DIR_SET_FOR.get(app_id) != ckpt_dir:
         spark.sparkContext.setCheckpointDir(ckpt_dir)
-        _RELIABLE_DIR_SET_FOR.add(app_id)
+        _RELIABLE_DIR_SET_FOR[app_id] = ckpt_dir
     return df.checkpoint(eager=eager)
 
 
@@ -280,12 +289,24 @@ def _reliable_checkpoint(df: DataFrame, ckpt_dir: str, eager: bool) -> DataFrame
 # the sibling corpus floor). Above the floor DISK_ONLY wins: at sf10
 # (500k docs) MEMORY_AND_DISK token blocks fill the unified pool's
 # storage half and starve wide aggregates / trigger GCLocker stalls
-# (sf10 A/B: 58.8/54.3 → 39.4/51.3 s). Below it the relation fits in
+# (sf10 A/B: 58.8/54.3 → 39.4/51.3 s; r8 re-measured the crossover as
+# box-dependent — SCALING.md round-8). Below it the relation fits in
 # memory and the disk round-trip is pure overhead (r7's blanket
-# DISK_ONLY cost near_dup_minhash_lsh ×1.84 at sf0.1). Callers that
-# already counted the corpus pass `n_rows`; otherwise a planning-time
-# bytes probe of the lineage's source files decides; untraceable
-# lineages (checkpoint-fed) go DISK_ONLY — the scale-safe default.
+# DISK_ONLY cost near_dup_minhash_lsh ×1.84 at sf0.1).
+#
+# UNITS: the floor is calibrated in SOURCE-CORPUS rows (documents), not
+# rows of the checkpointed relation — every calibrated caller passes
+# its doc count while checkpointing a per-doc EXPANSION (token sets,
+# 3-gram postings: ~25-100 rows/doc). In relation-row terms the
+# measured crossover sits around ~10M rows (5k docs ≈ 0.5M token rows
+# kept memory-resident; 500k docs ≈ 50M went to disk), and the
+# class-#5 OOM margin holds at the boundary: a just-under-floor corpus
+# (200k docs ≈ 20M gram rows ≈ 2 GB) fits the default heap's protected
+# storage half, while the sf30 failure regime (3M docs) is far above
+# the floor. Callers that counted the corpus pass `n_rows=<doc count>`;
+# otherwise a planning-time bytes probe of the lineage's source files
+# decides; untraceable lineages (checkpoint-fed) go DISK_ONLY — the
+# scale-safe default.
 BULK_DISK_ONLY_MIN_ROWS = 200_000
 _BULK_DISK_ONLY_MIN_BYTES = 32 * 1024 * 1024
 
@@ -307,6 +328,13 @@ def _bulk_wants_disk_only(df: DataFrame, n_rows: int | None) -> bool:
         return True
     if mode == "memory":
         return False
+    if mode != "auto":
+        # a typo'd override must not silently fall back to auto — the
+        # knob exists precisely because the auto arm was measured wrong
+        # for some deployments
+        raise ValueError(
+            f"{BULK_STORAGE_ENV}={mode!r}: expected auto, disk, or memory"
+        )
     if n_rows is not None:
         return n_rows >= BULK_DISK_ONLY_MIN_ROWS
     total = _local_input_bytes(df)
@@ -397,6 +425,25 @@ def release_session_checkpoints(spark: SparkSession) -> int:
     rdds = list(jmap.values())
     for rdd in rdds:
         rdd.unpersist(False)
+    # Reliable-mode twin (r8): df.checkpoint() part files are not
+    # reference-tracked reliably either — ContextCleaner deletes them
+    # only with cleanCheckpoints=true AND a timely driver GC, the same
+    # weak-ref gap as the blocks above. The between-queries release
+    # therefore also empties the session's checkpoint directory (local
+    # filesystems only: on HDFS/S3 retention is the platform's
+    # lifecycle rule, and a shared dir must not be swept by one
+    # driver). Same contract: never call mid-query.
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    if opt.isDefined():
+        d = str(opt.get())
+        if d.startswith("file:"):
+            d = d.removeprefix("file:")
+        if os.path.isdir(d):
+            import shutil
+
+            for sub in os.listdir(d):
+                if sub.startswith("rdd-"):
+                    shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
     return len(rdds)
 
 

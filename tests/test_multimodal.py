@@ -84,3 +84,18 @@ def test_image_features_real_pixel_stats(spark):
         assert (r.width, r.height) == (img.shape[1], img.shape[0])
         for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
             assert abs(getattr(r, col) - float(img[:, :, ch].mean())) < 1e-6
+
+
+def test_ppm_maxval_rescale():
+    """maxval < 255 is spec-legal: samples are 0..maxval and must
+    rescale to the uint8 contract, not pass through raw."""
+    import numpy as np
+
+    from data_ingestion_system_spark.multimodal.columns import decode_image
+
+    # 1x2 image at maxval=15: (15,0,7) -> (255,0,119... round(7*255/15)=119)
+    payload = b"P6\n2 1\n15\n" + bytes([15, 0, 7, 1, 15, 15])
+    img = decode_image(payload)
+    assert img.tolist() == [[[255, 0, 119], [17, 255, 255]]]
+    with pytest.raises(ValueError):
+        decode_image(b"")  # malformed, not "codec format"

@@ -80,18 +80,46 @@ def test_reliable_mode_writes_rdd_files_and_matches(spark, sf_dir, reliable_dir)
     assert len(parts) >= 2, "reliable mode must write RDD part files"
 
 
-def test_reliable_mode_query_parity(spark, sf_dir, reliable_dir):
+def test_reliable_mode_query_parity(spark, sf_dir, reliable_dir, monkeypatch):
     """The flagship iterative dedup query (tokens bulk checkpoint +
     per-round label truncation in connected components) returns the
     identical answer under reliable checkpointing."""
     from data_ingestion_system_spark.dedup.clusters import dedup_clusters
 
     got = _rows(dedup_clusters(spark, sf_dir))
-    # wipe env (monkeypatch scope is the test, but compare inside it)
-    os.environ.pop(tables.RELIABLE_CHECKPOINT_ENV)
+    # compare against local mode inside the same test
+    monkeypatch.delenv(tables.RELIABLE_CHECKPOINT_ENV, raising=False)
     want = _rows(dedup_clusters(spark, sf_dir))
     assert got == want
     assert len(got) > 0
+    # don't leak this test's checkpoint blocks into later modules
+    # (class-#6 hygiene — the session fixture is shared)
+    tables.release_session_checkpoints(spark)
+
+
+def test_release_sweeps_reliable_checkpoint_files(spark, sf_dir, reliable_dir):
+    """release_session_checkpoints must also empty the reliable
+    checkpoint dir (df.checkpoint files are not reference-tracked any
+    more reliably than localCheckpoint blocks)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bulk_checkpoint(docs, eager=True, n_rows=10**9).count()
+    rdd_dirs = [
+        os.path.join(r, s)
+        for r, subs, _ in os.walk(reliable_dir)
+        for s in subs
+        if s.startswith("rdd-")
+    ]
+    assert rdd_dirs, "expected checkpoint rdd dirs before release"
+    tables.release_session_checkpoints(spark)
+    for d in rdd_dirs:
+        assert not os.path.exists(d), d
+
+
+def test_unknown_bulk_storage_mode_fails_fast(spark, sf_dir, monkeypatch):
+    docs = load_table(spark, sf_dir, "documents")
+    monkeypatch.setenv(tables.BULK_STORAGE_ENV, "disk_only")  # typo'd
+    with pytest.raises(ValueError, match="SPARK_GRAFT_BULK_STORAGE"):
+        _bulk_wants_disk_only(docs, 1)
 
 
 def test_bulk_storage_env_override(spark, sf_dir, monkeypatch):
