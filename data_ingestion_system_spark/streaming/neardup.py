@@ -67,7 +67,12 @@ def neardup_insert_batch(
 ) -> None:
     """foreachBatch body: reject near-dups vs the accepted corpus, then
     within the batch (smallest doc_id of a verified pair wins), append
-    survivors and their index state, record the audit row."""
+    survivors and their index state, record the audit row (with the
+    batch's wall seconds, so scale probes read per-batch cost from the
+    operator's own audit instead of inferring it from totals)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     if _dir_has_parquet(paths.audit_dir):
         already = (
             spark.read.parquet(paths.audit_dir)
@@ -133,10 +138,11 @@ def neardup_insert_batch(
                 fetched - after_store,
                 after_store - inserted,
                 inserted,
+                round(_time.perf_counter() - t0, 3),
             )
         ],
         "batch_id long, fetched long, dup_vs_store long, dup_within_batch long,"
-        " inserted long",
+        " inserted long, duration_seconds double",
     )
     audit.write.mode("append").parquet(paths.audit_dir)
 

@@ -115,6 +115,7 @@ def probe_neardup_ingestion(spark, sf_dir: str, root: str) -> dict:
             {k: a[k] for k in ("batch_id", "fetched", "dup_vs_store", "dup_within_batch", "inserted")}
             for a in audit
         ],
+        "per_batch_sec": [round(a["duration_seconds"], 2) for a in audit],
         "inserted_total": inserted,
         "index_state_bytes": _dir_bytes(paths.bands_dir) + _dir_bytes(paths.tokens_dir),
     }
