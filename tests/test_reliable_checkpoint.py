@@ -130,3 +130,20 @@ def test_bulk_storage_env_override(spark, sf_dir, monkeypatch):
     assert _bulk_wants_disk_only(docs, 10**12) is False
     monkeypatch.setenv(tables.BULK_STORAGE_ENV, "auto")
     assert _bulk_wants_disk_only(docs, 10**12) is True
+
+
+def test_keepers_reliable_mode_parity(spark, sf_dir, reliable_dir, monkeypatch):
+    """The round's flagship new query composes with the round's new
+    mode: keeper output is identical under reliable checkpointing
+    (its hashes AND distinct-value relations both truncate through the
+    reliable path)."""
+    from data_ingestion_system_spark.dedup.simhash import (
+        near_dup_simhash_multiblock_keepers,
+    )
+
+    got = _rows(near_dup_simhash_multiblock_keepers(spark, sf_dir))
+    monkeypatch.delenv(tables.RELIABLE_CHECKPOINT_ENV, raising=False)
+    want = _rows(near_dup_simhash_multiblock_keepers(spark, sf_dir))
+    assert got == want
+    assert len(got) > 0
+    tables.release_session_checkpoints(spark)
