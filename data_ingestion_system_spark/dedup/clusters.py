@@ -55,44 +55,77 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
     cluster_id is the minimum doc_id of the component.
 
-    Min-label propagation to fixpoint; convergence is detected by the
-    label sum (labels only ever decrease, so an unchanged sum is a
-    fixpoint — one cheap scalar agg per round instead of a join-diff).
-    """
+    Min-label propagation WITH EDGE CONTRACTION (round 8 — the
+    Kiveris-style upgrade the r2 docstring promised): each round every
+    active node takes the minimum over its closed neighborhood, then
+    the graph is CONTRACTED onto the new labels (edges relabelled to
+    (label(src), label(dst)), self-loops dropped, duplicates merged)
+    and the original-vertex mapping composes through the round. Dense
+    near-dup graphs — band-overlap cliques, saturated simhash value
+    balls — collapse to single nodes in one round, so the edge relation
+    shrinks geometrically instead of being rescanned at full size every
+    round: the plain propagation loop ran 10 × 43M-edge joins on the
+    sf10 value graph (115 s); contraction pays the full-size join once
+    and finishes on shrunken remnants. Path-shaped chains halve per
+    round (O(log n) rounds vs O(diameter)).
+
+    Correctness of the min invariant: a node's new label is the min of
+    CURRENT labels in its closed neighborhood, and every current label
+    is by induction the min original id of its merged set, so a merged
+    set's label stays the min original id of its union; at termination
+    (no cross-label edge) each component is one node = its min doc_id —
+    the same contract as the plain loop, pinned by the recursive-CTE
+    oracles and the keeper-equality pytest.
+
+    Convergence check: the contracted edge relation is empty — checked
+    on the relation the next round needs anyway (the old label-sum
+    scalar is meaningless across contractions)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .transform(corpus_checkpoint)
     )
-    labels = (
+    # original doc_id -> current component label (composes every round)
+    mapping = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .transform(corpus_checkpoint)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
+        # min over the closed neighborhood, in the CURRENT contracted
+        # space (a contracted node's label is itself)
+        # eager checkpoint: relabel feeds THREE subtrees (both contraction
+        # sides + the mapping compose); without it the edge-wide groupBy
+        # — the round's expensive op — would run three times
+        relabel = corpus_checkpoint(
+            edges.groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("nmin"))
+            .select("node", F.least("node", "nmin").alias("newlab"))
         )
-        # non-eager: in LOCAL mode the convergence agg right below
-        # materializes the checkpoint in the SAME job — eager=True ran
-        # two jobs per round (checkpoint, then sum), doubling the
-        # per-iteration fixed cost. In reliable mode Spark's
-        # checkpoint-write job re-runs the round's join once more, but
-        # it reads the PREVIOUS round's checkpoint, so the extra cost
-        # stays one bounded join per round (tables._reliable_checkpoint)
-        labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select("doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        # contract: both endpoints into the new label space; self-loops
+        # vanish, parallel edges merge. Nodes missing from `relabel`
+        # have no edges left — their components are finished.
+        rs = relabel.select(F.col("node").alias("src"), F.col("newlab").alias("ls"))
+        rd = relabel.select(F.col("node").alias("dst"), F.col("newlab").alias("ld"))
+        edges = (
+            edges.join(rs, "src")
+            .join(rd, "dst")
+            .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .transform(corpus_checkpoint)
+        )
+        # compose the original-vertex mapping through this contraction
+        mapping = (
+            mapping.join(
+                relabel.withColumnRenamed("node", "label"), "label", "left"
+            )
+            .select("doc_id", F.coalesce("newlab", "label").alias("label"))
             .transform(corpus_checkpoint_lazy)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            return labels.select("doc_id", F.col("label").alias("cluster_id"))
-        prev_sum = cur_sum
+        if edges.isEmpty():  # reads the just-checkpointed relation
+            return mapping.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
 
