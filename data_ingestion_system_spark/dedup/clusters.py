@@ -50,36 +50,46 @@ from data_ingestion_system_spark.tables import (
 
 MAX_ITERS = 20  # >> observed duplicate-chain diameter; convergence asserted
 
+# §4d threshold dispatch for the component loop: below this edge count
+# the plain propagation loop wins — contraction spends THREE jobs per
+# round (relabel checkpoint, contracted-edge checkpoint + emptiness
+# probe) whose fixed cost dwarfs the joins on a small graph (sf0.1
+# keeper bench: 6.0 s plain vs 10.7 s contracted), while above it the
+# full-size-edge rescan dominates and contraction pays it once instead
+# of every round (sf10 keeper: 118 -> 81 s). The count is read off the
+# just-checkpointed edge relation — a cached-scan job, not extra
+# lineage.
+CC_CONTRACT_MIN_EDGES = 1_000_000
+
 
 def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
     cluster_id is the minimum doc_id of the component.
 
-    Min-label propagation WITH EDGE CONTRACTION (round 8 — the
-    Kiveris-style upgrade the r2 docstring promised): each round every
-    active node takes the minimum over its closed neighborhood, then
-    the graph is CONTRACTED onto the new labels (edges relabelled to
-    (label(src), label(dst)), self-loops dropped, duplicates merged)
-    and the original-vertex mapping composes through the round. Dense
-    near-dup graphs — band-overlap cliques, saturated simhash value
-    balls — collapse to single nodes in one round, so the edge relation
-    shrinks geometrically instead of being rescanned at full size every
-    round: the plain propagation loop ran 10 × 43M-edge joins on the
-    sf10 value graph (115 s); contraction pays the full-size join once
-    and finishes on shrunken remnants. Path-shaped chains halve per
-    round (O(log n) rounds vs O(diameter)).
+    Two physical loops, one answer (§4d, dispatched on the edge count):
 
-    Correctness of the min invariant: a node's new label is the min of
-    CURRENT labels in its closed neighborhood, and every current label
-    is by induction the min original id of its merged set, so a merged
-    set's label stays the min original id of its union; at termination
-    (no cross-label edge) each component is one node = its min doc_id —
-    the same contract as the plain loop, pinned by the recursive-CTE
-    oracles and the keeper-equality pytest.
+    - PLAIN min-label propagation (small graphs): every round each node
+      takes the min label over its closed neighborhood; converges in
+      diameter rounds; two jobs per round (lazy label checkpoint
+      materialized by the convergence agg).
+    - EDGE CONTRACTION (large graphs — the Kiveris et al. upgrade the
+      r2 docstring promised): after each min round the graph CONTRACTS
+      onto the new labels (edges relabelled, self-loops dropped,
+      parallel edges merged) and the original-vertex mapping composes
+      through the round. Dense near-dup graphs — band-overlap cliques,
+      saturated simhash value balls — collapse to single nodes in one
+      round, so the full-size edge rescan the plain loop pays EVERY
+      round (10 × 43M-edge joins, 115 s on the sf10 value graph) is
+      paid once; path-shaped chains halve per round (O(log n) rounds).
 
-    Convergence check: the contracted edge relation is empty — checked
-    on the relation the next round needs anyway (the old label-sum
-    scalar is meaningless across contractions)."""
+    Correctness of the contraction's min invariant: a node's new label
+    is the min of CURRENT labels in its closed neighborhood, and every
+    current label is by induction the min original id of its merged
+    set, so a merged set's label stays the min original id of its
+    union; at termination (no cross-label edge) each component is one
+    node = its min doc_id — the same contract as the plain loop, pinned
+    by the recursive-CTE oracles, the keeper-equality pytest, and the
+    forced-arm dispatch test."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -92,6 +102,43 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         .select("doc_id", F.col("doc_id").alias("label"))
         .transform(corpus_checkpoint)
     )
+    if edges.count() < CC_CONTRACT_MIN_EDGES:  # scan of the materialized ckpt
+        return _cc_propagate(edges, mapping, max_iters)
+    return _cc_contract(edges, mapping, max_iters)
+
+
+def _cc_propagate(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:
+    """Plain min-label propagation; convergence detected by the label
+    sum (labels only ever decrease, so an unchanged sum is a fixpoint —
+    one cheap scalar agg per round instead of a join-diff)."""
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        # non-eager: in LOCAL mode the convergence agg right below
+        # materializes the checkpoint in the SAME job; in reliable mode
+        # the checkpoint-write job re-runs the round's join once more
+        # but reads the PREVIOUS round's checkpoint, so the extra cost
+        # stays one bounded join per round (tables._reliable_checkpoint)
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .transform(corpus_checkpoint_lazy)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+
+
+def _cc_contract(edges: DataFrame, mapping: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label round + graph contraction; convergence is the
+    contracted edge relation going empty (the plain loop's label-sum
+    scalar is meaningless across contractions)."""
     for _ in range(max_iters):
         # min over the closed neighborhood, in the CURRENT contracted
         # space (a contracted node's label is itself)

@@ -21,7 +21,7 @@ import pytest
 from conftest import assert_df_matches_oracle
 
 from data_ingestion_system_spark import tables
-from data_ingestion_system_spark.dedup import minhash, semdedup, simhash
+from data_ingestion_system_spark.dedup import clusters, minhash, semdedup, simhash
 from data_ingestion_system_spark.operators import statistics
 from data_ingestion_system_spark.registry import load_all
 from data_ingestion_system_spark.tables import TABLE_NAMES
@@ -79,6 +79,14 @@ DISPATCHED = [
         [(statistics, "EQUI_DEPTH_DIRECT_MAX_ROWS")],
         {"distributed": [0], "direct_ntile": [HUGE]},
         id="equi-depth-exact",
+    ),
+    pytest.param(
+        # r8 component-loop dispatch: plain propagation vs edge
+        # contraction must close the identical transitive clusters
+        "dedup_clusters",
+        [(clusters, "CC_CONTRACT_MIN_EDGES")],
+        {"contract": [0], "propagate": [HUGE]},
+        id="cc-loop",
     ),
     pytest.param(
         "corpus_prep_pipeline",
