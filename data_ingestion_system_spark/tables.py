@@ -253,8 +253,12 @@ def pin_width(df: DataFrame, *keys: str, n_rows: int | None = None) -> DataFrame
 # (the consumers are sequential scans that read back at storage bandwidth
 # either way), but the blocks survive executor loss. Bounded relations
 # (centroids, codebooks, boundary tuples) keep plain localCheckpoint:
-# their blocks are a few KB and the cost of losing one is a cheap task
-# retry of a driver-small job, not hours of corpus work.
+# their blocks are a few KB, and — honestly — a lost localCheckpoint
+# block is unrecoverable once lineage is truncated, so losing one still
+# fails the QUERY (not a task retry). The accepted trade: the re-run of
+# a query whose corpus-scale state already sits on fault-tolerant
+# storage replays only the cheap bounded tail — seconds, not the hours
+# of corpus work the reliable blocks protect.
 RELIABLE_CHECKPOINT_ENV = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
 _RELIABLE_DIR_SET_FOR: dict[str, str] = {}  # app id -> dir last set
 
@@ -322,19 +326,27 @@ _BULK_DISK_ONLY_MIN_BYTES = 32 * 1024 * 1024
 BULK_STORAGE_ENV = "SPARK_GRAFT_BULK_STORAGE"
 
 
-def _bulk_wants_disk_only(df: DataFrame, n_rows: int | None) -> bool:
+def _bulk_storage_mode() -> str:
+    """Validated value of the bulk-storage override knob. Raises on a
+    typo'd value — the override must not silently fall back to auto (the
+    knob exists precisely because the auto arm was measured wrong for
+    some deployments), and the validation runs even when the reliable
+    mode makes the storage level moot, so a mis-set knob fails fast
+    regardless of which checkpoint path a query takes."""
     mode = os.environ.get(BULK_STORAGE_ENV, "auto").lower()
+    if mode not in ("auto", "disk", "memory"):
+        raise ValueError(
+            f"{BULK_STORAGE_ENV}={mode!r}: expected auto, disk, or memory"
+        )
+    return mode
+
+
+def _bulk_wants_disk_only(df: DataFrame, n_rows: int | None) -> bool:
+    mode = _bulk_storage_mode()
     if mode == "disk":
         return True
     if mode == "memory":
         return False
-    if mode != "auto":
-        # a typo'd override must not silently fall back to auto — the
-        # knob exists precisely because the auto arm was measured wrong
-        # for some deployments
-        raise ValueError(
-            f"{BULK_STORAGE_ENV}={mode!r}: expected auto, disk, or memory"
-        )
     if n_rows is not None:
         return n_rows >= BULK_DISK_ONLY_MIN_ROWS
     total = _local_input_bytes(df)
@@ -374,6 +386,7 @@ def bulk_checkpoint(
     where memory residency is the point."""
     from pyspark.storagelevel import StorageLevel
 
+    _bulk_storage_mode()  # fail fast on a typo'd knob even in reliable mode
     ckpt_dir = _reliable_checkpoint_dir(df.sparkSession)
     if ckpt_dir:
         return _reliable_checkpoint(df, ckpt_dir, eager)
@@ -432,13 +445,30 @@ def release_session_checkpoints(spark: SparkSession) -> int:
     # therefore also empties the session's checkpoint directory (local
     # filesystems only: on HDFS/S3 retention is the platform's
     # lifecycle rule, and a shared dir must not be swept by one
-    # driver). Same contract: never call mid-query.
+    # driver). Same contract: never call mid-query. Scope (r9, advisor):
+    # sweep ONLY a directory THIS library configured via the reliable
+    # mode — an embedding app that called setCheckpointDir for its own
+    # df.checkpoint() use owns that dir's lifecycle, and sweeping it
+    # here would delete live checkpoints between our queries.
+    app_id = spark.sparkContext.applicationId
+    ours = {
+        os.path.normpath(p)
+        for p in (
+            _reliable_checkpoint_dir(spark),
+            _RELIABLE_DIR_SET_FOR.get(app_id),
+        )
+        if p
+    }
     opt = spark.sparkContext._jsc.sc().getCheckpointDir()
-    if opt.isDefined():
+    if ours and opt.isDefined():
         d = str(opt.get())
         if d.startswith("file:"):
             d = d.removeprefix("file:")
-        if os.path.isdir(d):
+        # setCheckpointDir appends a UUID subdir, so the active dir is a
+        # CHILD of the configured one — match on containment.
+        nd = os.path.normpath(d)
+        mine = any(nd == p or nd.startswith(p + os.sep) for p in ours)
+        if mine and os.path.isdir(d):
             import shutil
 
             for sub in os.listdir(d):

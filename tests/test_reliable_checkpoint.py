@@ -147,3 +147,50 @@ def test_keepers_reliable_mode_parity(spark, sf_dir, reliable_dir, monkeypatch):
     assert got == want
     assert len(got) > 0
     tables.release_session_checkpoints(spark)
+
+
+def test_typoed_bulk_storage_fails_fast_even_in_reliable_mode(
+    spark, sf_dir, reliable_dir, monkeypatch
+):
+    """r9 advisor fix: the reliable-mode early return must not skip the
+    BULK_STORAGE validation — a typo'd knob fails fast regardless of
+    which checkpoint path the query takes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    monkeypatch.setenv(tables.BULK_STORAGE_ENV, "disk_only")  # typo'd
+    with pytest.raises(ValueError, match="SPARK_GRAFT_BULK_STORAGE"):
+        bulk_checkpoint(docs, n_rows=1)
+
+
+def test_release_does_not_sweep_app_owned_checkpoint_dir(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r9 advisor fix: release_session_checkpoints sweeps only a dir this
+    library configured via reliable mode. An embedding app that called
+    setCheckpointDir for its own df.checkpoint() use owns that dir's
+    lifecycle — its live checkpoint files must survive our release."""
+    monkeypatch.delenv(tables.RELIABLE_CHECKPOINT_ENV, raising=False)
+    app_dir = str(tmp_path / "app_ckpt")
+    spark.sparkContext.setCheckpointDir(app_dir)
+    # drop the library's memo of any dir a previous test configured —
+    # a fresh app would not have set one
+    tables._RELIABLE_DIR_SET_FOR.pop(spark.sparkContext.applicationId, None)
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        ck = docs.checkpoint(eager=True)  # the APP's own reliable checkpoint
+        assert ck.count() > 0
+        rdd_dirs = [
+            os.path.join(r, s)
+            for r, subs, _ in os.walk(app_dir)
+            for s in subs
+            if s.startswith("rdd-")
+        ]
+        assert rdd_dirs, "expected the app's checkpoint rdd dirs"
+        tables.release_session_checkpoints(spark)
+        for d in rdd_dirs:
+            assert os.path.exists(d), f"app-owned checkpoint swept: {d}"
+        # the app's checkpointed frame still reads back after release
+        assert ck.count() == docs.count()
+    finally:
+        import shutil
+
+        shutil.rmtree(app_dir, ignore_errors=True)

@@ -45,6 +45,15 @@ N_EVENT_BATCHES = 8
 N_DOC_BATCHES = 5
 
 
+def _batch_sec(a: dict):
+    """Per-batch wall from the audit row, None for rows written before the
+    duration_seconds column existed (an audit dir resumed across the r8
+    schema change holds mixed 5/6-column files; parquet schema-merges the
+    missing column to null)."""
+    d = a.get("duration_seconds")
+    return round(d, 2) if d is not None else None
+
+
 def _dir_bytes(path: str) -> int:
     return sum(
         os.path.getsize(p)
@@ -78,7 +87,7 @@ def probe_event_ingestion(spark, sf_dir: str, root: str) -> dict:
         "batches": len(audit),
         "wall_sec": round(wall, 1),
         "rows_per_sec": round(n / wall),
-        "per_batch_sec": [round(a["duration_seconds"], 2) for a in audit],
+        "per_batch_sec": [_batch_sec(a) for a in audit],
         "per_batch_inserted": [a["inserted"] for a in audit],
         "target_bytes_final": _dir_bytes(paths.target_dir),
     }
@@ -115,7 +124,7 @@ def probe_neardup_ingestion(spark, sf_dir: str, root: str) -> dict:
             {k: a[k] for k in ("batch_id", "fetched", "dup_vs_store", "dup_within_batch", "inserted")}
             for a in audit
         ],
-        "per_batch_sec": [round(a["duration_seconds"], 2) for a in audit],
+        "per_batch_sec": [_batch_sec(a) for a in audit],
         "inserted_total": inserted,
         "index_state_bytes": _dir_bytes(paths.bands_dir) + _dir_bytes(paths.tokens_dir),
     }
