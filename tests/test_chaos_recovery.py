@@ -1,0 +1,73 @@
+"""Executor-kill chaos test for the reliable-checkpoint mode (r8 ask #1).
+
+The mode's whole point — a job survives a killed executor — was
+previously asserted from Spark semantics only. This test demonstrates it
+under a genuine multi-JVM master (`local-cluster[2,4,2048]`, separate
+executor processes): `tools/chaos_kill_probe.py` SIGKILLs one executor
+JVM mid-component-loop, with the trigger gated on an ACTIVE job and >=4
+materialized lineage truncations, so the kill provably lands mid-flight.
+
+- reliable arm: job completes, rows identical to the unkilled run in the
+  same session, and a replacement executor appears.
+- local arm (control): the same trigger point fails the job with the
+  checkpoint-block-not-found error the `tables.py` rationale predicts —
+  proving the killed blocks were genuinely needed at that point.
+
+Runs in a subprocess because the probe needs its own local-cluster
+SparkContext (the shared session fixture is local[32])."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROBE = os.path.join(REPO, "tools", "chaos_kill_probe.py")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _run_arm(arm: str) -> dict:
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_RELIABLE_CHECKPOINT", None)
+    proc = subprocess.run(
+        [sys.executable, PROBE, SF_DIR, "--arm", arm],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    return json.loads(lines[0])
+
+
+def _assert_kill_landed_mid_job(r: dict) -> None:
+    assert r["kill_fired"], r
+    assert r["victim_dead"], r
+    assert r["jobs_active_at_kill"], r  # the query was genuinely in flight
+    assert r["truncations_at_kill"] >= 4, r  # past several lineage truncations
+    assert len(r["executor_pids_at_kill"]) >= 2, r
+
+
+def test_reliable_mode_survives_executor_kill():
+    r = _run_arm("reliable")
+    _assert_kill_landed_mid_job(r)
+    assert r["outcome"] == "completed", r
+    assert r["row_parity"] is True, r
+    assert r["rows"] == r["clean_rows"] > 0, r
+    # the standalone master relaunched a replacement executor
+    new_pids = set(r["executor_pids_after"]) - set(r["executor_pids_at_kill"])
+    assert new_pids, r
+
+
+def test_local_mode_fails_on_executor_kill_control():
+    r = _run_arm("local")
+    _assert_kill_landed_mid_job(r)
+    assert r["outcome"] == "job_failed", r
+    # the exact failure the tables.py rationale predicts: a truncated
+    # lineage cannot recompute past a lost executor-pinned block
+    assert "CHECKPOINT" in r["error_head"].upper() or "FETCH" in r["error_head"].upper(), r
