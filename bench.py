@@ -110,6 +110,17 @@ REPS = 3  # median-of-3 per query
 # `collect_sec` so r4↔r5 totals stay comparable.
 OUTPUT_BOUND = {"near_dup_simhash_multiblock"}
 
+# Keeper-surface queries (corpus-scale keeper/cluster rows — ~500k at
+# sf10): the PRODUCTION contract for keeper output is a sink write, not
+# a driver collect (CONVENTIONS.md §6/§7; VERDICT r8 ask #3). These are
+# timed per-rep via a parquet sink write to a temp dir; the
+# driver-collect time is reported once under `collect_sec` so r8↔r9
+# totals stay comparable (the same split OUTPUT_BOUND uses).
+KEEPER_SINK = {"near_dup_simhash_multiblock_keepers"}
+# timing-convention changes by round: (names, first round with the new
+# convention) — box_cal must not read a convention flip as box drift
+_CONVENTION_CHANGED = {"near_dup_simhash_multiblock_keepers": 9}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,8 +156,13 @@ def main() -> None:
     collect_sec: dict[str, float] = {}
     from data_ingestion_system_spark.tables import release_session_checkpoints
 
+    import shutil
+    import tempfile
+
+    sink_root = tempfile.mkdtemp(prefix="bench_keeper_sink_")
     for name in HEADLINE:
         sink_measured = name in OUTPUT_BOUND
+        keeper_sink = name in KEEPER_SINK
         reps = []
         for _ in range(REPS):
             # free finished runs' checkpoint blocks so no rep is
@@ -163,14 +179,17 @@ def main() -> None:
             df = registry[name].spark(spark, sf_dir)
             if sink_measured:
                 df.count()
+            elif keeper_sink:
+                df.write.mode("overwrite").parquet(os.path.join(sink_root, name))
             else:
                 df.collect()
             reps.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(reps), 3)
-        if sink_measured:
+        if sink_measured or keeper_sink:
             t0 = time.perf_counter()
             registry[name].spark(spark, sf_dir).collect()
             collect_sec[name] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(sink_root, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     anchor = _reference_anchor(spark)
@@ -223,7 +242,17 @@ def main() -> None:
         "ann_index_train_sec": train_sec,
         "ref_anchor_total": anchor.get("total"),
         "box_cal": (
-            {k: boxcal[k] for k in ("prev_bench", "factor", "n_untouched", "ratio_p25", "ratio_p75")}
+            {
+                k: boxcal[k]
+                for k in (
+                    "prev_bench",
+                    "factor",
+                    "n_untouched",
+                    "ratio_p25",
+                    "ratio_p75",
+                    "noisy_box",
+                )
+            }
             if boxcal
             else None
         ),
@@ -307,6 +336,8 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
             changed = {ln.strip() for ln in diff.splitlines() if ln.strip().endswith(".py")}
     except (OSError, subprocess.SubprocessError):
         pass  # no git → no exclusions; the median is still skew-robust
+    # a timing-convention flip (collect → sink write) is not box signal
+    convention_flip = {n for n, since in _CONVENTION_CHANGED.items() if prev_n < since}
     ratios: dict[str, float] = {}
     excluded: list[str] = []
     for name, t in times.items():
@@ -317,7 +348,7 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
             mod = os.path.relpath(inspect.getfile(registry[name].spark), _REPO)
         except (TypeError, OSError):
             mod = None
-        if mod in changed:
+        if mod in changed or name in convention_flip:
             excluded.append(name)
             continue
         ratios[name] = t / pt
@@ -325,13 +356,20 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
         return None
     vals = sorted(ratios.values())
     med = statistics.median(vals)
+    p25 = vals[len(vals) // 4]
+    p75 = vals[(3 * len(vals)) // 4]
     return {
         "prev_bench": os.path.basename(prev_path),
         "factor": round(med, 4),
         "n_untouched": len(vals),
         "excluded_touched": sorted(excluded),
-        "ratio_p25": round(vals[len(vals) // 4], 4),
-        "ratio_p75": round(vals[(3 * len(vals)) // 4], 4),
+        "ratio_p25": round(p25, 4),
+        "ratio_p75": round(p75, 4),
+        # CONVENTIONS.md §7 (r8 ask #6): when the untouched-query ratio
+        # quartiles spread past ±15% around the median, the box was
+        # drifting WITHIN this session and per-query deltas from this
+        # run must not be cited as performance evidence.
+        "noisy_box": bool(p75 > 1.15 * med or p25 < 0.85 * med),
     }
 
 

@@ -34,7 +34,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from bench import OUTPUT_BOUND  # noqa: E402
+from bench import KEEPER_SINK, OUTPUT_BOUND  # noqa: E402
 from data_ingestion_system_spark.registry import load_all  # noqa: E402
 from data_ingestion_system_spark.session import get_spark  # noqa: E402
 from data_ingestion_system_spark.tables import release_session_checkpoints  # noqa: E402
@@ -71,9 +71,14 @@ def main() -> None:
         t0 = time.perf_counter()
         warm_index_cache(spark, sf_dir)
         warm_sec = round(time.perf_counter() - t0, 3)
+    import shutil
+    import tempfile
+
+    sink_root = tempfile.mkdtemp(prefix="probe_keeper_sink_")
     out: dict[str, dict] = {}
     for name in names:
         sink_measured = name in OUTPUT_BOUND
+        keeper_sink = name in KEEPER_SINK
         walls, rows = [], None
         for _ in range(reps):
             # between-RUNS hygiene (tables.release_session_checkpoints):
@@ -85,21 +90,36 @@ def main() -> None:
             release_session_checkpoints(spark)
             t0 = time.perf_counter()
             df = registry[name].spark(spark, sf_dir)
-            rows = df.count() if sink_measured else len(df.collect())
+            if sink_measured:
+                rows = df.count()
+            elif keeper_sink:
+                # keeper-scale outputs are WRITTEN, not collected
+                # (CONVENTIONS.md §6/§7) — the sink write is the
+                # production contract this probe times; rows come from
+                # the written footers afterwards, untimed
+                path = os.path.join(sink_root, name)
+                df.write.mode("overwrite").parquet(path)
+            else:
+                rows = len(df.collect())
             walls.append(round(time.perf_counter() - t0, 3))
+        if keeper_sink:
+            rows = _parquet_rows(os.path.join(sink_root, name))
         out[name] = {
             "sec": round(statistics.median(walls), 3),
             "rows": rows,
             "reps": walls if reps > 1 else None,
             "sink_measured": sink_measured or None,
+            "keeper_sink": keeper_sink or None,
         }
         print(f"  {name}: {out[name]['sec']} s, {rows} rows", file=sys.stderr)
+    shutil.rmtree(sink_root, ignore_errors=True)
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
                 "master": spark.sparkContext.master,
                 "ann_warm_sec": warm_sec,
+                "noisy_box": _noisy_box(out),
                 "queries": {
                     k: {kk: vv for kk, vv in v.items() if vv is not None}
                     for k, v in out.items()
@@ -107,6 +127,33 @@ def main() -> None:
             }
         )
     )
+
+
+def _parquet_rows(path: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+def _noisy_box(out: dict) -> bool | None:
+    """Within-run box-noise stamp (CONVENTIONS.md §7, r8 ask #6): with
+    --reps >= 2, the median per-query max/min rep spread. Same-code reps
+    back-to-back should agree; a median spread past 1.3x means the box
+    was drifting under this probe and the sidecar must not be cited as
+    performance evidence. None when reps were single-shot (no signal)."""
+    spreads = [
+        max(v["reps"]) / min(v["reps"])
+        for v in out.values()
+        if v.get("reps") and min(v["reps"]) > 0
+    ]
+    if not spreads:
+        return None
+    return statistics.median(spreads) > 1.3
 
 
 if __name__ == "__main__":
