@@ -17,7 +17,14 @@ the dedup/minhash.py pipeline incrementally inside foreachBatch:
   the batch (keep the smallest doc_id of each verified pair), then
   append survivors + their index rows + an audit row.
 - replay-safe like ingest.dedup_insert_batch: the audit row is the
-  commit marker — a replayed batch_id is skipped outright.
+  commit marker — a replayed batch_id is skipped outright. Crash
+  MID-batch (r9): state writes land in per-batch `batch_id=<n>`
+  partition dirs with mode=overwrite, so a replay of a batch that died
+  between its state writes and its audit marker OVERWRITES the partial
+  attempt instead of appending a second copy, and the store reads
+  exclude the in-flight batch's own leftover partition — no
+  double-accept, no self-rejection. `accepted_docs` is the committed
+  read view (target partitions whose audit marker exists).
 
 At scale the band-key join shuffles only (doc_id, band_key) pairs and
 the token join only candidate docs' shingles; accepted-state appends are
@@ -55,7 +62,12 @@ class NearDupPaths:
 
 
 def _dir_has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    # recursive: state dirs hold per-batch `batch_id=<n>` partition subdirs
+    if not os.path.isdir(path):
+        return False
+    return any(
+        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+    )
 
 
 def neardup_insert_batch(
@@ -89,7 +101,16 @@ def neardup_insert_batch(
     bands = band_keys(minhash_signatures(toks)).localCheckpoint(eager=True)
 
     if _dir_has_parquet(paths.bands_dir):
-        store_bands = spark.read.parquet(paths.bands_dir)
+        # exclude this batch's own partition: a replay of a mid-batch
+        # crash would otherwise find the partial attempt's index rows in
+        # the store and reject every doc as a near-dup of itself (then
+        # overwrite the partition with nothing — silent data loss). The
+        # filter is a pruned partition scan, not a data read.
+        store_bands = (
+            spark.read.parquet(paths.bands_dir)
+            .filter(F.col("batch_id") != int(batch_id))
+            .select("doc_id", "band_key")
+        )
         cross = (
             bands.alias("n")
             .join(store_bands.alias("s"), F.col("n.band_key") == F.col("s.band_key"))
@@ -103,6 +124,8 @@ def neardup_insert_batch(
         # the index, not the corpus, bounds what gets read)
         store_toks = (
             spark.read.parquet(paths.tokens_dir)
+            .filter(F.col("batch_id") != int(batch_id))
+            .select("doc_id", "token")
             .join(cross.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi")
         )
         # distinct: a re-delivered doc_id appears in BOTH sides of the
@@ -126,10 +149,19 @@ def neardup_insert_batch(
     survivors = remaining.join(drop_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
     inserted = survivors.count()
 
-    survivors.write.mode("append").parquet(paths.target_dir)
+    # state writes go to per-batch partition dirs with OVERWRITE: a
+    # replayed mid-batch crash replaces its own partial attempt instead
+    # of appending a second copy (the audit marker below stays the
+    # commit point — it is written LAST, plain append, one row)
+    sub = f"batch_id={int(batch_id)}"
+    survivors.write.mode("overwrite").parquet(os.path.join(paths.target_dir, sub))
     keep = survivors.select("doc_id")
-    bands.join(keep, "doc_id", "left_semi").write.mode("append").parquet(paths.bands_dir)
-    toks.join(keep, "doc_id", "left_semi").write.mode("append").parquet(paths.tokens_dir)
+    bands.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+        os.path.join(paths.bands_dir, sub)
+    )
+    toks.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+        os.path.join(paths.tokens_dir, sub)
+    )
     audit = spark.createDataFrame(
         [
             (
@@ -144,7 +176,27 @@ def neardup_insert_batch(
         "batch_id long, fetched long, dup_vs_store long, dup_within_batch long,"
         " inserted long, duration_seconds double",
     )
-    audit.write.mode("append").parquet(paths.audit_dir)
+    _append_audit(audit, paths.audit_dir)
+
+
+def _append_audit(audit: DataFrame, audit_dir: str) -> None:
+    """The commit point of a batch — kept as a seam so the chaos test
+    can inject a crash BETWEEN the state writes and the marker."""
+    audit.write.mode("append").parquet(audit_dir)
+
+
+def accepted_docs(spark: SparkSession, paths: NearDupPaths) -> DataFrame:
+    """Committed read view of the accepted corpus: target partitions
+    whose audit commit marker exists. After a mid-batch crash the target
+    dir can hold one uncommitted `batch_id=<n>` partition (the audit row
+    is written last); resuming the stream overwrites it, but a reader
+    that runs BEFORE the resume must not see it. The audit is one row
+    per batch — the semi-join broadcasts."""
+    target = spark.read.parquet(paths.target_dir)
+    if not _dir_has_parquet(paths.audit_dir):
+        return target.limit(0)
+    committed = spark.read.parquet(paths.audit_dir).select("batch_id")
+    return target.join(F.broadcast(committed), "batch_id", "left_semi").drop("batch_id")
 
 
 def run_neardup_ingestion(

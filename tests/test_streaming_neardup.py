@@ -115,3 +115,110 @@ def test_streaming_drain_end_to_end(spark, tmp_path):
     # audit invariant holds per batch
     for r in spark.read.parquet(paths.audit_dir).collect():
         assert r.fetched == r.dup_vs_store + r.dup_within_batch + r.inserted
+
+
+def _land_batches(spark, tmp_path, paths, batches):
+    os.makedirs(paths.source_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"staging{i}"
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        os.rename(staging / part, os.path.join(paths.source_dir, f"batch_{i}.parquet"))
+
+
+_SCHEMA_STRUCT = None
+
+
+def _schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+
+def test_kill_and_resume_recovers_without_double_accepting(spark, tmp_path, monkeypatch):
+    """Mid-batch crash + restart (VERDICT r8 ask #4): the stream dies
+    BETWEEN batch 2's state writes and its audit commit marker — the
+    worst case, since the partial target/bands/tokens partitions are
+    already on disk. On resume, the checkpointed offsets replay batch 2;
+    the replay must overwrite the partial attempt (not double-accept),
+    must not reject batch-2 docs against their own leftover index rows
+    (not silently drop), and the final accepted set must equal an
+    uninterrupted run's over the same landing files."""
+    from data_ingestion_system_spark.streaming import neardup as nd
+    from data_ingestion_system_spark.streaming.neardup import accepted_docs
+
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(10, VARIANT), (20, THIRD)],
+        [(30, "cat dog fox hen owl pig ram bat cow elk fly ant")],
+        [(40, THIRD), (50, "sun moon star comet nova dust ring core flare belt tail arc")],
+    ]
+
+    # uninterrupted twin in parallel dirs
+    clean = NearDupPaths(
+        source_dir=str(tmp_path / "c_landing"),
+        target_dir=str(tmp_path / "c_target"),
+        bands_dir=str(tmp_path / "c_bands"),
+        tokens_dir=str(tmp_path / "c_tokens"),
+        audit_dir=str(tmp_path / "c_audit"),
+        checkpoint_dir=str(tmp_path / "c_ckpt"),
+    )
+    _land_batches(spark, tmp_path / "c_staging", clean, batches)
+    run_neardup_ingestion(spark, clean, _schema())
+    expected = sorted(r.doc_id for r in accepted_docs(spark, clean).collect())
+    assert len(expected) >= 4  # sanity: the corpus isn't degenerate
+
+    paths = _paths(tmp_path)
+    _land_batches(spark, tmp_path, paths, batches)
+
+    real_append = nd._append_audit
+    crashed = {}
+
+    def crash_on_batch_2(audit_df, audit_dir):
+        rows = audit_df.collect()
+        if rows[0].batch_id == 2 and not crashed:
+            crashed["yes"] = True
+            raise RuntimeError("injected crash before the commit marker")
+        # replay the collected rows so the count() inside collect isn't double-run
+        real_append(audit_df, audit_dir)
+
+    monkeypatch.setattr(nd, "_append_audit", crash_on_batch_2)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        run_neardup_ingestion(spark, paths, _schema())
+    assert crashed  # the injected crash actually fired mid-batch 2
+    # batch 2's state partitions exist but its audit marker does not —
+    # the exact torn state the recovery must handle
+    committed = {r.batch_id for r in spark.read.parquet(paths.audit_dir).collect()}
+    assert committed == {0, 1}
+    assert os.path.isdir(os.path.join(paths.target_dir, "batch_id=2"))
+    # the committed read view already excludes the torn partition
+    pre_resume = sorted(r.doc_id for r in accepted_docs(spark, paths).collect())
+    assert 30 not in pre_resume
+
+    # resume: same checkpoint dir, patch removed
+    monkeypatch.setattr(nd, "_append_audit", real_append)
+    run_neardup_ingestion(spark, paths, _schema())
+
+    got = sorted(r.doc_id for r in accepted_docs(spark, paths).collect())
+    assert got == expected
+    # no double-accepted docs hiding in the raw (uncommitted-inclusive) target
+    raw = spark.read.parquet(paths.target_dir)
+    assert raw.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    # every batch committed exactly once
+    audit = spark.read.parquet(paths.audit_dir).collect()
+    ids = sorted(r.batch_id for r in audit)
+    assert ids == [0, 1, 2, 3]
+    for r in audit:
+        assert r.fetched == r.dup_vs_store + r.dup_within_batch + r.inserted
+    # index state covers exactly the accepted docs (no orphan rows from
+    # the torn attempt)
+    for store in (paths.bands_dir, paths.tokens_dir):
+        idx_ids = sorted(
+            r.doc_id
+            for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+        )
+        assert idx_ids == got
