@@ -12,22 +12,63 @@ from data_ingestion_system_spark.multimodal.columns import (
 
 
 def test_fake_features_match_python(spark, sf_dir):
-    out = multimodal_features(spark, sf_dir).limit(20).collect()
-    assert len(out) == 20
+    """Mixed-modality surface: text rows carry exact byte stats of the
+    utf-8 payload; every PPM_PLANT_EVERY-th doc is a planted binary PPM
+    whose stats are the stats of the synthetic payload bytes."""
+    from data_ingestion_system_spark.multimodal.columns import (
+        PPM_PLANT_EVERY,
+        synth_ppm,
+    )
+
+    out = multimodal_features(spark, sf_dir).limit(40).collect()
+    assert len(out) == 40
     import duckdb
 
     rows = duckdb.connect().execute(
-        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id LIMIT 20"
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id LIMIT 40"
     ).fetchall()
     expected = {}
     for doc_id, text in rows:
-        b = text.encode("utf-8")
+        b = synth_ppm(doc_id) if doc_id % PPM_PLANT_EVERY == 0 else text.encode("utf-8")
         expected[doc_id] = (len(b), sum(b) / len(b) if b else 0.0, sum(b[:8]))
+    assert any(r.mime == "image/ppm" for r in out)  # fixture plants some
     for r in out:
         n_bytes, mean_byte, first8 = expected[r.doc_id]
         assert r.n_bytes == n_bytes
         assert abs(r.mean_byte - mean_byte) < 1e-9
         assert r.first8_sum == first8
+
+
+def test_catalog_surface_runs_real_ppm_decode(spark, sf_dir):
+    """The REAL decoder's pixel stats, computed through the catalog
+    query itself (r8 ask #5): planted rows decode to the synth image's
+    per-channel means (verified against an independent numpy decode of
+    the same payload); text rows carry null pixel columns."""
+    import numpy as np
+
+    from data_ingestion_system_spark.multimodal.columns import (
+        PPM_PLANT_EVERY,
+        PPM_SYNTH_H,
+        PPM_SYNTH_W,
+        decode_image,
+        synth_ppm,
+    )
+
+    out = multimodal_features(spark, sf_dir).limit(64).collect()
+    ppm_rows = [r for r in out if r.mime == "image/ppm"]
+    text_rows = [r for r in out if r.mime == "text/plain"]
+    assert ppm_rows and text_rows
+    for r in ppm_rows:
+        assert r.doc_id % PPM_PLANT_EVERY == 0
+        img = decode_image(synth_ppm(r.doc_id))  # independent decode
+        assert (r.width, r.height) == (PPM_SYNTH_W, PPM_SYNTH_H)
+        assert img.shape == (PPM_SYNTH_H, PPM_SYNTH_W, 3)
+        assert abs(r.mean_r - float(np.mean(img[:, :, 0]))) < 1e-9
+        assert abs(r.mean_g - float(np.mean(img[:, :, 1]))) < 1e-9
+        assert abs(r.mean_b - float(np.mean(img[:, :, 2]))) < 1e-9
+    for r in text_rows:
+        assert r.width is None and r.height is None
+        assert r.mean_r is None and r.mean_g is None and r.mean_b is None
 
 
 def test_decode_stub_raises():
