@@ -63,3 +63,26 @@ def test_release_session_checkpoints_frees_and_queries_rerun(spark, sf_dir):
 def test_release_is_idempotent_on_empty_session(spark):
     release_session_checkpoints(spark)
     assert release_session_checkpoints(spark) == 0
+
+
+def test_topology_width_follows_master_not_launcher_cpus():
+    """r8 ask #2: the declared reduce width derives from the executor
+    topology in the master URL, never the launcher box's CPU count."""
+    from data_ingestion_system_spark.session import _topology_width
+
+    class _SC:
+        def __init__(self, master):
+            self.master = master
+
+    class _Spark:
+        def __init__(self, master):
+            self.sparkContext = _SC(master)
+
+    # a 2x4 local-cluster launched from a 32-core box declares width 8
+    assert _topology_width(_Spark("local-cluster[2,4,2048]"), 32) == 8
+    assert _topology_width(_Spark("local-cluster[4,8,4096]"), 32) == 32
+    # explicit local[k] follows k, not the env parallelism
+    assert _topology_width(_Spark("local[16]"), 32) == 16
+    # floor of 8 everywhere (tiny masters keep enough reduce fan-out)
+    assert _topology_width(_Spark("local[2]"), 32) == 8
+    assert _topology_width(_Spark("local-cluster[1,2,1024]"), 32) == 8
