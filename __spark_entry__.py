@@ -38,73 +38,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the FIRST 50 catalog entries per round (registration
-# order).  Rounds 1-6 accumulated 300 green driver rows (0 red ever); every
+# order).  Rounds 1-8 accumulated 400 green driver rows (0 red ever); every
 # SQL-checkable catalog query has a green row.
-# Round-8 window: rows 1-42 are the queries whose PHYSICAL PLANS changed
-# this round — the new keeper surface (near_dup_simhash_multiblock_keepers,
-# replacing the demoted 16-bit near_dup_simhash diagnostic), the folded
-# gid-audit + lazy hot checkpoint (ngram/multiblock), and every query whose
-# lineage passes a checkpoint site touched by the r8 reliable-checkpoint /
-# size-dispatched-storage refactor (token_sets + gram consumers, SemDeDup
-# and ANN corpus_checkpoint conversions, text vocab/bpe/lm/nb/budget/
-# contamination, equi-depth's bulk rp, the pipeline, labeling pairs,
-# cluster-aware split) — re-proving the refactor under the driver before
-# anything else.  Rows 43-50 are the stalest hash-greens (r03/r04 vintage).
-# Positions 51+ continue the same oldest-first rotation, so future rounds
-# inherit the queue.  The full catalog keeps its pytest oracle gate
-# regardless (tests/test_oracle_parity.py parametrizes ALL registered
-# queries).
+# Round-9 window: rows 1-8 are the queries whose implementation this round
+# touched — the six connected-components consumers (the component loop
+# gained round-count diagnostics; dedup_clusters, the keeper surface,
+# linkage_entities, cluster_aware_split_stats, fold_leakage_audit,
+# corpus_prep_pipeline) and the two multimodal queries (the catalog surface
+# now routes mixed text/PPM payloads through the real decoder).  Rows 9-50
+# continue the oldest-first rotation through the stalest hash-greens
+# (r03/r04 vintage).  Positions 51+ keep the same queue; the r8 window's
+# queries (freshest greens) moved to the back.  The full catalog keeps its
+# pytest oracle gate regardless (tests/test_oracle_parity.py parametrizes
+# ALL registered queries).
 _DRIVER_PRIORITY = (
-    "near_dup_simhash_multiblock_keepers",
-    "near_dup_simhash_multiblock",
-    "near_dup_ngram_jaccard",
-    "near_dup_minhash_lsh",
     "dedup_clusters",
-    "cross_source_dup_matrix",
-    "dedup_threshold_sweep",
-    "minhash_estimation_error",
-    "equi_depth_buckets",
-    "corpus_prep_pipeline",
-    "semantic_dedup",
-    "semantic_dedup_hier",
-    "semantic_dedup_blas",
-    "near_dup_embedding_cosine",
-    "ann_topk_bruteforce",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_filtered_topk",
-    "kmeans_cluster_profile",
-    "token_cooccurrence",
-    "vocab_coverage",
-    "vocab_zipf_stats",
-    "vocab_chao1_estimate",
-    "source_vocab_jaccard",
-    "bpe_merge_table",
-    "bpe_pair_counts",
-    "contamination_overlap",
-    "token_budget_selection",
-    "bigram_lm_scores",
-    "nb_weak_label_confusion",
-    "classifier_calibration",
-    "classifier_pr_thresholds",
+    "near_dup_simhash_multiblock_keepers",
+    "linkage_entities",
     "cluster_aware_split_stats",
     "fold_leakage_audit",
-    "cohens_kappa",
-    "krippendorff_alpha",
-    "majority_vote",
-    "multimodal_payload_stats",
+    "corpus_prep_pipeline",
     "multimodal_features",
-    "corpus_data_card",
-    "duplicated_spans_topk",
-    "gap_islands",
-    "kfold_balance",
-    "sliding_rate_limit",
-    "substring_dup_profile",
-    "brand_revenue_share",
-    "cdc_apply_state",
+    "multimodal_payload_stats",
     "high_punctuation_docs",
     "examples_per_group",
     "exact_percentiles_sketch_refine",
@@ -217,7 +172,6 @@ _DRIVER_PRIORITY = (
     "new_user_share",
     "fuzzy_linkage_pairs",
     "linkage_block_profile",
-    "linkage_entities",
     "scd2_user_segments",
     "scd2_churn_profile",
     "chi2_lang_source",
@@ -265,6 +219,49 @@ _DRIVER_PRIORITY = (
     "tfidf_top_terms",
     "heavy_hitters",
     "label_centroid_confusion",
+    "near_dup_simhash_multiblock",
+    "near_dup_ngram_jaccard",
+    "near_dup_minhash_lsh",
+    "cross_source_dup_matrix",
+    "dedup_threshold_sweep",
+    "minhash_estimation_error",
+    "equi_depth_buckets",
+    "semantic_dedup",
+    "semantic_dedup_hier",
+    "semantic_dedup_blas",
+    "near_dup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_filtered_topk",
+    "kmeans_cluster_profile",
+    "token_cooccurrence",
+    "vocab_coverage",
+    "vocab_zipf_stats",
+    "vocab_chao1_estimate",
+    "source_vocab_jaccard",
+    "bpe_merge_table",
+    "bpe_pair_counts",
+    "contamination_overlap",
+    "token_budget_selection",
+    "bigram_lm_scores",
+    "nb_weak_label_confusion",
+    "classifier_calibration",
+    "classifier_pr_thresholds",
+    "cohens_kappa",
+    "krippendorff_alpha",
+    "majority_vote",
+    "corpus_data_card",
+    "duplicated_spans_topk",
+    "gap_islands",
+    "kfold_balance",
+    "sliding_rate_limit",
+    "substring_dup_profile",
+    "brand_revenue_share",
+    "cdc_apply_state",
 )
 
 

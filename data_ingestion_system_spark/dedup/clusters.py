@@ -61,6 +61,12 @@ MAX_ITERS = 20  # >> observed duplicate-chain diameter; convergence asserted
 # lineage.
 CC_CONTRACT_MIN_EDGES = 1_000_000
 
+# Diagnostics from the most recent connected_components call on this
+# driver: (arm, rounds, initial edge count). Scale probes read it to
+# verify the contraction loop's round count stays O(log) as the value
+# graph grows (VERDICT r8 ask #8); never used for control flow.
+LAST_CC_STATS: dict = {}
+
 
 def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, cluster_id) where
@@ -102,8 +108,13 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         .select("doc_id", F.col("doc_id").alias("label"))
         .transform(corpus_checkpoint)
     )
-    if edges.count() < CC_CONTRACT_MIN_EDGES:  # scan of the materialized ckpt
+    n_edges = edges.count()  # scan of the materialized ckpt
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS["n_edges"] = n_edges
+    if n_edges < CC_CONTRACT_MIN_EDGES:
+        LAST_CC_STATS["arm"] = "propagate"
         return _cc_propagate(edges, mapping, max_iters)
+    LAST_CC_STATS["arm"] = "contract"
     return _cc_contract(edges, mapping, max_iters)
 
 
@@ -112,7 +123,7 @@ def _cc_propagate(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFr
     sum (labels only ever decrease, so an unchanged sum is a fixpoint —
     one cheap scalar agg per round instead of a join-diff)."""
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr_min = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
@@ -130,6 +141,7 @@ def _cc_propagate(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFr
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            LAST_CC_STATS["rounds"] = rnd + 1
             return labels.select("doc_id", F.col("label").alias("cluster_id"))
         prev_sum = cur_sum
     raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
@@ -139,7 +151,7 @@ def _cc_contract(edges: DataFrame, mapping: DataFrame, max_iters: int) -> DataFr
     """Min-label round + graph contraction; convergence is the
     contracted edge relation going empty (the plain loop's label-sum
     scalar is meaningless across contractions)."""
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         # min over the closed neighborhood, in the CURRENT contracted
         # space (a contracted node's label is itself)
         # eager checkpoint: relabel feeds THREE subtrees (both contraction
@@ -172,6 +184,7 @@ def _cc_contract(edges: DataFrame, mapping: DataFrame, max_iters: int) -> DataFr
             .transform(corpus_checkpoint_lazy)
         )
         if edges.isEmpty():  # reads the just-checkpointed relation
+            LAST_CC_STATS["rounds"] = rnd + 1
             return mapping.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
