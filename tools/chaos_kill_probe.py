@@ -26,6 +26,10 @@ outcome, row parity).
 Usage:
   python tools/chaos_kill_probe.py [SF_DIR] [--arm reliable|local|both]
       [--master local-cluster[2,4,2048]] [--min-truncations 4]
+      [--query dedup_clusters]
+
+--query accepts any registered catalog query (default dedup_clusters —
+the component loop, the engine's longest truncated lineage chain).
 """
 
 from __future__ import annotations
@@ -116,7 +120,10 @@ class _Killer(threading.Thread):
             time.sleep(0.05)
 
 
-def run_arm(arm: str, sf_dir: str, master: str, min_truncations: int) -> dict:
+def run_arm(
+    arm: str, sf_dir: str, master: str, min_truncations: int,
+    query: str = "dedup_clusters",
+) -> dict:
     from data_ingestion_system_spark import tables
     from data_ingestion_system_spark.session import get_spark
 
@@ -132,12 +139,14 @@ def run_arm(arm: str, sf_dir: str, master: str, min_truncations: int) -> dict:
         master=master,
         extra_conf={"spark.executorEnv.PYTHONPATH": _REPO},
     )
-    from data_ingestion_system_spark.dedup.clusters import dedup_clusters
+    from data_ingestion_system_spark.registry import load_all
 
-    out: dict = {"arm": arm, "master": master, "sf_dir": sf_dir}
+    run_query = load_all()[query].spark
+
+    out: dict = {"arm": arm, "master": master, "sf_dir": sf_dir, "query": query}
     try:
         t0 = time.perf_counter()
-        expected = sorted(tuple(r) for r in dedup_clusters(spark, sf_dir).collect())
+        expected = sorted(tuple(r) for r in run_query(spark, sf_dir).collect())
         out["clean_wall_sec"] = round(time.perf_counter() - t0, 1)
         out["clean_rows"] = len(expected)
         tables.release_session_checkpoints(spark)
@@ -147,7 +156,7 @@ def run_arm(arm: str, sf_dir: str, master: str, min_truncations: int) -> dict:
         killer.start()
         t0 = time.perf_counter()
         try:
-            got = sorted(tuple(r) for r in dedup_clusters(spark, sf_dir).collect())
+            got = sorted(tuple(r) for r in run_query(spark, sf_dir).collect())
             out["outcome"] = "completed"
             out["rows"] = len(got)
             out["row_parity"] = got == expected
@@ -191,9 +200,12 @@ def main(argv: list[str]) -> None:
     min_tr = DEFAULT_MIN_TRUNCATIONS
     if "--min-truncations" in argv:
         min_tr = int(argv[argv.index("--min-truncations") + 1])
+    query = "dedup_clusters"
+    if "--query" in argv:
+        query = argv[argv.index("--query") + 1]
     arms = ["reliable", "local"] if arm == "both" else [arm]
     for a in arms:
-        print(json.dumps(run_arm(a, sf_dir, master, min_tr)), flush=True)
+        print(json.dumps(run_arm(a, sf_dir, master, min_tr, query)), flush=True)
 
 
 if __name__ == "__main__":
