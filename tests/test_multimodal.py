@@ -140,3 +140,60 @@ def test_ppm_maxval_rescale():
     assert img.tolist() == [[[255, 0, 119], [17, 255, 255]]]
     with pytest.raises(ValueError):
         decode_image(b"")  # malformed, not "codec format"
+
+
+# --- property fuzz for the real decoder (pure python, no Spark) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    """encode_ppm -> decode_image is the identity for any (H, W, 3)
+    uint8 image, any dimensions."""
+    import numpy as np
+
+    from data_ingestion_system_spark.multimodal.columns import decode_image, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_image(encode_ppm(img))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    comment=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20
+    ),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_ppm_header_comments_and_truncation(w, h, comment, cut):
+    """'#' comments anywhere in the header whitespace are skipped; a
+    payload missing pixel bytes raises (never returns garbage)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_ingestion_system_spark.multimodal.columns import decode_image
+
+    img = np.arange(w * h * 3, dtype=np.uint64).astype(np.uint8).reshape(h, w, 3)
+    # comment lines may not contain a newline (that ends them)
+    c = comment.replace("\n", " ")
+    payload = (
+        b"P6\n#%s\n%d %d\n#%s\n255\n" % (c.encode(), w, h, c.encode())
+        + img.tobytes()
+    )
+    out = decode_image(payload)
+    assert (out == img).all()
+    truncated = payload[: len(payload) - min(cut, w * h * 3)]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(truncated)
