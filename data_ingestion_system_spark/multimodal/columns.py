@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from data_ingestion_system_spark.functions.scalar import oracle_round, round_port
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import load_table
 
@@ -353,22 +354,67 @@ def make_multimodal_feature_extractor():
     return extract
 
 
-@query(
-    "multimodal_features",
-    oracle=None,  # Pandas-UDF pipeline — rows-only driver check; exact
-    # value assertions live in tests/test_multimodal.py
-    survey="EXT-multimodal",
-)
+# Closed-form DuckDB oracle for the mapInPandas pipeline (r9 — this was
+# the `no_oracle` rows-only row for 8 rounds): the synthetic PPM payload
+# is `synth_ppm` — header b"P6\n8 6\n255\n" (11 bytes, byte-sum 462,
+# first-8 sum 346) + 144 pixel bytes (doc_id*31 + k*7) mod 256 — so
+# every output column has a closed form DuckDB can compute with list
+# comprehensions; text rows are plain utf-8 byte stats (the corpus is
+# ASCII, so ord(char) == byte). Integer sums are exact in doubles and
+# the divisions are identical on both engines; the float columns are
+# still `round_port`-ed at the boundary per CONVENTIONS §2.
+_MM_ORACLE = f"""
+SELECT doc_id,
+       'image/ppm' AS mime,
+       CAST(155 AS BIGINT) AS n_bytes,
+       {oracle_round("(462 + list_sum([(doc_id*31 + i*7) % 256 for i in range(0, 144)])) / 155.0", 6)} AS mean_byte,
+       CAST(346 AS BIGINT) AS first8_sum,
+       CAST({PPM_SYNTH_W} AS BIGINT) AS width,
+       CAST({PPM_SYNTH_H} AS BIGINT) AS height,
+       {oracle_round("list_sum([(doc_id*31 + i*21) % 256 for i in range(0, 48)]) / 48.0", 6)} AS mean_r,
+       {oracle_round("list_sum([(doc_id*31 + i*21 + 7) % 256 for i in range(0, 48)]) / 48.0", 6)} AS mean_g,
+       {oracle_round("list_sum([(doc_id*31 + i*21 + 14) % 256 for i in range(0, 48)]) / 48.0", 6)} AS mean_b
+FROM documents WHERE doc_id % {PPM_PLANT_EVERY} = 0
+UNION ALL
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {oracle_round("list_sum([ord(substr(text, i, 1)) for i in range(1, length(text) + 1)]) * 1.0 / length(text)", 6)} AS mean_byte,
+       CAST(list_sum([ord(substr(text, i, 1)) for i in range(1, least(length(text), 8) + 1)]) AS BIGINT) AS first8_sum,
+       CAST(NULL AS BIGINT) AS width,
+       CAST(NULL AS BIGINT) AS height,
+       CAST(NULL AS DOUBLE) AS mean_r,
+       CAST(NULL AS DOUBLE) AS mean_g,
+       CAST(NULL AS DOUBLE) AS mean_b
+FROM documents WHERE doc_id % {PPM_PLANT_EVERY} != 0
+ORDER BY doc_id
+"""
+
+
+@query("multimodal_features", oracle=_MM_ORACLE, survey="EXT-multimodal")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas feature-extraction pipeline over MIXED binary
     payloads: every `PPM_PLANT_EVERY`-th doc carries a synthetic binary
     PPM image whose pixel stats come from the REAL decoder
     (`_make_ppm_decoder`); the rest are utf-8 text rows with byte stats
-    and null pixel columns. Deterministic end to end, so tests assert
-    exact values; rows-only at the driver by mapInPandas necessity."""
+    and null pixel columns. Deterministic end to end — since r9 the
+    driver hash-checks it against a closed-form DuckDB oracle (the
+    synthetic payload's stats are computable in SQL), so the Arrow/
+    mapInPandas path is differentially verified, not just rows-counted."""
     docs = load_table(spark, sf_dir, "documents")
     payload = with_multimodal_payload(docs)
     feats = payload.mapInPandas(
         make_multimodal_feature_extractor(), schema=MM_FEATURE_SCHEMA
     )
-    return feats.orderBy("doc_id")
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        round_port(F.col("mean_byte"), 6).alias("mean_byte"),
+        "first8_sum",
+        "width",
+        "height",
+        round_port(F.col("mean_r"), 6).alias("mean_r"),
+        round_port(F.col("mean_g"), 6).alias("mean_g"),
+        round_port(F.col("mean_b"), 6).alias("mean_b"),
+    ).orderBy("doc_id")
