@@ -141,16 +141,20 @@ def _parquet_rows(path: str) -> int:
 
 
 def _noisy_box(out: dict) -> bool | None:
-    """Within-run box-noise stamp (CONVENTIONS.md §7, r8 ask #6): with
-    --reps >= 2, the median per-query max/min rep spread. Same-code reps
-    back-to-back should agree; a median spread past 1.3x means the box
-    was drifting under this probe and the sidecar must not be cited as
-    performance evidence. None when reps were single-shot (no signal)."""
-    spreads = [
-        max(v["reps"]) / min(v["reps"])
-        for v in out.values()
-        if v.get("reps") and min(v["reps"]) > 0
-    ]
+    """Within-run box-noise stamp (CONVENTIONS.md §7, r8 ask #6): the
+    median per-query max/min spread over the WARM reps — rep 1 carries
+    JIT/file-listing warm-up by design (2-6x on small queries; the
+    multi-JVM audit measured per-executor codegen recompiles), which is
+    expected cost, not box drift, so it is excluded whenever at least
+    two warm reps remain. Same-code warm reps back-to-back should
+    agree; a median spread past 1.3x means the box was drifting under
+    this probe and the sidecar must not be cited as performance
+    evidence. None when fewer than two warm reps exist (no signal)."""
+    spreads = []
+    for v in out.values():
+        warm = (v.get("reps") or [])[1:]  # reps >= 3 leaves >= 2 warm
+        if len(warm) >= 2 and min(warm) > 0:
+            spreads.append(max(warm) / min(warm))
     if not spreads:
         return None
     return statistics.median(spreads) > 1.3
