@@ -2,14 +2,15 @@
 
 Images/audio/video ride through the engine as opaque `binary` columns with
 a typed metadata struct; decode / feature-extraction runs as Arrow-batched
-Pandas functions over `mapInPandas`. The real decode needs codec libraries
-not present in this container, so the decode step is STUBBED:
-
-- `decode_image_stub` raises NotImplementedError (the honest production
-  hook), and
-- `fake_feature_extractor` is a deterministic stand-in (byte statistics)
-  that exercises the actual Spark plumbing — schema, batch iteration,
-  partitioning — end to end.
+Pandas functions over `mapInPandas`. Decode is REAL for the formats that
+need no external codec library — binary PPM (pure numpy, r8), PNG (stdlib
+zlib + the five scanline filters, r9), uncompressed BMP (r9), and baseline
+sequential JPEG (pure-numpy huffman + IDCT, r9) — in
+`multimodal/codecs.py` / `multimodal/jpeg.py`, routed by magic bytes in
+`decode_image`; WebP/progressive-JPEG/... still raise NotImplementedError
+(honest stub). `fake_feature_extractor` remains the
+deterministic byte-stat stand-in that exercises the Spark plumbing —
+schema, batch iteration, partitioning — end to end.
 
 The payload here is the document text utf-8-encoded; at 100 TB the same
 plan reads parquet binary columns written by an upstream media fetcher.
@@ -105,10 +106,52 @@ def _make_ppm_decoder():
     return decode
 
 
-# Production decode hook: REAL for binary PPM (P6, pure numpy);
-# NotImplementedError for codec formats (JPEG/PNG/...) whose libraries
-# this container does not ship.
-decode_image = _make_ppm_decoder()
+def _make_image_decoder():
+    """Build the magic-byte-routed decode closure: REAL for binary PPM
+    (P6, pure numpy, r8), PNG (stdlib zlib + unfilter, r9), BMP
+    (BI_RGB 24/32-bit, r9), and baseline JPEG (pure-numpy huffman +
+    IDCT, r9 — see multimodal/jpeg.py); NotImplementedError for
+    WebP/progressive-JPEG/... whose codec support this container does
+    not ship. Factory for the same by-value-pickling reason as
+    `_make_ppm_decoder` — the captured sub-decoders are themselves
+    factory-built closures, so cloudpickle ships the whole router by
+    value to executors."""
+    from data_ingestion_system_spark.multimodal.codecs import (
+        make_bmp_decoder,
+        make_png_decoder,
+    )
+    from data_ingestion_system_spark.multimodal.jpeg import make_jpeg_decoder
+
+    ppm = _make_ppm_decoder()
+    png = make_png_decoder()
+    bmp = make_bmp_decoder()
+    jpg = make_jpeg_decoder()
+
+    def decode(payload: bytes):
+        if len(payload) < 2:
+            raise ValueError("malformed image payload: shorter than any magic")
+        if payload[:2] == b"P6":
+            return ppm(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return png(payload)
+        if payload[:2] == b"BM":
+            return bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            return jpg(payload)
+        raise NotImplementedError(
+            "unrecognized image magic %r — PPM/PNG/BMP/baseline-JPEG decode "
+            "codec-free; other formats need libraries this container does "
+            "not ship" % payload[:8]
+        )
+
+    return decode
+
+
+# Production decode hook: REAL for binary PPM / PNG / BMP / baseline
+# JPEG (pure numpy + stdlib zlib — see multimodal/codecs.py and
+# multimodal/jpeg.py); NotImplementedError for WebP/progressive-JPEG/...
+# whose codec support this container does not ship.
+decode_image = _make_image_decoder()
 
 # backward-compat alias (pre-r8 name, when every format was stubbed)
 decode_image_stub = decode_image
@@ -234,7 +277,7 @@ def make_image_feature_extractor():
     extractor; swap the stats for a model forward pass at will. Fully
     self-contained closure (by-value pickle — executors can't import
     this package)."""
-    decode = _make_ppm_decoder()
+    decode = _make_image_decoder()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -316,10 +359,11 @@ MM_FEATURE_SCHEMA = StructType(
 
 def make_multimodal_feature_extractor():
     """Mime-routed Arrow-batched extractor: byte stats for every row;
-    REAL pixel decode (PPM) + per-channel means for image rows, nulls
-    for the pixel columns of text rows. Self-contained closure
-    (by-value pickle — executors can't import this package)."""
-    decode = _make_ppm_decoder()
+    REAL pixel decode (PPM/PNG/BMP, magic-routed) + per-channel means
+    for image rows, nulls for the pixel columns of text rows.
+    Self-contained closure (by-value pickle — executors can't import
+    this package)."""
+    decode = _make_image_decoder()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

@@ -75,8 +75,12 @@ def test_catalog_surface_runs_real_ppm_decode(spark, sf_dir):
 
 
 def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+    # a JPEG with no scan data is truncated (the decoder is REAL since
+    # r9); a format with no codec-free decoder stays honestly stubbed
+    with pytest.raises(ValueError):
         decode_image_stub(b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_ppm_decode_roundtrip():
@@ -97,8 +101,10 @@ def test_ppm_decode_roundtrip():
     assert (decode_image(commented) == img).all()
     with pytest.raises(ValueError):
         decode_image(b"P6\n2 2\n255\n\x00\x00\x00")  # truncated
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n")  # codec format stays stubbed
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0")  # JPEG is REAL since r9: truncated → error
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # PNG is REAL since r9: truncated → error
 
 
 def test_image_features_real_pixel_stats(spark):
