@@ -332,6 +332,53 @@ def encode_bmp(arr) -> bytes:
     return header + dib + body
 
 
+def make_resizer():
+    """Factory → ``resize(img, out_h, out_w, method='bilinear'|'nearest')``
+    over (H, W, C) uint8 — the preprocessing step every vision training
+    pipeline runs between decode and featurize. Pure numpy (gather for
+    nearest, separable lerp for bilinear, align-corners=False / pixel-
+    center convention like the mainstream vision stacks). Self-contained
+    closure (by-value pickle — executors can't import this package)."""
+
+    def resize(img, out_h: int, out_w: int, method: str = "bilinear"):
+        import numpy as np
+
+        img = np.asarray(img)
+        squeeze = img.ndim == 2
+        if squeeze:
+            img = img[:, :, None]
+        h, w = img.shape[0], img.shape[1]
+        if out_h <= 0 or out_w <= 0:
+            raise ValueError(f"bad target size {out_h}x{out_w}")
+        if squeeze:
+            # route through the 3-D path, drop the axis on the way out
+            out = resize(img, out_h, out_w, method)
+            return out[:, :, 0]
+        if method == "nearest":
+            ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
+            xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
+            return img[ys][:, xs].copy()
+        if method != "bilinear":
+            raise ValueError(f"method {method!r} not in ('nearest', 'bilinear')")
+        fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+        fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+        y0 = np.floor(fy).astype(int)
+        x0 = np.floor(fx).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = (fy - y0)[:, None, None]
+        wx = (fx - x0)[None, :, None]
+        p = img.astype(np.float64)
+        top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+        bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    return resize
+
+
+resize_image = make_resizer()
+
 # module-level conveniences for library callers / tests
 decode_png = make_png_decoder()
 decode_bmp = make_bmp_decoder()

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -301,6 +302,64 @@ def make_image_feature_extractor():
             )
 
     return extract
+
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("thumb", ArrayType(DoubleType())),
+    ]
+)
+
+
+def make_thumbnail_extractor(th: int = 8, tw: int = 8):
+    """decode → resize → featurize, the composite every vision training
+    pipeline runs before the model: magic-routed decode (any of the four
+    real formats), bilinear resize to (th, tw), gray vector in [0, 1] as
+    an array column — directly usable by the similarity/ANN operators
+    (near_dup_embedding_cosine takes exactly this shape). Self-contained
+    closure (by-value pickle)."""
+    from data_ingestion_system_spark.multimodal.codecs import make_resizer
+
+    decode = _make_image_decoder()
+    resize = make_resizer()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(payload))
+                small = resize(img, th, tw, method="bilinear").astype(np.float64)
+                gray = (
+                    0.299 * small[:, :, 0]
+                    + 0.587 * small[:, :, 1]
+                    + 0.114 * small[:, :, 2]
+                ) / 255.0
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        [float(v) for v in gray.reshape(-1)],
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "width", "height", "thumb"])
+
+    return extract
+
+
+def image_thumbnails(images: DataFrame, th: int = 8, tw: int = 8) -> DataFrame:
+    """(doc_id, payload[binary image]) → (doc_id, dims, thumb vector):
+    the decode→resize→featurize composite, emitting an embedding-shaped
+    array<double> column the ANN operators consume as-is."""
+    return images.select("doc_id", "payload").mapInPandas(
+        make_thumbnail_extractor(th=th, tw=tw), schema=THUMBNAIL_SCHEMA
+    )
 
 
 def image_features(images: DataFrame) -> DataFrame:
