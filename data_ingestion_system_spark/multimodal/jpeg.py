@@ -128,8 +128,43 @@ def make_jpeg_decoder():
     h/v sampling factors in {1, 2} (covers 4:4:4, 4:2:2, 4:2:0), DRI +
     restart markers. Progressive / arithmetic / 12-bit raise
     NotImplementedError.
+
+    Entropy decode is table-driven: each huffman table becomes a
+    65,536-entry peek LUT (16-bit window → packed symbol+code-length),
+    so a symbol costs one list index instead of a dict probe per bit;
+    magnitude bits are read in one masked shift. LUTs are cached in the
+    factory scope keyed by the table bytes — a corpus of same-table
+    JPEGs (e.g. everything Annex K) builds them once per executor.
+    IDCT is batched: the scan loop only fills per-component coefficient
+    arrays; dequantize + 8×8 DCT-III run as single broadcast matmuls
+    over all blocks, and the MCU→plane scatter is one reshape/transpose.
     """
     zigzag = ZIGZAG
+    lut_cache: dict = {}
+
+    def build_lut(counts, symbols):
+        # 16-bit peek window → (symbol << 5) | code_length; 0 = invalid.
+        key = (counts, symbols)
+        lut = lut_cache.get(key)
+        if lut is not None:
+            return lut
+        lut = [0] * 65536
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                start = code << (16 - length)
+                packed = (symbols[k] << 5) | length
+                lut[start : start + (1 << (16 - length))] = [packed] * (
+                    1 << (16 - length)
+                )
+                code += 1
+                k += 1
+            code <<= 1
+        if len(lut_cache) >= 64:  # bound executor memory across corpora
+            lut_cache.clear()
+        lut_cache[key] = lut
+        return lut
 
     def decode(payload: bytes):
         import numpy as np
@@ -138,23 +173,10 @@ def make_jpeg_decoder():
             raise ValueError("not a JPEG: bad SOI")
 
         qtables: dict[int, np.ndarray] = {}
-        htables: dict[tuple[int, int], dict] = {}  # (class, id) → decode maps
+        htables: dict[tuple[int, int], list] = {}  # (class, id) → peek LUT
         frame = None
         restart_interval = 0
         pos = 2
-
-        def build_decode_map(counts, symbols):
-            # (length, code) → symbol; dict lookup per emitted bit
-            out = {}
-            code = 0
-            k = 0
-            for length in range(1, 17):
-                for _ in range(counts[length - 1]):
-                    out[(length, code)] = symbols[k]
-                    code += 1
-                    k += 1
-                code <<= 1
-            return out
 
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
@@ -184,7 +206,7 @@ def make_jpeg_decoder():
                     counts = tuple(seg[i + 1 : i + 17])
                     n = sum(counts)
                     symbols = tuple(seg[i + 17 : i + 17 + n])
-                    htables[(tc, th)] = build_decode_map(counts, symbols)
+                    htables[(tc, th)] = build_lut(counts, symbols)
                     i += 17 + n
             elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline+extended seq
                 if seg[0] != 8:
@@ -228,30 +250,30 @@ def make_jpeg_decoder():
         if hmax not in (1, 2) or vmax not in (1, 2):
             raise NotImplementedError("sampling factors beyond 2 not supported")
 
-        # entropy-coded bytes: unstuff 0xFF00, split at restart markers
+        # entropy-coded bytes: unstuff 0xFF00, split at restart markers.
+        # bytes.find jumps marker-to-marker at C speed — the scan cost is
+        # per-0xFF, not per-byte.
         segments = []
         buf = bytearray()
         i = pos
-        while i < len(payload):
-            b = payload[i]
-            if b != 0xFF:
-                buf.append(b)
-                i += 1
-                continue
-            m = payload[i + 1] if i + 1 < len(payload) else None
+        n = len(payload)
+        while True:
+            j = payload.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                raise ValueError("truncated JPEG: no EOI")
+            buf += payload[i:j]
+            m = payload[j + 1]
             if m == 0x00:
                 buf.append(0xFF)
-                i += 2
-            elif m is not None and 0xD0 <= m <= 0xD7:
+                i = j + 2
+            elif 0xD0 <= m <= 0xD7:
                 segments.append(bytes(buf))
                 buf = bytearray()
-                i += 2
+                i = j + 2
             elif m == 0xD9:  # EOI
                 break
             else:
                 raise ValueError(f"JPEG: unexpected marker 0xFF{m:02X} in scan")
-        else:
-            raise ValueError("truncated JPEG: no EOI")
         segments.append(bytes(buf))
 
         # orthonormal 8x8 DCT-II basis: spatial = T.T @ F @ T
@@ -262,97 +284,116 @@ def make_jpeg_decoder():
 
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        planes = {
-            cid: np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
-            for cid, ch, cv, _ in comps
-        }
         scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
 
-        # bit reader state over the current segment
+        # per-component quantized-coefficient arrays, filled by the scan
+        # loop in (my, mx, by, bx) order; IDCT runs batched afterwards
+        coeff = [
+            np.zeros((mcuy * mcux * ch * cv, 64), np.float64)
+            for _, ch, cv, _ in comps
+        ]
+        nblk = [0] * len(comps)
+
+        # bit reader state over the current segment: bitbuf holds the
+        # top `nbits` undelivered bits (nbits < 24 between calls)
         seg_idx = 0
         data = segments[0]
+        ndata = len(data)
         bytepos = 0
         bitbuf = 0
         nbits = 0
 
-        def read_bit():
+        def huff(lut):
+            # one 16-bit peek → packed (symbol << 5 | length) lookup
             nonlocal bytepos, bitbuf, nbits
-            if nbits == 0:
-                if bytepos >= len(data):
-                    raise ValueError("truncated JPEG: entropy data exhausted")
-                bitbuf = data[bytepos]
+            while nbits < 16 and bytepos < ndata:
+                bitbuf = (bitbuf << 8) | data[bytepos]
                 bytepos += 1
-                nbits = 8
-            nbits -= 1
-            return (bitbuf >> nbits) & 1
+                nbits += 8
+            if nbits >= 16:
+                peek = (bitbuf >> (nbits - 16)) & 0xFFFF
+            else:
+                peek = (bitbuf << (16 - nbits)) & 0xFFFF  # zero-pad past end
+            packed = lut[peek]
+            length = packed & 31
+            if length == 0:
+                raise ValueError("JPEG: invalid huffman code")
+            if length > nbits:
+                raise ValueError("truncated JPEG: entropy data exhausted")
+            nbits -= length
+            bitbuf &= (1 << nbits) - 1
+            return packed >> 5
 
-        def receive(n):
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | read_bit()
-            return v
-
-        def extend(v, s):
+        def receive_extend(s):
+            # read s magnitude bits, sign-extend per T.81 §F.2.2.1
+            nonlocal bytepos, bitbuf, nbits
+            while nbits < s:
+                if bytepos >= ndata:
+                    raise ValueError("truncated JPEG: entropy data exhausted")
+                bitbuf = (bitbuf << 8) | data[bytepos]
+                bytepos += 1
+                nbits += 8
+            nbits -= s
+            v = bitbuf >> nbits
+            bitbuf &= (1 << nbits) - 1
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-        def huff(table):
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = table.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("JPEG: invalid huffman code")
 
         pred = {cid: 0 for cid, *_ in comps}
         mcu_count = 0
-        block = np.zeros(64, np.float64)
-        for my in range(mcuy):
-            for mx in range(mcux):
+        for _my in range(mcuy):
+            for _mx in range(mcux):
                 if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                     seg_idx += 1
                     if seg_idx >= len(segments):
                         raise ValueError("truncated JPEG: missing restart segment")
                     data = segments[seg_idx]
+                    ndata = len(data)
                     bytepos = 0
+                    bitbuf = 0
                     nbits = 0
                     pred = {cid: 0 for cid, *_ in comps}
                 mcu_count += 1
-                for cid, ch, cv, tq in comps:
+                for ci, (cid, ch, cv, _tq) in enumerate(comps):
                     td, ta = scan_by_id[cid]
                     dctab, actab = htables[(0, td)], htables[(1, ta)]
-                    q = qtables[tq].reshape(64)
-                    for by in range(cv):
-                        for bx in range(ch):
-                            block[:] = 0.0
-                            s = huff(dctab)
-                            diff = extend(receive(s), s) if s else 0
-                            pred[cid] += diff
-                            block[0] = pred[cid] * q[0]
-                            k = 1
-                            while k < 64:
-                                rs = huff(actab)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("JPEG: AC index beyond block")
-                                nat = zigzag[k]
-                                block[nat] = extend(receive(s), s) * q[nat]
-                                k += 1
-                            spatial = T.T @ block.reshape(8, 8) @ T + 128.0
-                            py = (my * cv + by) * 8
-                            px = (mx * ch + bx) * 8
-                            planes[cid][py : py + 8, px : px + 8] = spatial
+                    co = coeff[ci]
+                    bi = nblk[ci]
+                    for _blk in range(cv * ch):
+                        row = co[bi]
+                        s = huff(dctab)
+                        if s:
+                            pred[cid] += receive_extend(s)
+                        row[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = huff(actab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index beyond block")
+                            row[zigzag[k]] = receive_extend(s)
+                            k += 1
+                        bi += 1
+                    nblk[ci] = bi
 
-        # upsample to full resolution, crop, color-convert
+        # dequantize + IDCT all blocks per component in one batched
+        # matmul, then scatter MCU-ordered blocks to the plane with a
+        # reshape/transpose (order is (my, mx, by, bx) by construction)
         full = []
-        for cid, ch, cv, _ in comps:
-            p = planes[cid]
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
+            deq = coeff[ci] * qtables[tq].reshape(1, 64)
+            spatial = T.T @ deq.reshape(-1, 8, 8) @ T + 128.0
+            p = (
+                spatial.reshape(mcuy, mcux, cv, ch, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcuy * cv * 8, mcux * ch * 8)
+            )
+            # upsample to full resolution, crop
             if ch < hmax:
                 p = np.repeat(p, hmax // ch, axis=1)
             if cv < vmax:
