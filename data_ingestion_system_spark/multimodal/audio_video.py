@@ -115,9 +115,11 @@ def encode_wav(samples, rate: int, bits: int = 16) -> bytes:
     """(n, ch) float in [-1, 1] → PCM WAV bytes (16-bit by default)."""
     import numpy as np
 
-    samples = np.atleast_2d(np.asarray(samples, np.float64))
-    if samples.shape[0] == 1 and samples.shape[1] > 1 and samples.ndim == 2:
-        pass  # (1, n) mono row is fine — caller controls orientation
+    samples = np.asarray(samples, np.float64)
+    if samples.ndim == 1:
+        samples = samples[:, None]  # mono (n,) → (n, 1) frames-by-channels
+    elif samples.ndim != 2:
+        raise ValueError(f"encode_wav wants (n, ch) or (n,), got ndim={samples.ndim}")
     n, ch = samples.shape
     if bits == 16:
         pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
@@ -238,8 +240,10 @@ def make_y4m_parser():
             elif t[0] == "F":
                 num, den = (int(v) for v in t[1:].split(":"))
             elif t[0] == "C":
-                if t[1:].startswith("420"):
-                    csp = "420"  # 420 / 420jpeg / 420mpeg2 share plane sizes
+                # exact 8-bit variants only: C420p10/p12/p16 carry 2-byte
+                # samples and must NOT fall into the 8-bit plane math
+                if t[1:] in ("420", "420jpeg", "420mpeg2", "420paldv"):
+                    csp = "420"  # chroma-siting variants share plane sizes
                 elif t[1:] == "444":
                     csp = "444"
                 elif t[1:] == "mono":

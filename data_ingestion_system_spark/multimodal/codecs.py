@@ -103,43 +103,59 @@ def make_png_decoder():
             )
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
         ftypes = rows[:, 0]
-        # unfilter (PNG spec §6): recon is sequential row-to-row; Sub /
-        # Average / Paeth are also sequential along x, so walk pixels
-        # column-block-wise with numpy per-step vector math over channels.
+        # unfilter (PNG spec §6): recon is sequential row-to-row. None
+        # and Up are whole-row uint8 vector adds (wraparound IS the
+        # mod-256 the spec wants); Sub is a per-channel-lane mod-256
+        # running sum, i.e. np.add.accumulate in uint8. Average/Paeth
+        # are genuinely sequential along x (each byte needs the
+        # reconstructed left neighbour), so they walk the row as Python
+        # ints over bytes objects — ~5x faster than numpy scalar
+        # indexing, and the common libpng output (None/Sub/Up heavy)
+        # never enters the walk.
         out = np.zeros((h, stride), dtype=np.uint8)
         bpp = channels
+        zero_prev = bytes(stride)
         for y in range(h):
             ft = int(ftypes[y])
-            cur = rows[y, 1:].astype(np.int32)
-            prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
             if ft == 0:
-                rec = cur
-            elif ft == 2:  # Up — fully vectorized
-                rec = (cur + prev) & 0xFF
-            elif ft in (1, 3, 4):
-                rec = np.zeros(stride, np.int32)
-                for x in range(stride):
-                    a = rec[x - bpp] if x >= bpp else 0
+                out[y] = rows[y, 1:]
+            elif ft == 1:  # Sub: per-lane running sum mod 256
+                out[y] = np.add.accumulate(
+                    rows[y, 1:].reshape(-1, bpp), axis=0, dtype=np.uint8
+                ).reshape(stride)
+            elif ft == 2:  # Up
+                out[y] = rows[y, 1:] + out[y - 1] if y > 0 else rows[y, 1:]
+            elif ft == 3:  # Average
+                cur = rows[y, 1:].tobytes()
+                prev = out[y - 1].tobytes() if y > 0 else zero_prev
+                rec = bytearray(stride)
+                for x in range(bpp):
+                    rec[x] = (cur[x] + (prev[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    rec[x] = (cur[x] + ((rec[x - bpp] + prev[x]) >> 1)) & 0xFF
+                out[y] = np.frombuffer(bytes(rec), np.uint8)
+            elif ft == 4:  # Paeth
+                cur = rows[y, 1:].tobytes()
+                prev = out[y - 1].tobytes() if y > 0 else zero_prev
+                rec = bytearray(stride)
+                for x in range(bpp):
+                    rec[x] = (cur[x] + prev[x]) & 0xFF  # a = c = 0 → pred = b
+                for x in range(bpp, stride):
+                    a = rec[x - bpp]
                     b = prev[x]
-                    if ft == 1:  # Sub
-                        v = cur[x] + a
-                    elif ft == 3:  # Average
-                        v = cur[x] + ((a + b) >> 1)
-                    else:  # Paeth
-                        c = prev[x - bpp] if x >= bpp else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        if pa <= pb and pa <= pc:
-                            pred = a
-                        elif pb <= pc:
-                            pred = b
-                        else:
-                            pred = c
-                        v = cur[x] + pred
-                    rec[x] = v & 0xFF
+                    c = prev[x - bpp]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec[x] = (cur[x] + pred) & 0xFF
+                out[y] = np.frombuffer(bytes(rec), np.uint8)
             else:
                 raise ValueError(f"PNG: invalid filter type {ft} on row {y}")
-            out[y] = rec.astype(np.uint8)
         px = out.reshape(h, w, channels)
         if color == 2:
             return px.copy()

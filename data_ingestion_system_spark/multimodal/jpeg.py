@@ -182,6 +182,11 @@ def make_jpeg_decoder():
             if payload[pos] != 0xFF:
                 raise ValueError(f"JPEG: expected marker at {pos}")
             marker = payload[pos + 1]
+            while marker == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes before a marker
+                pos += 1
+                if pos + 4 > len(payload):
+                    raise ValueError("truncated JPEG: fill bytes run off the end")
+                marker = payload[pos + 1]
             if marker == 0xD9:  # EOI before SOS
                 raise ValueError("JPEG: EOI before scan data")
             seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
@@ -266,6 +271,8 @@ def make_jpeg_decoder():
             if m == 0x00:
                 buf.append(0xFF)
                 i = j + 2
+            elif m == 0xFF:  # fill byte before a marker: re-scan from it
+                i = j + 1
             elif 0xD0 <= m <= 0xD7:
                 segments.append(bytes(buf))
                 buf = bytearray()

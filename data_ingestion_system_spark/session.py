@@ -112,20 +112,31 @@ def _topology_width(spark: SparkSession, local_n: int) -> int | None:
         except ValueError:
             return None
     if m.startswith("local"):
-        k = m[6:-1] if m.startswith("local[") else ""
-        if k == "*":
+        # legal forms: local, local[N], local[*], local[N,maxFailures],
+        # local[*,maxFailures] — the thread count is the first element
+        first = m[6:-1].split(",")[0].strip() if m.startswith("local[") else ""
+        if first == "*":
             return max(8, os.cpu_count() or local_n)
         try:
-            return max(8, int(k))
+            return max(8, int(first))
         except ValueError:
             return max(8, local_n)
     # standalone/yarn/k8s: defaultParallelism = live total cores; give
-    # executor registration a moment to settle past the floor of 2
+    # executor registration a moment to settle past the floor of 2, but
+    # stop as soon as the reading is STABLE — a legitimately 1-2-core
+    # cluster must not pay the full deadline on every session build
     import time
 
     deadline = time.monotonic() + 10.0
     width = spark.sparkContext.defaultParallelism
+    last = width
+    stable_since = time.monotonic()
     while width <= 2 and time.monotonic() < deadline:
+        if time.monotonic() - stable_since >= 1.5:
+            break  # settled: the cluster really is this small
         time.sleep(0.25)
         width = spark.sparkContext.defaultParallelism
+        if width != last:
+            last = width
+            stable_since = time.monotonic()
     return max(8, width)

@@ -70,6 +70,29 @@ def _dir_has_parquet(path: str) -> bool:
     )
 
 
+def _migrate_legacy_flat(path: str) -> None:
+    """Move pre-partitioned (flat append) state files into a
+    ``batch_id=-1`` partition dir, giving the store ONE layout: Spark
+    cannot read a dir that mixes root-level files with partition
+    subdirs, which is exactly what the first partitioned write into a
+    legacy store would create. -1 means 'committed before the
+    partitioned layout existed' — every such row was appended by a
+    batch whose audit marker already landed. File renames, no data
+    rewrite (local/HDFS; an object-store deployment would copy)."""
+    if not os.path.isdir(path):
+        return
+    flat = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    if not flat:
+        return
+    dest = os.path.join(path, "batch_id=-1")
+    os.makedirs(dest, exist_ok=True)
+    for f in flat:
+        os.rename(os.path.join(path, f), os.path.join(dest, f))
+        crc = os.path.join(path, f".{f}.crc")
+        if os.path.exists(crc):
+            os.rename(crc, os.path.join(dest, f".{f}.crc"))
+
+
 def neardup_insert_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -85,6 +108,8 @@ def neardup_insert_batch(
     import time as _time
 
     t0 = _time.perf_counter()
+    for d in (paths.target_dir, paths.bands_dir, paths.tokens_dir):
+        _migrate_legacy_flat(d)
     if _dir_has_parquet(paths.audit_dir):
         already = (
             spark.read.parquet(paths.audit_dir)
@@ -105,12 +130,13 @@ def neardup_insert_batch(
         # crash would otherwise find the partial attempt's index rows in
         # the store and reject every doc as a near-dup of itself (then
         # overwrite the partition with nothing — silent data loss). The
-        # filter is a pruned partition scan, not a data read.
-        store_bands = (
-            spark.read.parquet(paths.bands_dir)
-            .filter(F.col("batch_id") != int(batch_id))
-            .select("doc_id", "band_key")
-        )
+        # filter is a pruned partition scan, not a data read. A store
+        # written by the pre-partitioned (flat append) layout has no
+        # batch_id column — those rows are all committed prior batches.
+        store_bands = spark.read.parquet(paths.bands_dir)
+        if "batch_id" in store_bands.columns:
+            store_bands = store_bands.filter(F.col("batch_id") != int(batch_id))
+        store_bands = store_bands.select("doc_id", "band_key")
         cross = (
             bands.alias("n")
             .join(store_bands.alias("s"), F.col("n.band_key") == F.col("s.band_key"))
@@ -122,11 +148,11 @@ def neardup_insert_batch(
         # exact Jaccard needs both sides' shingles: batch tokens plus the
         # stored shingles of ONLY the candidate store docs (semi-join —
         # the index, not the corpus, bounds what gets read)
-        store_toks = (
-            spark.read.parquet(paths.tokens_dir)
-            .filter(F.col("batch_id") != int(batch_id))
-            .select("doc_id", "token")
-            .join(cross.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi")
+        store_toks = spark.read.parquet(paths.tokens_dir)
+        if "batch_id" in store_toks.columns:
+            store_toks = store_toks.filter(F.col("batch_id") != int(batch_id))
+        store_toks = store_toks.select("doc_id", "token").join(
+            cross.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi"
         )
         # distinct: a re-delivered doc_id appears in BOTH sides of the
         # union with identical shingles; duplicates would double n_common
@@ -185,18 +211,49 @@ def _append_audit(audit: DataFrame, audit_dir: str) -> None:
     audit.write.mode("append").parquet(audit_dir)
 
 
-def accepted_docs(spark: SparkSession, paths: NearDupPaths) -> DataFrame:
+def accepted_docs(
+    spark: SparkSession,
+    paths: NearDupPaths,
+    schema: StructType | None = None,
+) -> DataFrame:
     """Committed read view of the accepted corpus: target partitions
     whose audit commit marker exists. After a mid-batch crash the target
     dir can hold one uncommitted `batch_id=<n>` partition (the audit row
     is written last); resuming the stream overwrites it, but a reader
     that runs BEFORE the resume must not see it. The audit is one row
-    per batch — the semi-join broadcasts."""
+    per batch — the semi-join broadcasts.
+
+    A fresh deployment (or a crash before batch 0's first target write)
+    has no target files at all: with ``schema`` given this returns the
+    empty committed view; without it there is nothing to infer a schema
+    from, so it raises a clear ValueError instead of Spark's
+    PATH_NOT_FOUND."""
+    if not _dir_has_parquet(paths.target_dir):
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"near-dup target {paths.target_dir} has no committed state yet; "
+            "pass schema= for an empty committed view"
+        )
     target = spark.read.parquet(paths.target_dir)
+    if "batch_id" not in target.columns:
+        # pre-partitioned (flat append) layout: every written row was
+        # committed at its batch's audit-marker skip level
+        return target
     if not _dir_has_parquet(paths.audit_dir):
-        return target.limit(0)
-    committed = spark.read.parquet(paths.audit_dir).select("batch_id")
-    return target.join(F.broadcast(committed), "batch_id", "left_semi").drop("batch_id")
+        return target.limit(0).drop("batch_id")
+    # batch_id=-1 is the migrated legacy partition — committed by
+    # construction (see _migrate_legacy_flat)
+    committed = (
+        spark.read.parquet(paths.audit_dir)
+        .select(F.col("batch_id").cast("long"))
+        .union(spark.range(1).select(F.lit(-1).cast("long").alias("batch_id")))
+    )
+    return (
+        target.withColumn("batch_id", F.col("batch_id").cast("long"))
+        .join(F.broadcast(committed), "batch_id", "left_semi")
+        .drop("batch_id")
+    )
 
 
 def run_neardup_ingestion(

@@ -207,9 +207,10 @@ def test_resize_nearest_identity_and_downscale():
     img = _clip(n=1)[0]
     assert (resize_image(img, img.shape[0], img.shape[1], "nearest") == img).all()
     half = resize_image(img, 6, 8, "nearest")
-    # pixel-center convention: output (i, j) takes input (2i, 2j) at 2× downscale
-    assert (half == img[1::2, 1::2][: 6, : 8]).all() or half.shape == (6, 8, 3)
+    # pixel-center convention: output (i, j) samples input (2i+1, 2j+1)
+    # at 2x downscale — pinned exactly, not or-ed with a shape check
     assert half.shape == (6, 8, 3)
+    assert (half == img[1::2, 1::2][:6, :8]).all()
 
 
 def test_resize_bilinear_flat_and_gradient():
@@ -261,3 +262,27 @@ def test_image_thumbnails_spark(spark):
     for i in (1, 2):
         assert np.abs(np.array(got[i].thumb) - base).max() < 1e-12
         assert (got[i].width, got[i].height) == (30, 20)
+
+
+def test_wav_mono_1d_encodes_as_n_frames_one_channel():
+    """A natural mono call — encode_wav(sin_wave, rate) with a 1-D
+    array — must mean (n, 1), not a 1-frame n-channel WAV."""
+    t = np.arange(800) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    out, rate = decode_wav(encode_wav(x, 8000))
+    assert out.shape == (800, 1)
+    assert np.abs(out[:, 0] - x).max() < 1.6 / 32768
+    with pytest.raises(ValueError, match="ndim"):
+        encode_wav(np.zeros((2, 3, 4)), 8000)
+
+
+def test_y4m_high_bitdepth_colourspace_raises():
+    """C420p10/p12/p16 carry 2-byte samples; matching them to the 8-bit
+    4:2:0 plane math would mis-size every frame. They must refuse."""
+    clip = np.zeros((2, 4, 4, 3), np.uint8)
+    good = encode_y4m(clip, fps=(24, 1), csp="420")
+    for depth in (b"10", b"12", b"16"):
+        bad = good.replace(b"C420\n", b"C420p" + depth + b"\n", 1)
+        assert bad != good
+        with pytest.raises(NotImplementedError, match="colourspace"):
+            parse_y4m(bad)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from data_ingestion_system_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
@@ -68,15 +68,36 @@ def test_jpeg_q100_near_lossless_on_noise():
 def test_jpeg_roundtrip_property(w, h, quality, subsample):
     """Any dimensions (including non-multiple-of-8/16 needing edge
     padding) decode back to the exact same shape with bounded error on
-    smooth content."""
+    smooth content. 4:2:0 on 1-2px dims averages the ramp's whole
+    chroma range into one sample (libjpeg does the same), so no RGB
+    bound is meaningful there — that regime is pinned by the dedicated
+    degenerate-dims test below via luma, which is never subsampled."""
+    assume(subsample == "444" or min(h, w) >= 3)
     img = _smooth(h, w)
     out = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
     assert out.shape == img.shape
-    # 4:2:0 box-filters chroma 2x2; on degenerate 1-2px dims the ramp's
-    # full chroma range lands in one averaged pair (libjpeg behaves the
-    # same), so the recoverable bound is ~half the chroma step, not 40.
-    tol = 128 if subsample == "420" and min(h, w) <= 2 else 40
+    # 4:2:0 chroma error scales with the ramp's per-pixel chroma step
+    # (~255/(min_dim-1), halved by the 2x2 box filter, amplified 1.772x
+    # on blue): measured worst case over the whole strategy space decays
+    # 83 (min dim 3) → 43 (6) → <=37 (7+); the curve below bounds it
+    # with margin at every point.
+    m = min(h, w)
+    tol = 40 if subsample == "444" or m >= 7 else 40 + 230 // (m - 1)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_jpeg_420_degenerate_dims_keep_luma():
+    """1-2px-wide 4:2:0: chroma legitimately collapses to one averaged
+    sample, but decode must succeed with the right shape and the
+    (full-resolution) luma plane must survive."""
+    for h, w in ((1, 2), (2, 1), (2, 2), (1, 20), (20, 2)):
+        img = _smooth(h, w)
+        out = decode_jpeg(encode_jpeg(img, quality=80, subsample="420"))
+        assert out.shape == img.shape
+        # wrong chroma pushes R/B into the 0/255 clip, which shifts the
+        # implied luma of the clipped RGB too — hence 40, not ~4
+        luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        assert np.abs(luma(out.astype(float)) - luma(img.astype(float))).max() <= 40
 
 
 def test_jpeg_hand_assembled_spec_vector():
@@ -154,3 +175,24 @@ def test_jpeg_through_spark_image_path(spark):
         assert (r.width, r.height) == (21, 13)
         for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
             assert abs(getattr(r, col) - float(img[:, :, ch].mean())) < 2.0
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    both between header segments and before RSTn in the entropy stream.
+    Real encoders emit them for alignment; one such file must not kill a
+    whole mapInPandas batch."""
+    img = _smooth(24, 17)
+    good = encode_jpeg(img, quality=95, restart_interval=2)
+    base = decode_jpeg(good)
+
+    # fill bytes between header segments (before DQT's 0xFF 0xDB)
+    dqt = good.index(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff\xff\xff" + good[dqt:]
+    assert (decode_jpeg(padded) == base).all()
+
+    # fill byte before the first restart marker in the scan
+    sos = good.index(b"\xff\xda")
+    rst = good.index(b"\xff\xd0", sos)
+    padded = good[:rst] + b"\xff" + good[rst:]
+    assert (decode_jpeg(padded) == base).all()

@@ -86,3 +86,22 @@ def test_topology_width_follows_master_not_launcher_cpus():
     # floor of 8 everywhere (tiny masters keep enough reduce fan-out)
     assert _topology_width(_Spark("local[2]"), 32) == 8
     assert _topology_width(_Spark("local-cluster[1,2,1024]"), 32) == 8
+
+
+def test_topology_width_parses_maxfailures_form():
+    """local[N,maxFailures] is a legal master string: the width must be
+    N, never the launcher box's CPU count (r8 width-rule regression)."""
+    from data_ingestion_system_spark.session import _topology_width
+
+    class _SC:
+        def __init__(self, m):
+            self.master = m
+            self.defaultParallelism = 2
+
+    class _Spark:
+        def __init__(self, m):
+            self.sparkContext = _SC(m)
+
+    assert _topology_width(_Spark("local[16,3]"), 99) == 16
+    assert _topology_width(_Spark("local[4,2]"), 99) == 8  # floor of 8
+    assert _topology_width(_Spark("local-cluster[4,8,4096]"), 99) == 32

@@ -66,14 +66,18 @@ VID_FRAMES, VID_H, VID_W = 96, 120, 160  # ~2.8 MB 4:2:0 payload per clip
 
 
 def _payload_maker(fmt: str):
-    """Self-contained (doc_id → bytes) closure; runs in executors, so
-    everything (encoders included) must pickle by value — encoders are
-    module functions, importable only on the driver, hence the factory
-    captures them as locals the same way columns.py does."""
+    """(doc_id → bytes) closure; runs in executors. The captured encoders
+    are MODULE-LEVEL functions, which cloudpickle serializes by
+    reference (module + qualname) even when held in closure cells — so
+    executors must be able to import the package. main() pins
+    spark.executorEnv.PYTHONPATH to the repo root (same convention as
+    the other probes) instead of relying on the launch cwd."""
     import numpy as np
 
-    if fmt in ("ppm", "png", "bmp", "jpeg"):
-        enc = {"ppm": encode_ppm, "png": encode_png, "bmp": encode_bmp,
+    if fmt in ("ppm", "png", "png_paeth", "bmp", "jpeg"):
+        enc = {"ppm": encode_ppm, "png": encode_png,
+               "png_paeth": lambda a: encode_png(a, filter_type=4),
+               "bmp": encode_bmp,
                "jpeg": lambda a: encode_jpeg(a, quality=90, subsample="420")}[fmt]
         h, w = IMG_H, IMG_W
 
@@ -125,12 +129,15 @@ def _time_extract(df, extract_fn, **kw) -> tuple[float, int]:
 
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 20000
-    spark = get_spark()
+    spark = get_spark(extra_conf={"spark.executorEnv.PYTHONPATH": _REPO})
     out: dict = {"rows": rows, "cpus": os.cpu_count(),
                  "img": f"{IMG_W}x{IMG_H}", "vid": f"{VID_FRAMES}f {VID_W}x{VID_H}"}
 
+    # png = filter-0 rows (the library's own encoder default);
+    # png_paeth = every row Paeth-filtered — the adaptive-filter cost an
+    # externally-encoded (libpng/Pillow) corpus actually pays
     decoded_mb = rows * IMG_H * IMG_W * 3 / 1e6
-    for fmt in ("ppm", "png", "jpeg"):
+    for fmt in ("ppm", "png", "png_paeth", "jpeg"):
         df = _payload_df(spark, rows, fmt).persist()
         df.count()  # materialize payloads so encode cost is excluded
         wall, n = _time_extract(df, image_features)
