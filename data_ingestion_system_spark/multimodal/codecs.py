@@ -348,6 +348,267 @@ def encode_bmp(arr) -> bytes:
     return header + dib + body
 
 
+def make_gif_decoder():
+    """Factory → ``decode(payload: bytes) -> np.ndarray[(H, W, 3), u8]``.
+
+    GIF87a/89a (W3C/CompuServe spec): logical-screen + global/local
+    color tables, variable-width LSB-first LZW (clear/end codes, 12-bit
+    cap, deferred-clear tolerant), Adam-style 4-pass interlace, and
+    89a extension blocks (GCE transparency index is honoured by
+    substituting the screen background color — features run on RGB).
+    An animated GIF decodes to its FIRST frame, composed onto the
+    logical screen at its (left, top) offset over the background color
+    — one frame is the right per-row cost bound for a feature
+    extractor; frame iteration would go the video_features route.
+    Pure numpy/stdlib, same self-contained-closure contract as the
+    other ``make_*`` factories."""
+
+    def decode(payload: bytes):
+        import numpy as np
+
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF: bad magic")
+        if len(payload) < 13:
+            raise ValueError("truncated GIF: no logical screen descriptor")
+        sw = int.from_bytes(payload[6:8], "little")
+        sh = int.from_bytes(payload[8:10], "little")
+        packed = payload[10]
+        bg_index = payload[11]
+        if sw <= 0 or sh <= 0:
+            raise ValueError(f"GIF: bad dimensions {sw}x{sh}")
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+            if gct.size != 3 * n:
+                raise ValueError("truncated GIF: global color table cut short")
+            gct = gct.reshape(n, 3)
+            pos += 3 * n
+
+        transparent = None
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: no image descriptor")
+            b = payload[pos]
+            if b == 0x3B:
+                raise ValueError("GIF: trailer before any image data")
+            if b == 0x21:  # extension: label, then 0-terminated sub-blocks
+                if pos + 2 > len(payload):
+                    raise ValueError("truncated GIF: extension header")
+                label = payload[pos + 1]
+                pos += 2
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("truncated GIF: extension sub-blocks")
+                    sz = payload[pos]
+                    if label == 0xF9 and sz == 4 and pos + 5 <= len(payload):
+                        if payload[pos + 1] & 1:  # GCE transparency flag
+                            transparent = payload[pos + 4]
+                    pos += 1 + sz
+                    if sz == 0:
+                        break
+                continue
+            if b == 0x2C:
+                break
+            raise ValueError(f"GIF: unexpected block 0x{b:02X}")
+
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF: image descriptor cut short")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        ipacked = payload[pos + 9]
+        pos += 10
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF: frame rectangle outside the logical screen")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            lct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+            if lct.size != 3 * n:
+                raise ValueError("truncated GIF: local color table cut short")
+            palette = lct.reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF: no color table (neither global nor local)")
+        interlaced = bool(ipacked & 0x40)
+
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: missing LZW minimum code size")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"GIF: LZW minimum code size {mcs} out of range")
+        blocks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: LZW sub-blocks unterminated")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunk = payload[pos : pos + sz]
+            if len(chunk) != sz:
+                raise ValueError("truncated GIF: LZW sub-block cut short")
+            blocks.append(chunk)
+            pos += sz
+        data = b"".join(blocks)
+
+        # --- LZW decode (variable width, LSB-first, 12-bit cap) ---
+        clear = 1 << mcs
+        end = clear + 1
+        npix = w * h
+
+        def fresh_table():
+            return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+        table = fresh_table()
+        codesize = mcs + 1
+        bitpos = 0
+        total_bits = len(data) * 8
+        out = []
+        got = 0
+        prev = None
+        while got < npix:
+            if bitpos + codesize > total_bits:
+                raise ValueError("truncated GIF: LZW stream exhausted")
+            byte_i = bitpos >> 3
+            word = int.from_bytes(data[byte_i : byte_i + 3], "little")
+            code = (word >> (bitpos & 7)) & ((1 << codesize) - 1)
+            bitpos += codesize
+            if code == clear:
+                table = fresh_table()
+                codesize = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("GIF: first LZW code after clear not a literal")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    raise ValueError("GIF: LZW code beyond table")
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    if len(table) == (1 << codesize) and codesize < 12:
+                        codesize += 1
+            out.append(entry)
+            got += len(entry)
+            prev = entry
+        pixels = b"".join(out)
+        if len(pixels) < npix:
+            raise ValueError("truncated GIF: pixel data short of frame size")
+        idx = np.frombuffer(pixels[:npix], np.uint8).reshape(h, w)
+
+        if interlaced:  # 4-pass row order: 0,8,.. 4,12,.. 2,6,.. 1,3,..
+            order = np.concatenate(
+                [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("GIF: pixel index out of palette range")
+        bg = palette[bg_index] if bg_index < palette.shape[0] else palette[0]
+        frame = palette[idx]
+        if transparent is not None and transparent < palette.shape[0]:
+            frame = np.where((idx == transparent)[:, :, None], bg[None, None, :], frame)
+        if (left, top, w, h) == (0, 0, sw, sh):
+            return frame
+        screen = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        screen[top : top + h, left : left + w] = frame
+        return screen
+
+    return decode
+
+
+def encode_gif(arr, palette, interlace: bool = False, n_frames: int = 1) -> bytes:
+    """(H, W) uint8 index array + (N≤256, 3) palette → GIF89a bytes.
+
+    LZW layer uses the classic uncompressed-GIF construction: literal
+    codes at a fixed 9-bit width with a clear code every 254 symbols,
+    which keeps the decoder's table below the width-growth threshold —
+    spec-valid output any GIF reader accepts, no compression. With
+    ``n_frames`` > 1 the same frame repeats (preceded by 89a GCE
+    blocks) so first-frame-of-animation decode is testable."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = arr.shape
+    if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+        raise ValueError("palette must be (N<=256, 3)")
+    if int(arr.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index out of palette range")
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: palette.shape[0]] = palette
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries; bg 0
+    out += pal.tobytes()
+
+    rows = arr
+    if interlace:
+        order = np.concatenate(
+            [np.arange(s, h, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = arr[order]
+
+    # 9-bit LSB-first literal stream with periodic clears
+    mcs = 8
+    clear, end = 256, 257
+    acc = 0
+    nbits = 0
+    lzw = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for i, px in enumerate(rows.tobytes()):
+        if i and i % 254 == 0:
+            put(clear)  # reset before the decoder's table would widen
+        put(px)
+    put(end)
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    def image_block() -> bytes:
+        blk = bytearray(b"\x2c")
+        blk += (0).to_bytes(2, "little") * 2
+        blk += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        blk += bytes([0x40 if interlace else 0])
+        blk += bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            sub = lzw[i : i + 255]
+            blk += bytes([len(sub)]) + sub
+        blk += b"\x00"
+        return bytes(blk)
+
+    for _ in range(n_frames):
+        if n_frames > 1:  # GCE with a frame delay, no transparency
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += image_block()
+    out += b"\x3b"
+    return bytes(out)
+
+
 def make_resizer():
     """Factory → ``resize(img, out_h, out_w, method='bilinear'|'nearest')``
     over (H, W, C) uint8 — the preprocessing step every vision training
@@ -397,4 +658,5 @@ resize_image = make_resizer()
 
 # module-level conveniences for library callers / tests
 decode_png = make_png_decoder()
+decode_gif = make_gif_decoder()
 decode_bmp = make_bmp_decoder()

@@ -4,8 +4,9 @@ Images/audio/video ride through the engine as opaque `binary` columns with
 a typed metadata struct; decode / feature-extraction runs as Arrow-batched
 Pandas functions over `mapInPandas`. Decode is REAL for the formats that
 need no external codec library — binary PPM (pure numpy, r8), PNG (stdlib
-zlib + the five scanline filters, r9), uncompressed BMP (r9), and baseline
-sequential JPEG (pure-numpy huffman + IDCT, r9) — in
+zlib + the five scanline filters, r9), uncompressed BMP (r9), baseline
+sequential JPEG (pure-numpy huffman + IDCT, r9), and GIF87a/89a (LZW +
+palette + interlace, r9) — in
 `multimodal/codecs.py` / `multimodal/jpeg.py`, routed by magic bytes in
 `decode_image`; WebP/progressive-JPEG/... still raise NotImplementedError
 (honest stub). `fake_feature_extractor` remains the
@@ -110,15 +111,17 @@ def _make_ppm_decoder():
 def _make_image_decoder():
     """Build the magic-byte-routed decode closure: REAL for binary PPM
     (P6, pure numpy, r8), PNG (stdlib zlib + unfilter, r9), BMP
-    (BI_RGB 24/32-bit, r9), and baseline JPEG (pure-numpy huffman +
-    IDCT, r9 — see multimodal/jpeg.py); NotImplementedError for
-    WebP/progressive-JPEG/... whose codec support this container does
-    not ship. Factory for the same by-value-pickling reason as
-    `_make_ppm_decoder` — the captured sub-decoders are themselves
-    factory-built closures, so cloudpickle ships the whole router by
-    value to executors."""
+    (BI_RGB 24/32-bit, r9), baseline JPEG (pure-numpy huffman + IDCT,
+    r9 — see multimodal/jpeg.py), and GIF87a/89a (LZW + palette +
+    interlace, r9; animated GIFs decode to their first frame);
+    NotImplementedError for WebP/progressive-JPEG/... whose codec
+    support this container does not ship. Factory for the same
+    by-value-pickling reason as `_make_ppm_decoder` — the captured
+    sub-decoders are themselves factory-built closures, so cloudpickle
+    ships the whole router by value to executors."""
     from data_ingestion_system_spark.multimodal.codecs import (
         make_bmp_decoder,
+        make_gif_decoder,
         make_png_decoder,
     )
     from data_ingestion_system_spark.multimodal.jpeg import make_jpeg_decoder
@@ -127,6 +130,7 @@ def _make_image_decoder():
     png = make_png_decoder()
     bmp = make_bmp_decoder()
     jpg = make_jpeg_decoder()
+    gif = make_gif_decoder()
 
     def decode(payload: bytes):
         if len(payload) < 2:
@@ -139,17 +143,19 @@ def _make_image_decoder():
             return bmp(payload)
         if payload[:2] == b"\xff\xd8":
             return jpg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return gif(payload)
         raise NotImplementedError(
-            "unrecognized image magic %r — PPM/PNG/BMP/baseline-JPEG decode "
-            "codec-free; other formats need libraries this container does "
-            "not ship" % payload[:8]
+            "unrecognized image magic %r — PPM/PNG/BMP/GIF/baseline-JPEG "
+            "decode codec-free; other formats need libraries this container "
+            "does not ship" % payload[:8]
         )
 
     return decode
 
 
-# Production decode hook: REAL for binary PPM / PNG / BMP / baseline
-# JPEG (pure numpy + stdlib zlib — see multimodal/codecs.py and
+# Production decode hook: REAL for binary PPM / PNG / BMP / GIF /
+# baseline JPEG (pure numpy + stdlib zlib — see multimodal/codecs.py and
 # multimodal/jpeg.py); NotImplementedError for WebP/progressive-JPEG/...
 # whose codec support this container does not ship.
 decode_image = _make_image_decoder()
@@ -316,7 +322,7 @@ THUMBNAIL_SCHEMA = StructType(
 
 def make_thumbnail_extractor(th: int = 8, tw: int = 8):
     """decode → resize → featurize, the composite every vision training
-    pipeline runs before the model: magic-routed decode (any of the four
+    pipeline runs before the model: magic-routed decode (any of the five
     real formats), bilinear resize to (th, tw), gray vector in [0, 1] as
     an array column — directly usable by the similarity/ANN operators
     (near_dup_embedding_cosine takes exactly this shape). Self-contained
@@ -418,7 +424,7 @@ MM_FEATURE_SCHEMA = StructType(
 
 def make_multimodal_feature_extractor():
     """Mime-routed Arrow-batched extractor: byte stats for every row;
-    REAL pixel decode (PPM/PNG/BMP, magic-routed) + per-channel means
+    REAL pixel decode (PPM/PNG/BMP/GIF/JPEG, magic-routed) + per-channel means
     for image rows, nulls for the pixel columns of text rows.
     Self-contained closure (by-value pickle — executors can't import
     this package)."""

@@ -288,3 +288,123 @@ def test_image_features_mixed_containers(spark):
     for r in got:
         assert (r.width, r.height) == (7, 5)
         assert (r.mean_r, r.mean_g, r.mean_b) == want
+
+
+# ------------------------------------------------------------------ GIF
+
+
+def _gif_pal(n=64, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_lossless(interlace):
+    """GIF is lossless indexed color: decode(encode(idx, pal)) must be
+    exactly pal[idx], interlaced or not."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = _gif_pal()
+    idx = rng.integers(0, 64, (33, 47), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+    assert out.shape == (33, 47, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_gif_animated_decodes_first_frame():
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(4)
+    pal = _gif_pal()
+    idx = rng.integers(0, 64, (9, 11), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx, pal, n_frames=3))
+    assert (out == pal[idx]).all()
+
+
+def test_gif_kwkwk_spec_vector():
+    """Hand-assembled LZW stream exercising the KwKwK case (code ==
+    table size) that a real compressing encoder emits but our
+    uncompressed-literal encoder never does: mcs=2, codes
+    [clear=4, 1, 6, end=5] decode to pixels [1, 1, 1] per the GIF spec
+    (Appendix F): code 6 == len(table) → entry = prev + prev[0]."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif
+
+    pal = bytes(
+        bytearray([0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90])
+    )  # 4 RGB entries
+    # codes 4,1,6,5 at 3 bits, LSB-first: 4 | 1<<3 | 6<<6 | 5<<9 = 2956
+    lzw = (2956).to_bytes(2, "little")
+    payload = (
+        b"GIF89a"
+        + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT, 4 entries; bg 0
+        + pal
+        + b"\x2c" + b"\x00" * 4
+        + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + b"\x00"
+        + bytes([2])  # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    out = decode_gif(payload)
+    assert out.shape == (1, 3, 3)
+    assert (out == np.array([10, 20, 30], np.uint8)).all()
+
+
+def test_gif_transparency_substitutes_background():
+    """89a GCE transparency: transparent-index pixels decode as the
+    screen background color (features run on RGB, not RGBA)."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = _gif_pal()
+    idx = np.array([[1, 2], [3, 1]], np.uint8)
+    p = encode_gif(idx, pal)
+    hdr = 6 + 7 + 768  # header + LSD + 256-entry GCT
+    gce = b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # flags|1, transparent idx 1
+    out = decode_gif(p[:hdr] + gce + p[hdr:])
+    bg = pal[0]
+    assert (out[0, 0] == bg).all() and (out[1, 1] == bg).all()
+    assert (out[0, 1] == pal[2]).all() and (out[1, 0] == pal[3]).all()
+
+
+def test_gif_error_paths():
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = _gif_pal()
+    idx = np.zeros((4, 5), np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="magic"):
+        decode_gif(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[: 6 + 7 + 100])  # inside the GCT
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:-12])  # inside the LZW sub-blocks
+    with pytest.raises(ValueError, match="trailer"):
+        # LSD + GCT then straight to trailer: no image data
+        decode_gif(good[: 6 + 7 + 768] + b"\x3b")
+    bad = bytearray(good)
+    ioff = 6 + 7 + 768  # image descriptor offset
+    assert bad[ioff] == 0x2C
+    bad[ioff + 5 : ioff + 7] = (99).to_bytes(2, "little")  # frame w > screen w
+    with pytest.raises(ValueError, match="rectangle"):
+        decode_gif(bytes(bad))
+
+
+def test_gif_through_spark_image_path(spark):
+    """Magic-routed GIF decode inside image_features executors."""
+    from data_ingestion_system_spark.multimodal.codecs import encode_gif
+    from data_ingestion_system_spark.multimodal.columns import image_features
+
+    pal = _gif_pal()
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 64, (13, 21), dtype=np.uint8)
+    img = pal[idx]
+    rows = [(i, bytearray(encode_gif(idx, pal))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(2)
+    got = image_features(df).collect()
+    assert len(got) == 4
+    for r in got:
+        assert (r.width, r.height) == (21, 13)
+        for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(getattr(r, col) - float(img[:, :, ch].mean())) < 1e-6

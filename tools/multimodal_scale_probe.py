@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """Multimodal decode/extract throughput probe (round 9).
 
-The r9 multimodal surface decodes four image formats, WAV audio, and Y4M
+The r9 multimodal surface decodes five image formats, WAV audio, and Y4M
 video with pure numpy/stdlib closures inside mapInPandas. This probe
 measures what that costs per row at corpus scale, on synthetic payloads
 generated IN the executors (so payload bytes never cross the driver):
 
-  1. `image_features` over PPM / PNG / JPEG payloads — decode docs/s and
+  1. `image_features` over PPM / PNG / GIF / JPEG payloads — decode docs/s and
      decoded MB/s per format (PNG pays zlib+unfilter, JPEG pays
      huffman+IDCT; the gap is the real codec cost a 100 TB vision
      pipeline budgets for).
@@ -48,6 +48,7 @@ from data_ingestion_system_spark.multimodal.audio_video import (  # noqa: E402
 )
 from data_ingestion_system_spark.multimodal.codecs import (  # noqa: E402
     encode_bmp,
+    encode_gif,
     encode_png,
 )
 from data_ingestion_system_spark.multimodal.columns import (  # noqa: E402
@@ -85,6 +86,17 @@ def _payload_maker(fmt: str):
             k = np.arange(h * w * 3, dtype=np.int64)
             img = ((doc_id * 31 + k * 7) % 256).astype(np.uint8).reshape(h, w, 3)
             return enc(img)
+
+    elif fmt == "gif":  # palette format: synthesize the index plane
+        h, w = IMG_H, IMG_W
+
+        def make(doc_id: int) -> bytes:
+            pal = (np.arange(64 * 3, dtype=np.int64) * 5 % 256).astype(
+                np.uint8
+            ).reshape(64, 3)
+            k = np.arange(h * w, dtype=np.int64)
+            idx = ((doc_id * 31 + k * 7) % 64).astype(np.uint8).reshape(h, w)
+            return encode_gif(idx, pal)
 
     elif fmt == "wav":
         n = int(WAV_RATE * WAV_SECONDS)
@@ -137,7 +149,7 @@ def main() -> None:
     # png_paeth = every row Paeth-filtered — the adaptive-filter cost an
     # externally-encoded (libpng/Pillow) corpus actually pays
     decoded_mb = rows * IMG_H * IMG_W * 3 / 1e6
-    for fmt in ("ppm", "png", "png_paeth", "jpeg"):
+    for fmt in ("ppm", "png", "png_paeth", "gif", "jpeg"):
         df = _payload_df(spark, rows, fmt).persist()
         df.count()  # materialize payloads so encode cost is excluded
         wall, n = _time_extract(df, image_features)
