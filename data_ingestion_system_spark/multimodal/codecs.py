@@ -455,6 +455,10 @@ def make_gif_decoder():
             blocks.append(chunk)
             pos += sz
         data = b"".join(blocks)
+        if b"\x3b" not in payload[pos:]:
+            # only frame 1 is decoded, but a file with no trailer byte
+            # anywhere after it was cut mid-stream — fail loudly
+            raise ValueError("truncated GIF: no trailer")
 
         # --- LZW decode (variable width, LSB-first, 12-bit cap) ---
         clear = 1 << mcs

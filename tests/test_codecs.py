@@ -408,3 +408,45 @@ def test_gif_through_spark_image_path(spark):
         assert (r.width, r.height) == (21, 13)
         for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
             assert abs(getattr(r, col) - float(img[:, :, ch].mean())) < 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=851),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_truncation_fuzz(cut, seed):
+    """Every strict prefix of a valid GIF must raise ValueError — never
+    hang, never return garbage (same contract the PPM fuzz pins)."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 64, (6, 8), dtype=np.uint8)
+    p = encode_gif(idx, _gif_pal(seed=seed))
+    with pytest.raises(ValueError):
+        decode_gif(p[: min(cut, len(p) - 1)])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pos=st.integers(min_value=6, max_value=850),
+    val=st.integers(min_value=0, max_value=255),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_corruption_fuzz(pos, val, seed):
+    """Single-byte corruption anywhere past the magic must either raise
+    (ValueError/NotImplementedError) or decode to a well-formed frame —
+    wrong pixels are acceptable for a lossy-corrupt input, crashes and
+    hangs are not."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 64, (6, 8), dtype=np.uint8)
+    p = bytearray(encode_gif(idx, _gif_pal(seed=seed)))
+    pos = min(pos, len(p) - 1)
+    p[pos] = val
+    try:
+        out = decode_gif(bytes(p))
+    except (ValueError, NotImplementedError):
+        return
+    assert out.ndim == 3 and out.shape[2] == 3 and out.dtype.name == "uint8"
