@@ -403,8 +403,11 @@ def make_gif_decoder():
                         raise ValueError("truncated GIF: extension sub-blocks")
                     sz = payload[pos]
                     if label == 0xF9 and sz == 4 and pos + 5 <= len(payload):
-                        if payload[pos + 1] & 1:  # GCE transparency flag
-                            transparent = payload[pos + 4]
+                        # the LAST GCE before the image wins outright: a
+                        # clear flag resets any earlier block's index
+                        transparent = (
+                            payload[pos + 4] if payload[pos + 1] & 1 else None
+                        )
                     pos += 1 + sz
                     if sz == 0:
                         break
@@ -522,7 +525,12 @@ def make_gif_decoder():
 
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("GIF: pixel index out of palette range")
-        bg = palette[bg_index] if bg_index < palette.shape[0] else palette[0]
+        # spec: the background index refers to the GLOBAL color table,
+        # not the frame's local one (undefined without a GCT)
+        if gct is not None and bg_index < gct.shape[0]:
+            bg = gct[bg_index]
+        else:
+            bg = palette[0]
         frame = palette[idx]
         if transparent is not None and transparent < palette.shape[0]:
             frame = np.where((idx == transparent)[:, :, None], bg[None, None, :], frame)
@@ -535,15 +543,21 @@ def make_gif_decoder():
     return decode
 
 
-def encode_gif(arr, palette, interlace: bool = False, n_frames: int = 1) -> bytes:
+def encode_gif(
+    arr, palette, interlace: bool = False, n_frames: int = 1, compress: bool = False
+) -> bytes:
     """(H, W) uint8 index array + (N≤256, 3) palette → GIF89a bytes.
 
-    LZW layer uses the classic uncompressed-GIF construction: literal
-    codes at a fixed 9-bit width with a clear code every 254 symbols,
-    which keeps the decoder's table below the width-growth threshold —
-    spec-valid output any GIF reader accepts, no compression. With
-    ``n_frames`` > 1 the same frame repeats (preceded by 89a GCE
-    blocks) so first-frame-of-animation decode is testable."""
+    Default LZW layer is the classic uncompressed-GIF construction:
+    literal codes at a fixed 9-bit width with a clear code every 254
+    symbols, which keeps the decoder's table below the width-growth
+    threshold — spec-valid output any GIF reader accepts, no
+    compression. ``compress=True`` runs REAL dictionary LZW instead —
+    variable code width 9→12 bits, clear at a full table — so the
+    decoder's width-growth and table-reset paths (the ones every
+    externally-encoded GIF takes) are exercised by roundtrips, not just
+    asserted. With ``n_frames`` > 1 the same frame repeats (preceded by
+    89a GCE blocks) so first-frame-of-animation decode is testable."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -568,28 +582,61 @@ def encode_gif(arr, palette, interlace: bool = False, n_frames: int = 1) -> byte
         )
         rows = arr[order]
 
-    # 9-bit LSB-first literal stream with periodic clears
     mcs = 8
     clear, end = 256, 257
     acc = 0
     nbits = 0
+    codesize = 9
     lzw = bytearray()
 
     def put(code):
         nonlocal acc, nbits
         acc |= code << nbits
-        nbits += 9
+        nbits += codesize
         while nbits >= 8:
             lzw.append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
 
-    put(clear)
-    for i, px in enumerate(rows.tobytes()):
-        if i and i % 254 == 0:
-            put(clear)  # reset before the decoder's table would widen
-        put(px)
-    put(end)
+    pixels = rows.tobytes()
+    if compress:
+        # real dictionary LZW: emit the longest known prefix, add
+        # prefix+next. The decoder's table trails the encoder's by one
+        # entry, so width grows when OUR next_code passes 2^codesize —
+        # at that point the decoder (one behind) has just filled
+        # 2^codesize entries and widened too.
+        table = {bytes([i]): i for i in range(256)}
+        next_code = end + 1
+        put(clear)
+        wbuf = b""
+        for i in range(len(pixels)):
+            cur = wbuf + pixels[i : i + 1]
+            if cur in table:
+                wbuf = cur
+                continue
+            put(table[wbuf])
+            if next_code < 4096:
+                table[cur] = next_code
+                next_code += 1
+                if next_code == (1 << codesize) + 1 and codesize < 12:
+                    codesize += 1
+            else:  # table full: reset both sides
+                put(clear)
+                table = {bytes([j]): j for j in range(256)}
+                next_code = end + 1
+                codesize = 9
+            wbuf = pixels[i : i + 1]
+        if wbuf:
+            put(table[wbuf])
+        put(end)
+    else:
+        # 9-bit LSB-first literal stream with periodic clears
+        put(clear)
+        for i, px in enumerate(pixels):
+            if i and i % 254 == 0:
+                put(clear)  # reset before the decoder's table would widen
+            put(px)
+        put(end)
     if nbits:
         lzw.append(acc & 0xFF)
 

@@ -450,3 +450,80 @@ def test_gif_corruption_fuzz(pos, val, seed):
     except (ValueError, NotImplementedError):
         return
     assert out.ndim == 3 and out.shape[2] == 3 and out.dtype.name == "uint8"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=80),
+    w=st.integers(min_value=1, max_value=80),
+    style=st.integers(min_value=0, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_compressed_roundtrip(h, w, style, seed):
+    """compress=True emits REAL dictionary LZW — variable code width,
+    table growth — so these roundtrips walk the decoder's 9→10→11→12
+    width-growth path that the uncompressed encoder (fixed 9-bit
+    literals + early clears) never reaches."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = _gif_pal(256, seed=1)
+    if style == 0:
+        idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    elif style == 1:
+        idx = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.uint8)
+    else:
+        idx = np.full((h, w), seed % 256, np.uint8)
+    assert (decode_gif(encode_gif(idx, pal, compress=True)) == pal[idx]).all()
+
+
+def test_gif_compressed_deep_dictionary_and_table_reset():
+    """Big low-entropy image: the LZW dictionary fills to 4096 (12-bit
+    cap) and resets mid-stream; output must still be exact and the
+    stream must be genuinely compressed (dictionary actually used)."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = _gif_pal(256, seed=2)
+    idx = (np.arange(500 * 400) % 251 // 3).astype(np.uint8).reshape(500, 400)
+    p = encode_gif(idx, pal, compress=True)
+    assert (decode_gif(p) == pal[idx]).all()
+    assert len(p) < len(encode_gif(idx, pal)) / 3
+
+
+def test_gif_last_gce_wins():
+    """Two GCEs before the image: the second (transparency flag clear)
+    must fully override the first — the frame decodes opaque."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = _gif_pal()
+    idx = np.array([[1, 2]], np.uint8)
+    p = encode_gif(idx, pal)
+    hdr = 6 + 7 + 768
+    gce_on = b"\x21\xf9\x04\x01\x00\x00\x01\x00"   # transparent idx 1
+    gce_off = b"\x21\xf9\x04\x00\x00\x00\x05\x00"  # flag clear
+    out = decode_gif(p[:hdr] + gce_on + gce_off + p[hdr:])
+    assert (out[0, 0] == pal[1]).all()  # NOT background-substituted
+
+
+def test_gif_background_comes_from_global_table():
+    """bg_index refers to the GLOBAL color table even when the frame
+    carries a local one (spec); transparent pixels must take GCT[bg],
+    not LCT[bg]."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal_local = _gif_pal(256, seed=5)
+    idx = np.array([[1, 2]], np.uint8)
+    p = bytearray(encode_gif(idx, pal_local))
+    # swap the GCT for a distinct global palette whose entry 0 is known
+    pal_global = _gif_pal(256, seed=6)
+    pal_global[0] = (7, 77, 177)
+    p[13 : 13 + 768] = pal_global.tobytes()
+    # give the image descriptor a local color table = pal_local
+    ioff = 6 + 7 + 768
+    assert p[ioff] == 0x2C
+    p[ioff + 9] |= 0x87  # LCT present, 256 entries
+    p[ioff + 10 : ioff + 10] = pal_local.tobytes()
+    gce = b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # transparent idx 1
+    out = decode_gif(bytes(p[:ioff]) + gce + bytes(p[ioff:]))
+    assert (out[0, 0] == (7, 77, 177)).all()  # GCT background
+    assert (out[0, 1] == pal_local[2]).all()  # LCT pixels
