@@ -96,7 +96,10 @@ def _payload_maker(fmt: str):
             ).reshape(64, 3)
             k = np.arange(h * w, dtype=np.int64)
             idx = ((doc_id * 31 + k * 7) % 64).astype(np.uint8).reshape(h, w)
-            return encode_gif(idx, pal)
+            # compress=True: real-world GIFs are dictionary-LZW coded —
+            # fewer codes than pixels; the uncompressed literal stream
+            # would be the 1-code-per-pixel worst case
+            return encode_gif(idx, pal, compress=True)
 
     elif fmt == "wav":
         n = int(WAV_RATE * WAV_SECONDS)
