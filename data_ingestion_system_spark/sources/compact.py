@@ -18,10 +18,15 @@ File sizing: `ceil(total_bytes / target_bytes)` output files via
 homogeneous rows (the parquet-side guard `maxRecordsPerFile` is left to
 session config for pathological skew). The swap is two directory
 renames with the replaced generation kept until the new one is in
-place — a reader holding the old file list keeps reading the backup
-generation's inodes (POSIX) and never observes a half-written table.
-Object stores without atomic rename need a manifest commit instead
-(the `sources/jsonl_sink.py` marker pattern).
+place. This is an OFFLINE maintenance operation: Spark readers are
+path-based, not fd-based — a query planned against the old generation
+re-opens files by NAME, so a concurrent scan can hit
+FileNotFoundException once the old part files are gone. Run it in a
+maintenance window (Delta/Iceberg solve the concurrent case with
+snapshot manifests, which plain parquet directories don't have). A
+crash between the two renames leaves the table parked at
+`<path>.compact-bak`; the next compact_parquet (or read attempt via
+`recover_compact_swap`) restores it before doing anything else.
 """
 
 from __future__ import annotations
@@ -54,6 +59,17 @@ def parquet_file_stats(path: str) -> dict:
     }
 
 
+def recover_compact_swap(path: str) -> bool:
+    """Heal a crash between compact_parquet's two renames: if `path` is
+    gone but `<path>.compact-bak` exists, the old generation is intact
+    under the bak name — restore it. Returns True if a restore ran."""
+    bak = path.rstrip("/") + ".compact-bak"
+    if not os.path.isdir(path) and os.path.isdir(bak):
+        os.rename(bak, path)
+        return True
+    return False
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -68,7 +84,11 @@ def compact_parquet(
     Operates on a FLAT parquet directory: a hive-partitioned table must
     be compacted per partition directory (partition values read back as
     data columns would otherwise be rewritten into an unpartitioned
-    layout, losing pruning)."""
+    layout, losing pruning).
+
+    OFFLINE op — see the module docstring for the concurrent-reader and
+    crash-window contract."""
+    recover_compact_swap(path)
     before = parquet_file_stats(path)
     n = max(1, math.ceil(before["total_bytes"] / target_bytes))
     df: DataFrame = spark.read.parquet(path)

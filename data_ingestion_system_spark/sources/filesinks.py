@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,7 +88,10 @@ def load_json_with_quarantine(
     Spark caveat handled: the JSON reader won't SELECT only the corrupt
     column from its internal row, so the split caches the parsed frame
     before filtering (the documented `spark.read.json` corrupt-record
-    limitation)."""
+    limitation). The cache is RELEASED before returning: both children
+    are pinned by an eager localCheckpoint, so the shared parent does
+    not leak a session-lifetime InMemoryRelation per call (quarantine
+    loads are repair-scale inputs by contract)."""
     full = StructType(schema.fields).add(CORRUPT_COL, "string")
     parsed = (
         spark.read.schema(full)
@@ -96,9 +100,16 @@ def load_json_with_quarantine(
         .json(path)
         .cache()
     )
-    bad = F.col(CORRUPT_COL).isNotNull()
-    valid = parsed.filter(~bad).drop(CORRUPT_COL)
-    quarantined = parsed.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
+    try:
+        bad = F.col(CORRUPT_COL).isNotNull()
+        valid = parsed.filter(~bad).drop(CORRUPT_COL).localCheckpoint(eager=True)
+        quarantined = (
+            parsed.filter(bad)
+            .select(F.col(CORRUPT_COL).alias("raw_line"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        parsed.unpersist()
     return valid, quarantined
 
 
@@ -114,10 +125,22 @@ def export_training_data(
     distributions. Returns the metadata dict.
 
     The split column comes from operators.sampling.assign_split
-    (deterministic stratified split). Partitioned write = one pass."""
+    (deterministic stratified split). Partitioned write = one pass.
+
+    Re-export hygiene: split directories from a PREVIOUS export whose
+    split value is absent from this df are removed (a loader globbing
+    out_dir must never train on orphaned splits the sidecar doesn't
+    describe), and the metadata sidecar lands via tmp + os.replace so a
+    crash mid-write can't leave a torn file that looks committed (the
+    jsonl_sink marker discipline)."""
     df = df.cache()
     try:
         splits = [r[0] for r in df.select(split_col).distinct().collect()]
+        os.makedirs(out_dir, exist_ok=True)
+        for entry in os.listdir(out_dir):
+            full = os.path.join(out_dir, entry)
+            if os.path.isdir(full) and entry not in splits:
+                shutil.rmtree(full)
         for s in sorted(splits):
             part = df.filter(F.col(split_col) == s).drop(split_col)
             out = os.path.join(out_dir, s)
@@ -134,9 +157,11 @@ def export_training_data(
             split_meta["labels"][str(r[label_col])] = r["count"]
             split_meta["count"] += r["count"]
             metadata["total"] += r["count"]
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "export_metadata.json"), "w") as f:
+        sidecar = os.path.join(out_dir, "export_metadata.json")
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(metadata, f, indent=2, sort_keys=True)
+        os.replace(tmp, sidecar)
         return metadata
     finally:
         df.unpersist()

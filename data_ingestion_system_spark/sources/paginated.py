@@ -94,9 +94,20 @@ def _fetch_page(app_idx: int, page: int, page_size: int = PAGE_SIZE) -> Iterator
     Yields row tuples lazily (S2 generator semantics). Deterministic in
     (app_idx, page, i) so replayed streaming batches are bit-identical —
     the property the stream reader's readBetweenOffsets contract needs.
+
+    gid packs (app_idx, row-within-app) into disjoint bit ranges — a
+    fixed multiplier (the old app_idx * 1_000_003) collides across apps
+    once an app exceeds that many rows, which silently produced
+    duplicate review_ids for DIFFERENT apps that downstream dedup then
+    dropped nondeterministically.
     """
+    if (page + 1) * page_size > 1 << 40:
+        raise ValueError(
+            "paginated source: > 2^40 rows per app would overflow the "
+            "gid bit-packing (app_idx << 40 | row)"
+        )
     for i in range(page_size):
-        gid = (app_idx * 1_000_003) + page * page_size + i
+        gid = (app_idx << 40) + page * page_size + i
         rating = 5 - (_u(gid * 7 + 1, 5))
         yield (
             hashlib.md5(f"rev:{gid}".encode()).hexdigest(),

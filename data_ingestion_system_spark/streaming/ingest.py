@@ -48,48 +48,60 @@ INSERT_DROP_FACTOR = 0.5
 DURATION_SPIKE_FACTOR = 2.0
 
 
-def evaluate_batch_health(spark: SparkSession, paths: IngestPaths, batch_id: int) -> None:
-    """Post-batch health evaluation (T5, monitor.evaluate_run
-    monitor.py:96-121): compare this batch's audit row against the
-    previous ≤5 batches and append alert rows. Pure window predicates —
-    the same three rules as operators.monitoring.anomaly_flags, evaluated
-    incrementally at ingest time."""
-    from pyspark.sql import Window
+def evaluate_batch_health(
+    spark: SparkSession,
+    paths: IngestPaths,
+    batch_id: int,
+    inserted: int,
+    dedup_rate: float,
+    duration_seconds: float,
+) -> None:
+    """Pre-commit health evaluation (T5, monitor.evaluate_run
+    monitor.py:96-121): compare THIS batch's metrics (passed in — the
+    audit row is not written yet) against the previous ≤5 batches'
+    audit rows; the same three rules as
+    operators.monitoring.anomaly_flags, evaluated incrementally at
+    ingest time.
 
-    audit = spark.read.parquet(paths.audit_dir)
-    w5 = Window.orderBy("batch_id").rowsBetween(-5, -1)
-    flagged = (
-        audit.select(
-            "batch_id",
-            "inserted",
-            "dedup_rate",
-            "duration_seconds",
-            F.avg(F.col("inserted").cast("double")).over(w5).alias("avg_inserted5"),
-            F.avg("duration_seconds").over(w5).alias("avg_duration5"),
+    Runs BEFORE the audit commit marker and writes alerts into a
+    per-batch partition with dynamic overwrite, so the alert is part of
+    the batch's replay-idempotent pre-marker writes: a crash between
+    alerts and the audit append replays the batch and overwrites the
+    same partition (previously alerts were appended AFTER the marker —
+    a crash in between lost them forever, since replay short-circuits
+    on the existing audit row). The baseline read is a 5-row
+    TakeOrdered over the one-row-per-batch audit — metadata scale — not
+    a full-history single-partition window sort; a healthy batch writes
+    NOTHING (no empty-file accretion in alerts_dir)."""
+    avg_inserted5 = avg_duration5 = None
+    if os.path.isdir(paths.audit_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(paths.audit_dir)
+    ):
+        prev = (
+            spark.read.parquet(paths.audit_dir)
+            .filter(F.col("batch_id") < int(batch_id))
+            .orderBy(F.col("batch_id").desc())
+            .limit(5)
+            .agg(
+                F.avg(F.col("inserted").cast("double")).alias("ai"),
+                F.avg("duration_seconds").alias("ad"),
+            )
+            .collect()[0]  # one aggregate row — metadata scale
         )
-        .filter(F.col("batch_id") == batch_id)
-        .select(
-            "batch_id",
-            F.when(F.col("dedup_rate") > DEDUP_RATE_ALERT, "dedup_rate_ceiling").alias("a1"),
-            F.when(
-                F.col("avg_inserted5").isNotNull()
-                & (F.col("inserted") < INSERT_DROP_FACTOR * F.col("avg_inserted5")),
-                "insert_drop",
-            ).alias("a2"),
-            F.when(
-                F.col("avg_duration5").isNotNull()
-                & (F.col("duration_seconds") > DURATION_SPIKE_FACTOR * F.col("avg_duration5")),
-                "duration_spike",
-            ).alias("a3"),
-        )
-    )
-    alerts = flagged.select(
-        "batch_id",
-        F.explode(
-            F.array_compact(F.array("a1", "a2", "a3"))
-        ).alias("alert"),
-    )
-    alerts.write.mode("append").parquet(paths.alerts_dir)
+        avg_inserted5, avg_duration5 = prev.ai, prev.ad
+    alerts = []
+    if dedup_rate > DEDUP_RATE_ALERT:
+        alerts.append("dedup_rate_ceiling")
+    if avg_inserted5 is not None and inserted < INSERT_DROP_FACTOR * avg_inserted5:
+        alerts.append("insert_drop")
+    if avg_duration5 is not None and duration_seconds > DURATION_SPIKE_FACTOR * avg_duration5:
+        alerts.append("duration_spike")
+    if alerts:
+        spark.createDataFrame(
+            [(int(batch_id), a) for a in alerts], "batch_id long, alert string"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(paths.alerts_dir)
 
 
 def dedup_insert_batch(
@@ -125,6 +137,13 @@ def dedup_insert_batch(
     import time as _time
 
     t0 = _time.perf_counter()
+    if rules and paths.quarantine_dir is None:
+        # without a quarantine dir the violators would be dropped on the
+        # floor while the audit claims they were diverted — fail fast
+        raise ValueError(
+            "dedup_insert_batch: rules= requires paths.quarantine_dir "
+            "(CHECK violators are diverted, never destroyed)"
+        )
     audit_exists = os.path.isdir(paths.audit_dir) and any(
         f.endswith(".parquet") for f in os.listdir(paths.audit_dir)
     )
@@ -193,17 +212,23 @@ def dedup_insert_batch(
     ).write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
         "batch_id"
     ).parquet(paths.provenance_dir)
+    dedup_rate = float(skipped) / fetched if fetched else 0.0
+    duration = _time.perf_counter() - t0
+    # health alerts are pre-marker writes (dynamic overwrite of this
+    # batch's partition): crash-before-marker replays recompute them,
+    # and the marker below commits batch state AND alerts together
+    if paths.alerts_dir is not None:
+        evaluate_batch_health(
+            spark, paths, int(batch_id), inserted, dedup_rate, duration
+        )
     audit = spark.createDataFrame(
         [(int(batch_id), fetched, inserted, skipped, quarantined,
-          float(skipped) / fetched if fetched else 0.0, status,
-          _time.perf_counter() - t0)],
+          dedup_rate, status, duration)],
         "batch_id long, fetched long, inserted long, skipped long,"
         " quarantined long, dedup_rate double, status string,"
         " duration_seconds double",
     )
     audit.write.mode("append").parquet(paths.audit_dir)
-    if paths.alerts_dir is not None:
-        evaluate_batch_health(spark, paths, int(batch_id))
 
 
 def run_file_ingestion(
@@ -419,5 +444,8 @@ def run_api_ingestion(
         .trigger(once=True)
         .start()
     )
-    query.awaitTermination(await_seconds)
+    if not query.awaitTermination(await_seconds):
+        # timeout: stop before returning, else the caller reads
+        # target/audit dirs while foreachBatch is still appending
+        query.stop()
     return query

@@ -59,3 +59,28 @@ def test_no_temp_or_backup_dirs_left_behind(spark, tmp_path):
     compact_parquet(spark, path, target_bytes=10**9)
     leftovers = [p.name for p in tmp_path.iterdir()]
     assert leftovers == ["frag4"]
+
+
+def test_crash_between_renames_recovers(spark, tmp_path):
+    """A crash between compact's two renames leaves the table parked at
+    .compact-bak; the next compact (or recover_compact_swap) restores
+    it before doing anything else."""
+    import os
+
+    from data_ingestion_system_spark.sources.compact import (
+        compact_parquet,
+        recover_compact_swap,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+    # simulate the crash window: first rename done, second never ran
+    os.rename(path, path + ".compact-bak")
+    assert recover_compact_swap(path) is True
+    assert spark.read.parquet(path).count() == 100
+    # and compact_parquet self-heals the same state
+    os.rename(path, path + ".compact-bak")
+    out = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert out["after"]["n_files"] >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.isdir(path + ".compact-bak")

@@ -97,3 +97,31 @@ def test_json_quarantine_routes_malformed_lines(spark, tmp_path):
     assert any("not-a-number" in b for b in badlines)
     # conservation: every input line landed on exactly one side
     assert valid.count() + quarantined.count() == 4
+
+
+def test_export_removes_stale_splits_and_commits_sidecar_atomically(spark, sf_dir, tmp_path):
+    """Re-exporting into a dir that previously held a now-absent split
+    must remove the orphan (a glob loader would train on data the
+    sidecar doesn't describe); the sidecar lands via tmp+os.replace."""
+    import json as _json
+
+    from data_ingestion_system_spark.sources.filesinks import export_training_data
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    three = docs.withColumn(
+        "split",
+        F.element_at(
+            F.array(F.lit("train"), F.lit("val"), F.lit("test")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    ).withColumn("label", F.col("lang"))
+    out = str(tmp_path / "exp")
+    export_training_data(three, out)
+    assert os.path.isdir(os.path.join(out, "test"))
+    two = three.filter(F.col("split") != "test")
+    meta = export_training_data(two, out)
+    assert not os.path.isdir(os.path.join(out, "test"))  # orphan removed
+    assert set(meta["splits"]) == {"train", "val"}
+    assert not os.path.exists(os.path.join(out, "export_metadata.json.tmp"))
+    on_disk = _json.load(open(os.path.join(out, "export_metadata.json")))
+    assert on_disk == meta

@@ -236,3 +236,17 @@ def test_fuzz_pushdown_planning_matches_set_semantics(apps, keep):
         assert len(parts) == 2 * len(expect)
     else:  # fully pruned → one empty sentinel range
         assert [(p.app_idx, p.page_start, p.page_end) for p in parts] == [(0, 0, 0)]
+
+
+def test_gid_no_cross_app_collision_at_large_pages():
+    """The old gid = app_idx*1_000_003 + row collided across apps once
+    an app exceeded ~1M rows, yielding duplicate review_ids for
+    DIFFERENT apps that downstream dedup dropped nondeterministically.
+    The bit-packed gid keeps apps in disjoint ranges."""
+    from data_ingestion_system_spark.sources.paginated import PAGE_SIZE, _fetch_page
+
+    deep_page = 1_000_003 // PAGE_SIZE + 1  # app 1 beyond the old span
+    a = {r[0] for p in range(deep_page, deep_page + 3) for r in _fetch_page(1, p)}
+    b = {r[0] for p in range(0, 3) for r in _fetch_page(2, p)}
+    assert not a & b
+    assert len(a) == 3 * PAGE_SIZE and len(b) == 3 * PAGE_SIZE

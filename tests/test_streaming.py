@@ -391,3 +391,63 @@ def test_session_window_stream_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     )
     # ...and restart did not lose coverage
     assert got.count() >= batch.count() * 0.5
+
+
+def test_rules_without_quarantine_dir_fail_fast(spark, overlap_batches, tmp_path):
+    """CHECK rules with no quarantine_dir would silently destroy the
+    violators while the audit claims they were diverted — refuse."""
+    from data_ingestion_system_spark.operators.integrity import event_rules
+    from data_ingestion_system_spark.streaming.ingest import dedup_insert_batch
+
+    paths = IngestPaths(
+        source_dir=overlap_batches,
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = load_table(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"), "events").limit(5)
+    with pytest.raises(ValueError, match="quarantine_dir"):
+        dedup_insert_batch(spark, batch, 0, "event_id", paths, rules=event_rules())
+
+
+def test_alerts_are_pre_marker_writes(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash DURING health evaluation must leave the batch
+    uncommitted (no audit marker), so the replay redoes state AND
+    alerts — previously alerts were appended after the marker and a
+    crash in between lost them forever."""
+    from data_ingestion_system_spark.streaming import ingest as ing
+
+    events = load_table(spark, sf_dir, "events").limit(200).cache()
+    paths = IngestPaths(
+        source_dir=str(tmp_path / "landing"),
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        alerts_dir=str(tmp_path / "alerts"),
+    )
+    ing.dedup_insert_batch(spark, events, 0, "event_id", paths)
+    # batch 1 = all re-fetches → dedup_rate 1.0 → dedup_rate_ceiling
+    real_health = ing.evaluate_batch_health
+
+    def crash(*a, **kw):
+        real_health(*a, **kw)
+        raise RuntimeError("injected crash after alerts, before marker")
+
+    monkeypatch.setattr(ing, "evaluate_batch_health", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        ing.dedup_insert_batch(spark, events, 1, "event_id", paths)
+    audit = spark.read.parquet(paths.audit_dir)
+    assert audit.filter(F.col("batch_id") == 1).count() == 0  # marker NOT committed
+    monkeypatch.setattr(ing, "evaluate_batch_health", real_health)
+    ing.dedup_insert_batch(spark, events, 1, "event_id", paths)  # replay
+    alerts = spark.read.parquet(paths.alerts_dir)
+    # the alert exists exactly once (dynamic overwrite of the partition)
+    assert (
+        alerts.filter(
+            (F.col("batch_id") == 1) & (F.col("alert") == "dedup_rate_ceiling")
+        ).count()
+        == 1
+    )
+    assert spark.read.parquet(paths.audit_dir).filter(F.col("batch_id") == 1).count() == 1
