@@ -112,12 +112,20 @@ def populate_queue(
         F.when((F.col("rating") <= 2) & (length >= 200), 1)
         .when((F.col("rating") >= 4) & (length >= 200), 2)
         .when(F.col("rating") == 3, 3)
-        .when((length > 1) & (length < 200), 4)
+        .when((length >= 1) & (length < 200), 4)  # short NON-EMPTY: 1 char counts
     )
     from pyspark.sql import Window
 
+    candidates = reviews
+    if store._exists(store.events_dir):
+        # the reference builds an exclusion set (queued ∪ labeled ids,
+        # sampler.py:204-222) before inserting — re-running populate
+        # must not enqueue a second queue_id for the same review
+        candidates = reviews.join(
+            store.events().select("review_id").distinct(), "review_id", "left_anti"
+        )
     ranked = (
-        reviews.select("review_id", tier.alias("priority_tier"), length.alias("len"))
+        candidates.select("review_id", tier.alias("priority_tier"), length.alias("len"))
         .filter(F.col("priority_tier").isNotNull())
         .withColumn(
             "rn",
@@ -187,7 +195,14 @@ def run_session(
     if not batch:
         out("No reviews available in the queue.")
         store.append_session((session_id, annotator, 0, 0, None, "abandoned"))
-        return {"session_id": session_id, "labels_created": 0, "labels_skipped": 0}
+        # same keys as the normal return — consumers index
+        # summary["avg_time_per_label"] unconditionally
+        return {
+            "session_id": session_id,
+            "labels_created": 0,
+            "labels_skipped": 0,
+            "avg_time_per_label": None,
+        }
 
     store.append_events(
         _stamp(
@@ -253,6 +268,8 @@ def run_session(
             out("  Skipped.")
             continue
         parts = cmd.split(maxsplit=2)
+        if not parts:  # blank line: same error class as any bad command
+            raise ValueError("unknown command/sentiment '' (blank line)")
         sentiment = parts[0]
         if sentiment not in SENTIMENTS:
             raise ValueError(f"unknown command/sentiment {sentiment!r}")

@@ -34,7 +34,12 @@ def current_state(queue_events: DataFrame) -> DataFrame:
     queue_events schema: queue_id, review_id, priority_tier, status,
     actor_id (nullable), event_ts.
     """
-    w = Window.partitionBy("queue_id").orderBy(F.desc("event_ts"), F.desc("seq"))
+    # seq is the unique monotone append order across all writers —
+    # ordering by it FIRST makes the view immune to wall-clock
+    # regressions (an NTP step between appends would otherwise
+    # resurrect stale state); event_ts only tie-breaks legacy rows
+    # that share a seq
+    w = Window.partitionBy("queue_id").orderBy(F.desc("seq"), F.desc("event_ts"))
     return (
         queue_events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -55,7 +60,7 @@ def next_batch(state: DataFrame, n: int) -> DataFrame:
 def invalid_transitions(queue_events: DataFrame) -> DataFrame:
     """Audit query: transitions not in the reference's state machine —
     the engine's replacement for SQLite CHECK constraints (SURVEY §1.4)."""
-    w = Window.partitionBy("queue_id").orderBy("event_ts", "seq")
+    w = Window.partitionBy("queue_id").orderBy("seq", "event_ts")  # seq first, as above
     with_prev = queue_events.withColumn("prev_status", F.lag("status").over(w))
     valid = F.array(
         *[F.struct(F.lit(a).alias("f"), F.lit(b).alias("t")) for a, b in VALID_TRANSITIONS]

@@ -42,16 +42,27 @@ class ThrottleConfig:
     max_retries: int = 3               # attempts after the first failure
 
 
+NON_RETRYABLE = (ValueError, TypeError, KeyError, AttributeError)
+
+
 def with_backoff(fn: Callable[[], None], cfg: ThrottleConfig) -> int:
     """Run `fn`, retrying transient failures with capped exponential
     backoff. Returns the number of retries used; re-raises the last
     error when the budget is exhausted (ExponentialBackoff.wait
-    returning False)."""
+    returning False).
+
+    Deterministic logic/config errors (NON_RETRYABLE — e.g. the
+    ingest fail-fast ValueError for rules without a quarantine dir)
+    re-raise immediately: burning the backoff schedule on a failure
+    that cannot heal masks the fail-fast intent and delays the stream's
+    real error by the whole retry budget."""
     attempt = 0
     while True:
         try:
             fn()
             return attempt
+        except NON_RETRYABLE:
+            raise
         except Exception:
             if attempt >= cfg.max_retries:
                 raise

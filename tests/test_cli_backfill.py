@@ -97,3 +97,47 @@ def test_backfill_reconstructs_deleted_audit(spark, sf_dir, tmp_path):
     assert restored[1] == original[1]
     # idempotent: second run backfills nothing
     assert backfill_missing_audit(spark, paths, "event_id") == 0
+
+
+def test_backfill_respects_quarantine_and_total_loss(spark, sf_dir, tmp_path):
+    """Two review fixes pinned: (1) reconstructed inserts must run
+    MIN(batch_id) over quarantined=false provenance rows only — a key
+    quarantined in batch 0 and inserted clean in batch 1 belongs to
+    batch 1 — and the reconstructed rows carry the full live audit
+    schema including `quarantined` (no mixed-schema dir); (2) a
+    wholesale-deleted audit dir (the total-loss scenario) backfills
+    every batch instead of crashing on the unguarded read."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.operators.integrity import Rule
+    from data_ingestion_system_spark.streaming.ingest import dedup_insert_batch
+
+    events = load_table(spark, sf_dir, "events").limit(200).cache()
+    paths = IngestPaths(
+        source_dir=str(tmp_path / "landing"),
+        target_dir=str(tmp_path / "target"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quarantine_dir=str(tmp_path / "quar"),
+    )
+    # batch 0: value<=0 rule quarantines some rows; batch 1: no rules,
+    # so batch 0's quarantined keys are inserted clean here
+    rules = [Rule("value_floor", F.col("value") > 50)]  # sf0.001 values span 0.03-327
+    dedup_insert_batch(spark, events, 0, "event_id", paths, rules=rules)
+    dedup_insert_batch(spark, events, 1, "event_id", paths)
+    original = {
+        r.batch_id: (r.fetched, r.inserted, r.skipped, r.quarantined)
+        for r in spark.read.parquet(paths.audit_dir).collect()
+    }
+    assert original[0][3] > 0, "fixture must actually quarantine rows"
+    # total loss: delete the audit dir outright
+    shutil.rmtree(paths.audit_dir)
+    assert backfill_missing_audit(spark, paths, "event_id") == 2
+    restored = spark.read.parquet(paths.audit_dir)
+    assert "quarantined" in restored.columns
+    got = {
+        r.batch_id: (r.fetched, r.inserted, r.skipped, r.quarantined)
+        for r in restored.collect()
+    }
+    assert got == original

@@ -118,3 +118,53 @@ def test_abandoned_assignment_reset(spark, session_workdir):
     sessions = spark.read.parquet(os.path.join(wd, "sessions"))
     assert sessions.count() == 2
     assert {r.session_id for r in sessions.collect()} == {1, 2}
+
+
+def test_repopulate_excludes_already_queued(spark, tmp_path):
+    """Re-running populate must not enqueue a second queue_id for the
+    same review (the reference's exclusion set, sampler.py:204-222):
+    with every eligible review already queued, a second populate
+    queues 0."""
+    from data_ingestion_system_spark.labeling_session import LabelingStore, populate_queue
+    from data_ingestion_system_spark.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").limit(200)
+    reviews = docs.select(
+        F.col("doc_id").cast("string").alias("review_id"),
+        F.lit("app").alias("app_id"),
+        (F.col("doc_id") % 5 + 1).cast("int").alias("rating"),
+        F.col("text").alias("content"),
+    )
+    wd = str(tmp_path / "wd")
+    first = populate_queue(spark, reviews, wd, {1: 500, 2: 500, 3: 500, 4: 500})
+    assert first > 0
+    second = populate_queue(spark, reviews, wd, {1: 500, 2: 500, 3: 500, 4: 500})
+    assert second == 0
+    events = LabelingStore(spark, wd).events()
+    assert events.select("review_id").distinct().count() == events.count()
+
+
+def test_blank_command_line_raises_clean_valueerror(spark, tmp_path):
+    """A blank stdin line mid-session must raise the same ValueError
+    class as any unknown command, not IndexError."""
+    from data_ingestion_system_spark.labeling_session import populate_queue, run_session
+    from data_ingestion_system_spark.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").limit(50)
+    reviews = docs.select(
+        F.col("doc_id").cast("string").alias("review_id"),
+        F.lit("app").alias("app_id"),
+        (F.col("doc_id") % 5 + 1).cast("int").alias("rating"),
+        F.col("text").alias("content"),
+    )
+    wd = str(tmp_path / "wd")
+    populate_queue(spark, reviews, wd, {1: 5, 2: 5, 3: 5, 4: 5})
+    with pytest.raises(ValueError, match="blank line"):
+        run_session(
+            spark, wd, reviews, "ann1",
+            batch_size=3,
+            commands=iter(["skip", ""]),
+            out=lambda *_: None,
+        )

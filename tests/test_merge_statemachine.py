@@ -180,3 +180,30 @@ def test_merge_apply_bootstrap_missing_target(spark, tmp_path):
     )
     assert (res.inserted, res.updated, res.deleted, res.untouched) == (1, 0, 0, 0)
     assert spark.read.parquet(str(tmp_path / "t3")).count() == 1
+
+
+def test_current_state_survives_wall_clock_regression(spark):
+    """seq is the unique monotone append order; a wall-clock step
+    backwards between appends (NTP) must not resurrect stale state.
+    Previously the view ordered by event_ts first, so a quit-release
+    'pending' stamped 2 minutes earlier than the 'assigned' it undoes
+    left the item stuck in 'assigned' forever."""
+    rows = [
+        # (queue_id, review_id, tier, status, actor, ord_minutes, seq)
+        (9, "r9", 1, "pending", None, 10, 1),
+        (9, "r9", 1, "assigned", 7, 12, 2),
+        (9, "r9", 1, "pending", None, 8, 3),  # clock stepped BACK 4 min
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "queue_id long, review_id string, priority_tier int, status string,"
+        " actor_id long, ord int, seq long",
+    ).withColumn(
+        "event_ts",
+        F.to_timestamp(F.lit("2024-04-01 00:00:00")) + F.make_interval(mins=F.col("ord")),
+    ).drop("ord")
+    state = current_state(df).collect()
+    assert len(state) == 1 and state[0].status == "pending"
+    # and the transition audit follows append order too: no phantom
+    # pending->pending violation from the ts-sorted sequence
+    assert invalid_transitions(df).count() == 0
