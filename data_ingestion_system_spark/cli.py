@@ -24,7 +24,8 @@ def _json_default(o):
 
 
 def _emit(df, limit: int | None = None) -> None:
-    rows = df.limit(limit).collect() if limit else df.collect()
+    # `limit is not None`: --limit 0 means zero rows, not unlimited
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
     for r in rows:
         print(json.dumps(r.asDict(recursive=True), default=_json_default))
 
@@ -38,7 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--returnflag")
     q.add_argument("--min-quantity", type=float)
     q.add_argument("--max-quantity", type=float)
-    q.add_argument("--has-discount", action="store_true", default=None)
+    q.add_argument(
+        "--has-discount",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="tri-state: --has-discount / --no-has-discount / absent",
+    )
     q.add_argument("--min-price", type=float)
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--offset", type=int, default=0)
@@ -129,7 +135,12 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=os.path.join(args.workdir, "checkpoint"),
         )
         run_file_ingestion(spark, paths, TESTDATA_SCHEMAS["events"], key_col=args.key)
-        _emit(spark.read.parquet(paths.audit_dir).orderBy("batch_id"))
+        if os.path.isdir(paths.audit_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(paths.audit_dir)
+        ):
+            _emit(spark.read.parquet(paths.audit_dir).orderBy("batch_id"))
+        else:  # empty landing dir: zero batches ran — report, don't crash
+            print(json.dumps({"batches": 0, "fetched": 0, "inserted": 0}))
     elif args.cmd == "export":
         from pyspark.sql import functions as F
 
@@ -158,14 +169,21 @@ def main(argv: list[str] | None = None) -> int:
         from data_ingestion_system_spark.fixtures import generate_reviews
         from data_ingestion_system_spark.labeling_session import run_session
 
-        summary = run_session(
-            spark,
-            args.workdir,
-            generate_reviews(spark, args.reviews),
-            args.annotator,
-            args.batch_size,
-            commands=sys.stdin,
-        )
+        try:
+            summary = run_session(
+                spark,
+                args.workdir,
+                generate_reviews(spark, args.reviews),
+                args.annotator,
+                args.batch_size,
+                commands=sys.stdin,
+            )
+        except ValueError as e:
+            # a mistyped command is user error, not an engine crash: no
+            # traceback, clean exit code; the item stays 'assigned' and
+            # the next session's abandoned-reset reclaims it
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(json.dumps(summary, sort_keys=True))
     return 0
 

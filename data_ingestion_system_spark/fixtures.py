@@ -90,8 +90,14 @@ def generate_reviews(spark: SparkSession, n: int = 2000) -> DataFrame:
         .when(u_rating < 7520, 2)
         .otherwise(1)
     )
-    # skewed app volume: quadratic ramp over a deterministic uniform draw
-    app_idx = (F.floor(F.sqrt(_u(_M["len"], 400 * 400).cast("double"))) % N_APPS + 1).cast("int")
+    # skewed app volume via inverse-CDF of a linearly decreasing density
+    # f(x) ∝ (3 - 2x) on [0,1): x = (3 - sqrt(9 - 8v))/2, app = floor(20x)+1
+    # → P(app 1)/P(app 20) ≈ 2.8, the documented ~3× ramp. (The previous
+    # floor(sqrt(u)) % 20 destroyed the ramp — % across a monotone ramp
+    # is uniform.)
+    _v = _u(_M["len"], 400 * 400).cast("double") / F.lit(160000.0)
+    _x = (F.lit(3.0) - F.sqrt(F.lit(9.0) - F.lit(8.0) * _v)) / F.lit(2.0)
+    app_idx = F.least(F.floor(F.lit(20.0) * _x) + 1, F.lit(N_APPS)).cast("int")
     content = F.element_at(
         F.array(*[F.lit(c) for c in _CONTENTS]),
         ((F.col("id") * _M["dup"]) % len(_CONTENTS) + 1).cast("int"),
@@ -133,7 +139,7 @@ def reviews_sql(n: int = 2000) -> str:
     return f"""
 SELECT
   md5('rev:' || CAST(id AS VARCHAR)) AS review_id,
-  printf('com.example.app%02d', CAST(FLOOR(SQRT(CAST((id * {_M["len"]}) % 160000 AS DOUBLE))) AS BIGINT) % {N_APPS} + 1) AS app_id,
+  printf('com.example.app%02d', CAST(LEAST(FLOOR(20.0 * ((3.0 - SQRT(9.0 - 8.0 * (CAST((id * {_M["len"]}) % 160000 AS DOUBLE) / 160000.0))) / 2.0)) + 1, {N_APPS}) AS BIGINT)) AS app_id,
   printf('user_%d', (id * 31) % 997) AS author,
   CAST(CASE WHEN (id * {_M["rating"]}) % 10000 < 5860 THEN 5
             WHEN (id * {_M["rating"]}) % 10000 < 6590 THEN 4
@@ -238,7 +244,7 @@ def generate_labels(spark: SparkSession, n_reviews: int = 2000, n_labeled: int =
     w = F.row_number().over(Window.orderBy("review_id", "annotator_id"))
     conf_u = (F.col("k") * _M["null1"]) % 100
     return both.select(
-        w.alias("label_id"),
+        w.cast("long").alias("label_id"),  # reference label_id is a 64-bit rowid
         "review_id",
         "annotator_id",
         "sentiment",

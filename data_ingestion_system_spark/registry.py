@@ -123,11 +123,24 @@ def load_all() -> dict[str, QuerySpec]:
     global _loaded
     if not _loaded:
         for mod in _OPERATOR_MODULES:
+            before = set(REGISTRY)
             try:
                 importlib.import_module(mod)
             except ModuleNotFoundError as e:
-                # tolerate not-yet-written modules during incremental build
-                if mod.split(".")[-1] not in str(e):
+                # roll back the failed module's partial registrations so a
+                # retried load_all cannot die on 'duplicate query name'
+                # and mask the real error
+                for name in set(REGISTRY) - before:
+                    del REGISTRY[name]
+                # tolerate only the module ITSELF being absent (incremental
+                # build); a missing dependency imported INSIDE an existing
+                # module (e.name = that dependency) must propagate, not be
+                # swallowed by a substring accident
+                if e.name != mod:
                     raise
+            except Exception:
+                for name in set(REGISTRY) - before:
+                    del REGISTRY[name]
+                raise
         _loaded = True
     return REGISTRY

@@ -7,8 +7,11 @@ data; we mirror that discipline — every scan supplies an explicit schema
 
 1. the driver's synthetic TPC-H-ish tables (TESTDATA.md) that all parity
    queries run against, and
-2. the reference-shaped review-domain tables (FIXTURES.md) used by the
-   streaming-ingest and labeling tests.
+2. the reference-shaped review-domain tables (FIXTURES.md): the
+   table-shape parity contract the fixture generators must match
+   column-for-column and type-for-type — enforced by
+   tests/test_reference_views.py's schema-contract test, so these
+   declarations cannot drift from the frames the engine runs on.
 """
 
 from __future__ import annotations

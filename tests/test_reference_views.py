@@ -242,3 +242,26 @@ def test_anomaly_rules_on_run_history(spark, fixture_duck):
         for r in flagged
         if r.run_id not in (9, 10) and r.flag_duration is not None
     )
+
+
+def test_fixture_outputs_match_declared_review_domain_schemas(spark):
+    """schemas.REVIEW_DOMAIN_SCHEMAS is the reference's table-shape
+    parity contract; every fixture generator must emit EXACTLY those
+    columns and Spark types, so the declared schemas cannot drift from
+    the frames the engine actually runs on."""
+    from data_ingestion_system_spark import fixtures as fx
+    from data_ingestion_system_spark.schemas import REVIEW_DOMAIN_SCHEMAS
+
+    pairs = {
+        "reviews": fx.generate_reviews(spark, 50),
+        "apps": fx.generate_apps(spark),
+        "annotators": fx.generate_annotators(spark),
+        "labels": fx.generate_labels(spark, 50, 20),
+        "scrape_runs": fx.generate_scrape_runs(spark, 3),
+    }
+    for name, df in pairs.items():
+        declared = [
+            (f.name, f.dataType.simpleString())
+            for f in REVIEW_DOMAIN_SCHEMAS[name].fields
+        ]
+        assert df.dtypes == declared, f"{name}: {df.dtypes} != {declared}"
