@@ -97,6 +97,12 @@ def main() -> None:
         i = argv.index("--master")
         master = argv[i + 1]
         del argv[i : i + 2]
+    conf_overrides = {}
+    while "--conf" in argv:  # e.g. --conf spark.io.compression.codec=zstd
+        i = argv.index("--conf")
+        k, _, v = argv[i + 1].partition("=")
+        conf_overrides[k] = v
+        del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     if len(args) < 2:
         sys.exit(__doc__)
@@ -113,6 +119,7 @@ def main() -> None:
     }
     if master:
         extra["spark.executorEnv.PYTHONPATH"] = _REPO
+    extra.update(conf_overrides)
     spark = get_spark(app_name="shuffle-audit", master=master, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
