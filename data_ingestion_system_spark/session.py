@@ -83,6 +83,19 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{n}]")
+    effective_master = master or os.environ.get("SPARK_MASTER") or f"local[{n}]"
+    if not effective_master.startswith("local["):
+        # multi-JVM / real cluster: zstd halves shuffle bytes at measured
+        # CPU parity (sf1.0 A/B, near_dup_minhash_lsh under
+        # local-cluster[4,8,4096]: 87->42 MB written, 105->50 MB remote
+        # read, steady-state wall 7.16 vs 7.11 s — SCALING.md r9). On a
+        # network-bound cluster the byte saving is pure win; in-process
+        # local[] shuffles keep Spark's lz4 default. Override with
+        # SPARK_GRAFT_IO_CODEC or extra_conf.
+        builder = builder.config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -105,3 +105,29 @@ def test_topology_width_parses_maxfailures_form():
     assert _topology_width(_Spark("local[16,3]"), 99) == 16
     assert _topology_width(_Spark("local[4,2]"), 99) == 8  # floor of 8
     assert _topology_width(_Spark("local-cluster[4,8,4096]"), 99) == 32
+
+
+def test_cluster_masters_default_to_zstd_shuffle_codec(spark):
+    """Non-local masters get zstd shuffle compression (halves shuffle
+    bytes at measured CPU parity — SCALING.md r9 A/B); in-process
+    local[] sessions keep Spark's lz4 default. The cluster arm runs in
+    a subprocess: the JVM's session singleton would otherwise hand back
+    the suite's local[32] session regardless of the requested master."""
+    import os
+    import subprocess
+    import sys
+
+    # the shared fixture session is local[...]: codec must be untouched
+    assert spark.conf.get("spark.io.compression.codec", "lz4") == "lz4"
+    code = (
+        "from data_ingestion_system_spark.session import get_spark;"
+        "s = get_spark(app_name='codec-probe', master='local-cluster[1,2,1024]');"
+        "print('CODEC=' + s.conf.get('spark.io.compression.codec'));"
+        "s.stop()"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=repo,
+    )
+    assert "CODEC=zstd" in out.stdout, out.stderr[-1500:]
