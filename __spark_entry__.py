@@ -45,9 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # gained round-count diagnostics; dedup_clusters, the keeper surface,
 # linkage_entities, cluster_aware_split_stats, fold_leakage_audit,
 # corpus_prep_pipeline) and the two multimodal queries (the catalog surface
-# now routes mixed text/PPM payloads through the real decoder).  Rows 9-50
-# continue the oldest-first rotation through the stalest hash-greens
-# (r03/r04 vintage).  Positions 51+ keep the same queue; the r8 window's
+# now routes mixed text/PPM payloads through the real decoder).  The
+# late-r9 fixture-skew fix (the app-volume ramp, fixtures.py — Spark and
+# DuckDB twins changed in lockstep) is covered by the ref_v_* rows already
+# in this window (positions 19-22).  Rows 9-50 continue the oldest-first
+# rotation through the stalest hash-greens (r03/r04 vintage).  Positions 51+ keep the same queue; the r8 window's
 # queries (freshest greens) moved to the back.  The full catalog keeps its
 # pytest oracle gate regardless (tests/test_oracle_parity.py parametrizes
 # ALL registered queries).
