@@ -79,12 +79,29 @@ def get_spark(
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/dis_spark_warehouse"),
         )
     )
+    # spark-submit conveys --master as the spark.master property, NOT as
+    # an env var — defaulting to local[n] whenever our bespoke
+    # SPARK_MASTER env is unset would silently run the submitted 100 TB
+    # job in local mode on the driver box
+    submitted = None
+    try:
+        from pyspark import SparkConf
+
+        _sc_conf = SparkConf()
+        if _sc_conf.contains("spark.master"):
+            submitted = _sc_conf.get("spark.master")
+    except Exception:
+        pass
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif not os.environ.get("SPARK_MASTER") and not submitted:
         builder = builder.master(f"local[{n}]")
-    effective_master = master or os.environ.get("SPARK_MASTER") or f"local[{n}]"
-    if not effective_master.startswith("local["):
+    effective_master = (
+        master or os.environ.get("SPARK_MASTER") or submitted or f"local[{n}]"
+    )
+    # bare "local" (no brackets) is a legal 1-thread in-process master
+    in_process = effective_master == "local" or effective_master.startswith("local[")
+    if not in_process:
         # multi-JVM / real cluster: zstd halves shuffle bytes at measured
         # CPU parity (sf1.0 A/B, near_dup_minhash_lsh under
         # local-cluster[4,8,4096]: 87->42 MB written, 105->50 MB remote
@@ -99,7 +116,11 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    if shuffle_partitions is None:
+    # an explicit caller width — the arg OR an extra_conf entry (the
+    # probe's A/B knob) — must never be clobbered by the topology rule
+    if shuffle_partitions is None and "spark.sql.shuffle.partitions" not in (
+        extra_conf or {}
+    ):
         width = _topology_width(spark, n)
         if width and spark.conf.get("spark.sql.shuffle.partitions") != str(width):
             spark.conf.set("spark.sql.shuffle.partitions", str(width))
@@ -127,6 +148,8 @@ def _topology_width(spark: SparkSession, local_n: int) -> int | None:
     if m.startswith("local"):
         # legal forms: local, local[N], local[*], local[N,maxFailures],
         # local[*,maxFailures] — the thread count is the first element
+        if m == "local":
+            return 8  # 1 thread; the floor of 8 applies
         first = m[6:-1].split(",")[0].strip() if m.startswith("local[") else ""
         if first == "*":
             return max(8, os.cpu_count() or local_n)
@@ -135,9 +158,13 @@ def _topology_width(spark: SparkSession, local_n: int) -> int | None:
         except ValueError:
             return max(8, local_n)
     # standalone/yarn/k8s: defaultParallelism = live total cores; give
-    # executor registration a moment to settle past the floor of 2, but
-    # stop as soon as the reading is STABLE — a legitimately 1-2-core
-    # cluster must not pay the full deadline on every session build
+    # executor registration a moment to settle past the floor of 2.
+    # "Stable for 1.5s" alone is NOT settlement — before any executor
+    # registers the reading sits at the floor for 5-30s on a real
+    # cluster, and an early exit would declare width 8 for a 512-core
+    # cluster (the exact undersized-width failure this function
+    # prevents). Early-exit only once >=1 executor HAS registered and
+    # the reading still holds: then the cluster genuinely is tiny.
     import time
 
     deadline = time.monotonic() + 10.0
@@ -145,8 +172,15 @@ def _topology_width(spark: SparkSession, local_n: int) -> int | None:
     last = width
     stable_since = time.monotonic()
     while width <= 2 and time.monotonic() < deadline:
-        if time.monotonic() - stable_since >= 1.5:
-            break  # settled: the cluster really is this small
+        try:
+            # driver counts as one entry in the memory-status map
+            n_exec = (
+                spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+            )
+        except Exception:
+            n_exec = 0
+        if n_exec >= 1 and time.monotonic() - stable_since >= 1.5:
+            break
         time.sleep(0.25)
         width = spark.sparkContext.defaultParallelism
         if width != last:

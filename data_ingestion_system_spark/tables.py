@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from data_ingestion_system_spark.schemas import TESTDATA_SCHEMAS
 
@@ -47,13 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if _EVENTS_TS_IS_LONG[memo_key]:
             from pyspark.sql import functions as F
 
+            # the declared events contract with ts swapped to raw nanos —
+            # derived, not duplicated, so schemas.py changes propagate
             raw_schema = StructType([
-                StructField("event_id", LongType(), True),
-                StructField("ts", LongType(), True),
-                StructField("user_id", LongType(), True),
-                StructField("event_type", StringType(), True),
-                StructField("value", DoubleType(), True),
-                StructField("props", StringType(), True),
+                StructField(
+                    f.name,
+                    LongType() if f.name == "ts" else f.dataType,
+                    f.nullable,
+                )
+                for f in TESTDATA_SCHEMAS["events"].fields
             ])
             raw = spark.read.schema(raw_schema).parquet(path)
             return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -270,20 +272,43 @@ def _reliable_checkpoint_dir(spark: SparkSession) -> str | None:
     return d or None
 
 
+def _strip_file_scheme(p: str) -> str:
+    """file:///x, file:/x → /x (normpath'd); other schemes untouched."""
+    if p.startswith("file://"):
+        p = p[len("file://") :]
+    elif p.startswith("file:"):
+        p = p[len("file:") :]
+    return os.path.normpath(p)
+
+
 def _reliable_checkpoint(df: DataFrame, ckpt_dir: str, eager: bool) -> DataFrame:
     """Reliable `df.checkpoint()` against `ckpt_dir`. setCheckpointDir is
-    re-issued whenever the configured dir CHANGES (keyed per app id) — a
-    once-per-session memo would silently keep writing into a stale
-    directory after the operator rotates it. Note Spark computes a lazy
-    reliable checkpoint's subtree up to twice (the action, then the
+    re-issued whenever the configured dir CHANGES (keyed per app id) OR
+    the SparkContext's ACTUAL checkpoint dir no longer points under it —
+    a Python-side memo alone would silently write our corpus-sized
+    checkpoints into whatever directory a host application's own
+    setCheckpointDir call selected (where the ownership-scoped sweep
+    rightly refuses to clean them). Note Spark computes a lazy reliable
+    checkpoint's subtree up to twice (the action, then the
     checkpoint-write job re-runs the lineage); for the iterative callers
     each round's subtree reads the previous round's checkpoint, so the
     extra cost is one bounded join per round — measured at parity with
     the local arms at sf10 (SCALING.md round-8)."""
     spark = df.sparkSession
-    app_id = spark.sparkContext.applicationId
-    if _RELIABLE_DIR_SET_FOR.get(app_id) != ckpt_dir:
-        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    actual_ok = False
+    try:
+        opt = sc._jsc.sc().getCheckpointDir()
+        if opt.isDefined():
+            # setCheckpointDir appends a UUID child; the parent is the
+            # configured dir
+            actual_parent = _strip_file_scheme(os.path.dirname(str(opt.get())))
+            actual_ok = actual_parent == _strip_file_scheme(ckpt_dir)
+    except Exception:
+        pass
+    if _RELIABLE_DIR_SET_FOR.get(app_id) != ckpt_dir or not actual_ok:
+        sc.setCheckpointDir(ckpt_dir)
         _RELIABLE_DIR_SET_FOR[app_id] = ckpt_dir
     return df.checkpoint(eager=eager)
 
@@ -451,8 +476,12 @@ def release_session_checkpoints(spark: SparkSession) -> int:
     # df.checkpoint() use owns that dir's lifecycle, and sweeping it
     # here would delete live checkpoints between our queries.
     app_id = spark.sparkContext.applicationId
+    # _strip_file_scheme on BOTH sides: a URI-form configured dir
+    # (file:///mnt/ckpt) must still match the filesystem path the
+    # context reports, else the sweep silently never fires and rdd-*
+    # dirs accumulate for the session's lifetime
     ours = {
-        os.path.normpath(p)
+        _strip_file_scheme(p)
         for p in (
             _reliable_checkpoint_dir(spark),
             _RELIABLE_DIR_SET_FOR.get(app_id),
@@ -461,12 +490,10 @@ def release_session_checkpoints(spark: SparkSession) -> int:
     }
     opt = spark.sparkContext._jsc.sc().getCheckpointDir()
     if ours and opt.isDefined():
-        d = str(opt.get())
-        if d.startswith("file:"):
-            d = d.removeprefix("file:")
+        d = _strip_file_scheme(str(opt.get()))
         # setCheckpointDir appends a UUID subdir, so the active dir is a
         # CHILD of the configured one — match on containment.
-        nd = os.path.normpath(d)
+        nd = d
         mine = any(nd == p or nd.startswith(p + os.sep) for p in ours)
         if mine and os.path.isdir(d):
             import shutil

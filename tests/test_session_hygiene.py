@@ -105,6 +105,8 @@ def test_topology_width_parses_maxfailures_form():
     assert _topology_width(_Spark("local[16,3]"), 99) == 16
     assert _topology_width(_Spark("local[4,2]"), 99) == 8  # floor of 8
     assert _topology_width(_Spark("local-cluster[4,8,4096]"), 99) == 32
+    # bare "local" is a legal 1-thread master: floor, never launcher CPUs
+    assert _topology_width(_Spark("local"), 99) == 8
 
 
 def test_cluster_masters_default_to_zstd_shuffle_codec(spark):
