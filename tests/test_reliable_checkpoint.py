@@ -194,3 +194,48 @@ def test_release_does_not_sweep_app_owned_checkpoint_dir(
         import shutil
 
         shutil.rmtree(app_dir, ignore_errors=True)
+
+
+def test_uri_form_reliable_dir_still_sweeps(spark, sf_dir, tmp_path, monkeypatch):
+    """file:///x is a valid setCheckpointDir argument: the ownership
+    containment match must strip the scheme on BOTH sides, else the
+    sweep silently never fires and rdd-* dirs accumulate for the
+    session's lifetime (r9 review finding)."""
+    plain = str(tmp_path / "uri_ckpt")
+    monkeypatch.setenv(tables.RELIABLE_CHECKPOINT_ENV, "file://" + plain)
+    tables._RELIABLE_DIR_SET_FOR.pop(spark.sparkContext.applicationId, None)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bulk_checkpoint(docs, eager=True, n_rows=10**9).count()
+    rdd_dirs = [
+        os.path.join(r, s)
+        for r, subs, _ in os.walk(plain)
+        for s in subs
+        if s.startswith("rdd-")
+    ]
+    assert rdd_dirs, "expected checkpoint rdd dirs under the URI-form dir"
+    tables.release_session_checkpoints(spark)
+    for d in rdd_dirs:
+        assert not os.path.exists(d), d
+
+
+def test_reliable_checkpoint_repins_after_host_app_redirect(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A host application's own setCheckpointDir call between our
+    queries must not redirect OUR next reliable checkpoint into the
+    app's directory (the per-app memo alone would trust the stale
+    pin — r9 review finding)."""
+    ours = str(tmp_path / "ours")
+    monkeypatch.setenv(tables.RELIABLE_CHECKPOINT_ENV, ours)
+    tables._RELIABLE_DIR_SET_FOR.pop(spark.sparkContext.applicationId, None)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bulk_checkpoint(docs, eager=True, n_rows=10**9).count()
+    # host app rotates the context's checkpoint dir for its own use
+    app_dir = str(tmp_path / "theirs")
+    spark.sparkContext.setCheckpointDir(app_dir)
+    bulk_checkpoint(docs.limit(10), eager=True, n_rows=10**9).count()
+    under_theirs = [
+        s for r, subs, _ in os.walk(app_dir) for s in subs if s.startswith("rdd-")
+    ]
+    assert not under_theirs, "our reliable checkpoint leaked into the app's dir"
+    tables.release_session_checkpoints(spark)
