@@ -247,8 +247,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5: candidates restricted to the
     query's sign-projection bucket. Same scoring as brute force; the
     bucket equi-join replaces the cross join."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)  # fans out an under-parallel scan
     # materialize buckets once: the 512-term sign expression would
     # otherwise be re-evaluated (and re-codegen'd) on both sides of the
     # self-join (measured 10s → ~3s at sf0.1)
@@ -339,8 +338,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle exactness; at 100 TB the positive comes from the IVF/PQ
     index and negatives from a per-partition seeded draw — both already
     in this package."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    v = load_vectors(spark, sf_dir)  # fans out an under-parallel scan
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
     )

@@ -201,17 +201,15 @@ def warm_index_cache(spark: SparkSession, sf_dir: str) -> None:
     key = dataset_cache_key(sf_dir)
     n = load_table(spark, sf_dir, "embeddings").count()
     kc, _ = hier_cells(n)
-    jobs = [
-        lambda: train_centroids(v, cache_key=key),
-        lambda: train_codebooks(v, cache_key=key),
-        # SemDeDup's corpus-adaptive quantizer is a separate trained
-        # artifact (different K) — warm it too
-        lambda: train_centroids(v, cache_key=key, n_cells=adaptive_cells(n)),
+    # one training per DISTINCT cell count: on small corpora the
+    # adaptive / hierarchical ladders collapse onto N_CELLS, and two
+    # concurrent trainings of the same memo key would both miss the
+    # cold cache and run the full Lloyd loop twice
+    cell_counts = {N_CELLS, adaptive_cells(n), kc}
+    jobs = [lambda: train_codebooks(v, cache_key=key)] + [
+        (lambda k=k: train_centroids(v, cache_key=key, n_cells=k))
+        for k in sorted(cell_counts)
     ]
-    if kc != N_CELLS:
-        # the hierarchical twin's coarse quantizer (only when its cell
-        # count diverges from the fixed-K artifact's memo)
-        jobs.append(lambda: train_centroids(v, cache_key=key, n_cells=kc))
     with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
         for fut in [ex.submit(j) for j in jobs]:
             fut.result()
@@ -298,7 +296,10 @@ def train_centroids(
         cache[memo] = sorted(
             (int(r["cell_id"]), list(r["cv"])) for r in cents.select("cell_id", "cv").collect()
         )
-    return cents.select("cell_id", "cv")
+    # int cast: the cold path derives cell_id as a LONG (vec_id
+    # arithmetic) while the memo/index replay path declares CENT_SCHEMA's
+    # int — the same query cold vs warm must not change schema
+    return cents.select(F.col("cell_id").cast("int").alias("cell_id"), "cv")
 
 
 def _kmeans_ctes(n_cells_sql: str | int = N_CELLS) -> str:
@@ -374,6 +375,21 @@ ORDER BY query_id, rank
 """
 
 
+# Above this source size the n×K scored relation must be SKINNY —
+# (vec_id, cell_id, c) only: carrying ev+nrm through the checkpoint and
+# a full-corpus sort window pins K copies of every embedding in session
+# storage and shuffles them (the fat-relation regression
+# train_centroids documents as measured 3x at large K; at sf10 ~1.6 GB
+# for K=16). Below it the fat single-pass shape wins — the extra
+# vectors-join and second checkpoint of the skinny arm cost more than
+# 16 copies of a tiny table (measured at sf0.1: 1.4 -> 1.7-2.1 s).
+# §4d threshold dispatch: two physical plans, one answer; both arms
+# oracle-forced in tests/test_dispatch_arms.py. Planning-time bytes
+# probe, no job; unknown lineage (checkpoints, remote FS) takes the
+# scale-safe skinny arm.
+ASSIGN_SKINNY_MIN_BYTES = 32 * 1024 * 1024
+
+
 def assign_and_probes(
     v: DataFrame,
     centroids: DataFrame,
@@ -381,23 +397,53 @@ def assign_and_probes(
     n_queries: int = N_QUERIES,
 ) -> tuple[DataFrame, DataFrame]:
     """Cell assignment for the corpus plus the `nprobe` nearest cells per
-    query, both derived from ONE materialized corpus×centroid scoring
-    (16 broadcast rows — the scan is the cost, not the join)."""
-    vn = _with_norm(v, "ev", "nrm")
+    query, derived from ONE materialized corpus×centroid scoring
+    (16 broadcast rows — the scan is the cost, not the join). Size-
+    dispatched (see ASSIGN_SKINNY_MIN_BYTES). Extra columns on `v`
+    (e.g. a metadata label) ride through into `assigned`, which is how
+    ann_filtered_topk shares this implementation."""
+    from data_ingestion_system_spark.tables import _local_input_bytes
+
+    extra = [c for c in v.columns if c not in ("vec_id", "ev")]
     cn = _with_norm(centroids, "cv", "cnrm")
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
-    scored_cells = vn.crossJoin(F.broadcast(cn)).select(
-        "vec_id",
-        "ev",
-        "nrm",
-        "cell_id",
-        (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
-    ).transform(corpus_checkpoint_lazy)
-    assigned = (
-        scored_cells.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "ev", "nrm", "cell_id")
-    )
+    src_bytes = _local_input_bytes(v)
+    if src_bytes is not None and 0 < src_bytes < ASSIGN_SKINNY_MIN_BYTES:
+        # fat arm: one materialized scoring carries the vectors through
+        vn = _with_norm(v, "ev", "nrm")
+        scored_cells = vn.crossJoin(F.broadcast(cn)).select(
+            "vec_id",
+            *extra,
+            "ev",
+            "nrm",
+            "cell_id",
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        ).transform(corpus_checkpoint_lazy)
+        assigned = (
+            scored_cells.withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", *extra, "ev", "nrm", "cell_id")
+        )
+    else:
+        # skinny arm: score (vec_id, cell_id, c) only; hash-agg argmax
+        # (tie order (c DESC, cell_id ASC) ≡ lexicographic struct max,
+        # as in train_centroids) and the vectors join back AFTER the
+        # collapse; only the n_queries×K probe slice pays a sort window
+        vn = _with_norm(v, "ev", "nrm").transform(corpus_checkpoint_lazy)
+        scored_cells = vn.crossJoin(F.broadcast(cn)).select(
+            "vec_id",
+            "cell_id",
+            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
+        ).transform(corpus_checkpoint_lazy)
+        assigned = (
+            scored_cells.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cell_id", F.struct(F.col("c"), (-F.col("cell_id")).alias("neg"))
+                ).alias("cell_id")
+            )
+            .join(vn, "vec_id")
+        )
     probes = (
         scored_cells.filter(F.col("vec_id") < n_queries)
         .withColumn("rn", F.row_number().over(w_assign))
@@ -578,32 +624,10 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_centroids(
         v.select("vec_id", "ev"), cache_key=dataset_cache_key(sf_dir)
     )
+    # the shared skinny assignment: `label` rides through assigned (see
+    # assign_and_probes) — no re-implemented copy to drift from
+    assigned, probes = assign_and_probes(v, cents)
     vn = _with_norm(v, "ev", "nrm")
-    cn = _with_norm(cents, "cv", "cnrm")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cell_id"))
-    scored_cells = (
-        vn.crossJoin(F.broadcast(cn))
-        .select(
-            "vec_id",
-            "label",
-            "ev",
-            "nrm",
-            "cell_id",
-            (_dot("ev", "cv") / (F.col("nrm") * F.col("cnrm"))).alias("c"),
-        )
-        .transform(corpus_checkpoint_lazy)
-    )
-    assigned = (
-        scored_cells.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "ev", "nrm", "cell_id")
-    )
-    probes = (
-        scored_cells.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
-    )
     q = vn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("nrm").alias("qnrm")
     )

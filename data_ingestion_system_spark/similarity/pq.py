@@ -118,6 +118,16 @@ def train_codebooks(
     codes = sv.filter(
         (F.col("vec_id") >= PQ_CODE_BASE) & (F.col("vec_id") < PQ_CODE_BASE + K_CODES)
     ).select("m", (F.col("vec_id") - PQ_CODE_BASE).alias("code"), F.col("sv").alias("cv"))
+    if codes.limit(1).isEmpty():
+        # the seed slice [PQ_CODE_BASE, PQ_CODE_BASE + K_CODES) assumes
+        # contiguous vec_ids covering it; a smaller/re-based corpus would
+        # otherwise train an EMPTY codebook and every PQ query would
+        # silently return zero rows (and the oracle, mirroring the same
+        # predicate, would pass vacuously on empty-vs-empty)
+        raise ValueError(
+            f"PQ codebook seed slice [{PQ_CODE_BASE}, {PQ_CODE_BASE + K_CODES}) "
+            "matched no vectors — corpus too small or vec_ids not contiguous"
+        )
     for _ in range(PQ_ITERS):
         assigned = _assign(train, codes)
         means = (
@@ -142,7 +152,14 @@ def train_codebooks(
         cache[memo] = sorted(
             (int(r["m"]), int(r["code"]), list(r["cv"])) for r in codes.collect()
         )
-    return codes
+    # int casts: the cold path derives code as LONG (vec_id arithmetic)
+    # while memo/index replay declares CODES_SCHEMA's ints — the same
+    # query cold vs warm must not change schema
+    return codes.select(
+        F.col("m").cast("int").alias("m"),
+        F.col("code").cast("int").alias("code"),
+        "cv",
+    )
 
 
 def pq_topk(
@@ -150,10 +167,15 @@ def pq_topk(
     codes: DataFrame,
     top_k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    sv: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search: encode the corpus to (vec_id, m, code), build the
-    query x code inner-product LUT, sum LUT hits per candidate."""
-    sv = corpus_checkpoint(subvectors(v), eager=False)
+    query x code inner-product LUT, sum LUT hits per candidate. Pass
+    ``sv`` to share the caller's exploded-subvector checkpoint (a cold
+    train_codebooks + pq_topk would otherwise explode and checkpoint
+    the corpus twice)."""
+    if sv is None:
+        sv = corpus_checkpoint(subvectors(v), eager=False)
     encoded = _assign(sv.filter(F.col("vec_id") >= n_queries), codes).select(
         F.col("vec_id").alias("cand_id"), "m", "code"
     )
@@ -200,13 +222,14 @@ def pq_rerank_topk(
     shortlist: int = SHORTLIST,
     top_k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    sv: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank: PQ cannot separate candidates that
     share all 8 codes (within-cluster neighbors), so the standard recipe
     re-scores the top-`shortlist` ADC hits with exact cosine against the
     raw vectors — brute-force quality at PQ cost (the exact join touches
     `shortlist` vectors per query, not the corpus)."""
-    short = pq_topk(v, codes, top_k=shortlist, n_queries=n_queries).select(
+    short = pq_topk(v, codes, top_k=shortlist, n_queries=n_queries, sv=sv).select(
         "query_id", "cand_id"
     )
     q = v.filter(F.col("vec_id") < n_queries).select(
@@ -348,7 +371,10 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on the shortlist. Clustered-data recall gate in
     tests/test_similarity.py."""
     v = load_vectors(spark, sf_dir)
-    out = pq_rerank_topk(v, train_codebooks(v, cache_key=dataset_cache_key(sf_dir)))
+    sv = corpus_checkpoint(subvectors(v), eager=False)
+    out = pq_rerank_topk(
+        v, train_codebooks(v, sv=sv, cache_key=dataset_cache_key(sf_dir)), sv=sv
+    )
     return out.select(
         "query_id",
         "cand_id",
@@ -367,7 +393,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped by the data having no structure to exploit; the clustered-
     data recall gate lives in tests/test_similarity.py."""
     v = load_vectors(spark, sf_dir)
-    out = pq_topk(v, train_codebooks(v, cache_key=dataset_cache_key(sf_dir)))
+    sv = corpus_checkpoint(subvectors(v), eager=False)
+    out = pq_topk(v, train_codebooks(v, sv=sv, cache_key=dataset_cache_key(sf_dir)), sv=sv)
     return out.select(
         "query_id",
         "cand_id",

@@ -23,6 +23,7 @@ from conftest import assert_df_matches_oracle
 from data_ingestion_system_spark import tables
 from data_ingestion_system_spark.dedup import clusters, minhash, semdedup, simhash
 from data_ingestion_system_spark.operators import statistics
+from data_ingestion_system_spark.similarity import ivf
 from data_ingestion_system_spark.registry import load_all
 from data_ingestion_system_spark.tables import TABLE_NAMES
 from data_ingestion_system_spark.text import pipeline
@@ -93,6 +94,21 @@ DISPATCHED = [
         [(pipeline, "PIPELINE_PARALLEL_MAX_DOCS")],
         {"serial": [0], "stage_parallel": [HUGE]},
         id="pipeline-stage-parallelism",
+    ),
+    pytest.param(
+        # r9 assignment-shape dispatch: the fat single-pass scoring vs
+        # the skinny score + hash-agg argmax + vectors-join must assign
+        # identical cells (tie order (c DESC, cell_id ASC) both arms)
+        "ann_ivf_topk",
+        [(ivf, "ASSIGN_SKINNY_MIN_BYTES")],
+        {"fat": [HUGE], "skinny": [0]},
+        id="ivf-assign-shape",
+    ),
+    pytest.param(
+        "ann_filtered_topk",
+        [(ivf, "ASSIGN_SKINNY_MIN_BYTES")],
+        {"fat": [HUGE], "skinny": [0]},
+        id="ivf-filtered-assign-shape",
     ),
 ]
 
