@@ -61,6 +61,24 @@ MAX_ITERS = 20  # >> observed duplicate-chain diameter; convergence asserted
 # lineage.
 CC_CONTRACT_MIN_EDGES = 1_000_000
 
+# r10 (§4d third arm): at or below this edge count the whole closure
+# runs as ONE collect + driver-side union-find instead of the iterative
+# propagation loop. Every distributed round costs two scheduled jobs of
+# fixed driver/scheduler overhead (~0.15-0.3 s each on local[32])
+# regardless of how small the graph is, and diameter is not bounded by
+# corpus size — the sf0.1 simhash VALUE graph (116k doubled edges)
+# converges in 10 rounds, ~2-4 s of pure round overhead that one
+# collect replaces (measured interleaved A/B: keepers 5.9 -> 3.9 s
+# median). The collect is bounded by the floor at ~4 MB (2 longs x
+# 256k rows) — the same driver-metadata scale as the equi-depth
+# boundary tuples and the PQ codebook collects, far under
+# spark.driver.maxResultSize — and union-find with path compression
+# closes 256k edges in well under 100 ms. Above the floor the
+# iterative arms are unchanged, so the 100 TB posture (never a
+# corpus-scale driver collect) is preserved; all three arms are
+# oracle-forced in tests/test_dispatch_arms.py.
+CC_DRIVER_MAX_EDGES = 262_144
+
 # Diagnostics from the most recent connected_components call on this
 # driver: (arm, rounds, initial edge count). Scale probes read it to
 # verify the contraction loop's round count stays O(log) as the value
@@ -101,21 +119,72 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .transform(corpus_checkpoint)
     )
-    # original doc_id -> current component label (composes every round)
+    n_edges = edges.count()  # scan of the materialized ckpt
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS["n_edges"] = n_edges
+    if n_edges <= CC_DRIVER_MAX_EDGES:
+        LAST_CC_STATS["arm"] = "driver"
+        LAST_CC_STATS["rounds"] = 0  # no distributed rounds by construction
+        return _cc_driver(edges)
+    # original doc_id -> current component label (composes every round);
+    # built only for the iterative arms — the driver arm never needs it
     mapping = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
         .transform(corpus_checkpoint)
     )
-    n_edges = edges.count()  # scan of the materialized ckpt
-    LAST_CC_STATS.clear()
-    LAST_CC_STATS["n_edges"] = n_edges
     if n_edges < CC_CONTRACT_MIN_EDGES:
         LAST_CC_STATS["arm"] = "propagate"
         return _cc_propagate(edges, mapping, max_iters)
     LAST_CC_STATS["arm"] = "contract"
     return _cc_contract(edges, mapping, max_iters)
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Small-graph arm: one collect of the (bounded) edge relation, then
+    union-find with path compression on the driver, roots kept at the
+    minimum doc_id so each component's label is its min member — the
+    identical contract the iterative arms converge to. The result is
+    re-parallelized with the same column type the edges carried (an
+    ExistingRDD scan, like tables.replay_rows_df, so re-use replays
+    cheaply and never re-runs the collect)."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    id_type = edges.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min root wins — the component label is its min doc_id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    rows = sorted((node, find(node)) for node in parent)
+    schema = StructType(
+        [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+    )
+    # a few slices so downstream joins/aggregates don't start single-task
+    n_slices = max(1, min(len(rows) // 16_384 + 1, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
 
 
 def _cc_propagate(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFrame:

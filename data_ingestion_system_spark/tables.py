@@ -508,10 +508,15 @@ def _declared_reduce_width(spark: SparkSession) -> int:
     """`spark.sql.shuffle.partitions` as an int; managed platforms set it
     to "auto", where the cluster's default parallelism is the honest
     stand-in for the declared reduce width."""
-    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
     try:
+        # no explicit fallback value: Spark 4.1 type-validates a fallback
+        # against the conf's declared int type, so passing "" throws
+        # INVALID_CONF_VALUE on sessions that never set the conf. With no
+        # fallback the conf system returns its own default ("200", or
+        # "auto" on managed platforms, which the int() guard handles).
+        raw = spark.conf.get("spark.sql.shuffle.partitions")
         return int(raw)
-    except (ValueError, TypeError):
+    except Exception:
         return spark.sparkContext.defaultParallelism
 
 

@@ -34,47 +34,57 @@ TOP_N = 20
 
 
 def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
-    """(doc_id, score) for docs matching ≥1 term, unrounded."""
-    toks = fan_out(docs, "doc_id").select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    # three one-row side inputs, broadcast — never a driver-side collect
+    """(doc_id, score) for docs matching ≥1 term, unrounded.
+
+    ONE explode + ONE groupBy(doc_id) (r10): the r9 shape ran the corpus
+    token explode under four consumers (doc lengths, avgdl, per-term df,
+    per-term tf — ReuseExchange shares the fan-out shuffle but each
+    consumer re-exploded and re-aggregated the token stream). Per-doc
+    length AND the K per-term term frequencies are conditional counts of
+    one pass; df per term then falls out of the collapsed n_docs-row
+    relation as a count of docs with tf > 0. Same integers (dl, tf, df,
+    N) and the same per-term score expression evaluated in the same
+    fixed order, so the float contract is unchanged — only the pass
+    count drops (4 corpus passes -> 1)."""
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    perdoc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("token") == t, True)).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # three one-row side inputs, broadcast — never a driver-side collect.
+    # avgdl and every per-term df reduce the SAME collapsed per-doc
+    # relation in one aggregate row.
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
-    qtoks = toks.filter(F.col("token").isin(*terms))
-    df_t = qtoks.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
+    stats = perdoc.agg(
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    scored = (
-        tf.join(F.broadcast(df_t), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
-        .select(
-            "doc_id",
-            "token",
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                )
-                * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
-        )
+    matched = perdoc.filter(
+        sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))) > 0
     )
-    per_term = [
-        F.coalesce(F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)).alias(
-            f"s{i}"
-        )
-        for i, t in enumerate(terms)
-    ]
-    pivoted = scored.groupBy("doc_id").agg(*per_term)
+    scored = matched.crossJoin(F.broadcast(n_docs)).crossJoin(F.broadcast(stats))
     total = None
     for i in range(len(terms)):
-        c = F.col(f"s{i}")
-        total = c if total is None else total + c
-    return pivoted.select("doc_id", total.alias("score"))
+        tf_i = F.col(f"tf{i}")
+        s_i = F.when(
+            tf_i > 0,
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            )
+            * (tf_i * (K1 + 1))
+            / (tf_i + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        total = s_i if total is None else total + s_i
+    return scored.select("doc_id", total.alias("score"))
 
 
 def _bm25_oracle() -> str:

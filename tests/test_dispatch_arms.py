@@ -83,10 +83,16 @@ DISPATCHED = [
     ),
     pytest.param(
         # r8 component-loop dispatch: plain propagation vs edge
-        # contraction must close the identical transitive clusters
+        # contraction must close the identical transitive clusters.
+        # r10 added the driver union-find arm below CC_DRIVER_MAX_EDGES;
+        # the iterative arms force it OFF so they still run distributed.
         "dedup_clusters",
-        [(clusters, "CC_CONTRACT_MIN_EDGES")],
-        {"contract": [0], "propagate": [HUGE]},
+        [(clusters, "CC_DRIVER_MAX_EDGES"), (clusters, "CC_CONTRACT_MIN_EDGES")],
+        {
+            "contract": [-1, 0],
+            "propagate": [-1, HUGE],
+            "driver_unionfind": [HUGE, HUGE],
+        },
         id="cc-loop",
     ),
     pytest.param(

@@ -83,10 +83,13 @@ def test_scan_filter_prunes_columns_in_quality(spark, sf_dir):
 
 def test_bm25_side_inputs_broadcast(spark, sf_dir):
     """df/N/avgdl are tiny side aggregates — they must broadcast, and the
-    two scalar crossJoins must never become a CartesianProduct."""
+    scalar crossJoins must never become a CartesianProduct. Since the r10
+    one-pass rewrite the side inputs are two ONE-ROW aggregate frames
+    (N, and avgdl+per-term dfs), so the physical form is a broadcast
+    nested-loop over a single row rather than a BroadcastHashJoin."""
     df = REGISTRY["bm25_search"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert count_broadcast_joins(df) >= 1
+    assert plan.count("BroadcastNestedLoopJoin") + count_broadcast_joins(df) >= 2
     assert "CartesianProduct" not in plan
 
 

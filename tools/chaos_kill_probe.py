@@ -125,7 +125,14 @@ def run_arm(
     query: str = "dedup_clusters",
 ) -> dict:
     from data_ingestion_system_spark import tables
+    from data_ingestion_system_spark.dedup import clusters
     from data_ingestion_system_spark.session import get_spark
+
+    # the probe exists to kill an executor MID-COMPONENT-LOOP and watch
+    # the reliable machinery recover the iterative rounds — the r10
+    # driver union-find arm (no distributed rounds at small edge counts)
+    # would dodge exactly the code path under test, so force it off
+    clusters.CC_DRIVER_MAX_EDGES = -1
 
     ckpt_dir = None
     if arm == "reliable":
