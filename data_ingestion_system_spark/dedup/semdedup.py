@@ -386,7 +386,10 @@ def assign_coarse(v: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def train_fine_centroids(
-    cassigned: DataFrame, kf: int, train_mod: int = TRAIN_MOD
+    cassigned: DataFrame,
+    kf: int,
+    train_mod: int = TRAIN_MOD,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-coarse-cell fine quantizer: seeds are the ``kf`` lowest-vec_id
     members of each coarse cell (from the FULL assignment, so every
@@ -396,7 +399,30 @@ def train_fine_centroids(
     n_sample x kf rows, never n x K_total). Centroid means round to 6
     decimals per round; empty fine cells keep their previous centroid
     (the train_centroids contract, mirrored in the oracle CTEs).
-    Returns (cell_id, fine_id, fv, fnrm)."""
+    Returns (cell_id, fine_id, fv, fnrm).
+
+    With ``cache_key`` set, the trained (cell_id, fine_id, fv) rows are
+    mirrored driver-side in the SAME per-SparkContext index cache that
+    holds the IVF centroids and PQ codebooks (similarity.ivf._index_cache)
+    — the fine quantizer is an index artifact by the identical
+    train-once/serve-many contract (it is a pure function of the corpus
+    fingerprint and the (kc, kf, train_mod) ladder), and retraining its
+    Lloyd rounds on every serving query was ~1.5 s of pure fixed job
+    overhead per call at sf0.1 (r10 measurement; the fine table itself is
+    kc·kf rows). The replay path recomputes fnrm with the same
+    expression, so warm and cold schemas/values are identical — pinned by
+    tests/test_semdedup_classifier.py::test_fine_centroid_memo_replays_identically."""
+    from data_ingestion_system_spark.similarity.ivf import _index_cache
+    from data_ingestion_system_spark.tables import replay_rows_df
+
+    spark = cassigned.sparkSession
+    cache = _index_cache(spark) if cache_key is not None else None
+    memo = ("fine_centroids", cache_key, kf, train_mod)
+    if cache is not None and memo in cache:
+        replay = replay_rows_df(
+            spark, cache[memo], "cell_id int, fine_id int, fv array<double>"
+        )
+        return _with_norm(replay, "fv", "fnrm")
     w_seed = Window.partitionBy("cell_id").orderBy("vec_id")
     fcents = (
         cassigned.select("cell_id", "vec_id", "ev")
@@ -446,6 +472,14 @@ def train_fine_centroids(
             .select("cell_id", "fine_id", F.coalesce("m.mv", "p.fv").alias("fv"))
         )
         fcents = _with_norm(fcents, "fv", "fnrm").localCheckpoint(eager=True)
+    if cache is not None:
+        # mirror the kc·kf trained rows driver-side (train_centroids'
+        # exact pattern) so later serving calls replay instead of
+        # re-running the Lloyd jobs
+        cache[memo] = sorted(
+            (int(r["cell_id"]), int(r["fine_id"]), list(r["fv"]))
+            for r in fcents.select("cell_id", "fine_id", "fv").collect()
+        )
     return fcents
 
 
@@ -538,8 +572,24 @@ def _hier_fassigned(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
     # grind at sf10 unpinned). Keyless: all downstream scoring joins are
     # broadcast, so round-robin balance beats key co-location.
     cassigned = pin_width(assign_coarse(v, cents), n_rows=n).transform(corpus_checkpoint_lazy)
-    fcents = train_fine_centroids(cassigned, kf, train_mod=adaptive_train_mod(n))
+    fcents = train_fine_centroids(
+        cassigned,
+        kf,
+        train_mod=adaptive_train_mod(n),
+        # memo is safe to key on (corpus fingerprint, kf, train_mod):
+        # kc — and so cassigned — is itself a pure function of the
+        # fingerprinted corpus via hier_cells(n)
+        cache_key=dataset_cache_key(sf_dir),
+    )
     return n, assign_fine(cassigned, fcents)
+
+
+def warm_fine_quantizer(spark: SparkSession, sf_dir: str) -> None:
+    """Train the hierarchical fine quantizer into the session index cache
+    (ivf.warm_index_cache's r10 hook): running the shared chain up
+    through `train_fine_centroids` populates the ("fine_centroids", ...)
+    memo; the assign_fine tail stays lazy and is discarded."""
+    _hier_fassigned(spark, sf_dir)
 
 
 _HIER_STATS_SCHEMA = (

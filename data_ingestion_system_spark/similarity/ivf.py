@@ -213,6 +213,14 @@ def warm_index_cache(spark: SparkSession, sf_dir: str) -> None:
     with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
         for fut in [ex.submit(j) for j in jobs]:
             fut.result()
+    # the hierarchical SemDeDup fine quantizer is an index artifact by the
+    # same train-once/serve-many contract (r10) — train it AFTER the pool
+    # so its internal train_centroids(kc) call hits the fresh memo instead
+    # of racing the dedicated kc training job above. Local import: semdedup
+    # imports this module at top level.
+    from data_ingestion_system_spark.dedup.semdedup import warm_fine_quantizer
+
+    warm_fine_quantizer(spark, sf_dir)
 
 
 def train_centroids(

@@ -190,3 +190,56 @@ def test_flat_semdedup_dispatch_sides_agree(spark, sf_dir):
         .toString()
     )
     assert "FlatMapGroupsInPandas" in big
+
+
+def test_fine_centroid_memo_replays_identically(spark, sf_dir):
+    """The r10 fine-quantizer memo (train-once/serve-many, the
+    train_centroids pattern) must replay EXACTLY the rows, types, and
+    fnrm the cold Lloyd training produced — warm and cold serving paths
+    may never diverge in schema or values."""
+    from data_ingestion_system_spark.dedup.semdedup import (
+        assign_coarse,
+        train_fine_centroids,
+    )
+    from data_ingestion_system_spark.similarity.ann import load_vectors
+    from data_ingestion_system_spark.similarity.ivf import (
+        _index_cache,
+        dataset_cache_key,
+        hier_cells,
+        train_centroids,
+    )
+    from data_ingestion_system_spark.similarity.ivf import adaptive_train_mod
+    from data_ingestion_system_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    v = load_vectors(spark, sf_dir)
+    kc, kf = hier_cells(n)
+    key = dataset_cache_key(sf_dir)
+    cents = train_centroids(v, cache_key=key, n_cells=kc)
+    cassigned = assign_coarse(v, cents)
+    memo = ("fine_centroids", key, kf, adaptive_train_mod(n))
+    _index_cache(spark).pop(memo, None)  # force the cold path
+    cold = train_fine_centroids(
+        cassigned, kf, train_mod=adaptive_train_mod(n), cache_key=key
+    )
+    assert memo in _index_cache(spark)
+    warm = train_fine_centroids(
+        cassigned, kf, train_mod=adaptive_train_mod(n), cache_key=key
+    )
+    # names/types must match exactly; nullability flags may differ (an
+    # ExistingRDD scan is nullable-by-default) and normalize away in the
+    # downstream joins/aggregates — the QUERY-level schema equality is
+    # asserted below via semantic_dedup_hier itself
+    assert [(f.name, f.dataType) for f in warm.schema] == [
+        (f.name, f.dataType) for f in cold.schema
+    ]
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
+    from data_ingestion_system_spark.dedup.semdedup import semantic_dedup_hier
+
+    q_warm = semantic_dedup_hier(spark, sf_dir)
+    _index_cache(spark).pop(memo, None)
+    q_cold = semantic_dedup_hier(spark, sf_dir)
+    assert q_warm.schema == q_cold.schema
+    assert q_warm.collect() == q_cold.collect()
+    # the replay is an ExistingRDD scan — no Lloyd jobs in its plan
+    assert "Scan ExistingRDD" in warm._jdf.queryExecution().executedPlan().toString()
