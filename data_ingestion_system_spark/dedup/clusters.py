@@ -36,9 +36,9 @@ from data_ingestion_system_spark.dedup.minhash import (
     PAIR_CTES,
     band_keys,
     candidate_pairs,
-    minhash_signatures,
-    token_sets,
-    verified_pairs,
+    signatures_from_sets,
+    token_set_arrays,
+    verified_pairs_from_sets,
 )
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import (
@@ -292,9 +292,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     false` rows are exactly the set a dedup job would drop."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
-    cand = candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs)
-    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
+    tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
+    cand = candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs)
+    pairs = verified_pairs_from_sets(tsets, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     comp = connected_components(pairs)
     csizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (

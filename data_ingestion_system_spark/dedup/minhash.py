@@ -70,6 +70,35 @@ def token_sets(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     ).distinct()
 
 
+def token_set_arrays(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
+    """(doc_id, tset, n): each doc's sorted DISTINCT shingle array and
+    its cardinality, built ROW-LOCALLY — transform / array_distinct /
+    array_sort expression algebra, no explode and no shuffle (guide
+    §2.4). The r9 chain exploded to a (doc_id, token) relation and then
+    paid a groupBy exchange per consumer to collapse it back (one for
+    the signature mins, one for the verify arrays); the set never needed
+    to leave its row. Same shingle definition as `token_sets` (3-word
+    windows, whole text below 3 tokens), so `array_sort(array_distinct)`
+    here equals `sort_array(collect_list)` over the exploded distinct
+    relation element for element."""
+    if toks is None:
+        toks = fan_out(docs, "doc_id").select(
+            "doc_id", F.split(F.col("text"), " ").alias("ts")
+        )
+    else:
+        toks = toks.select("doc_id", "ts")
+    shingles = F.when(
+        F.size("ts") >= 3,
+        F.expr(
+            "transform(sequence(0, size(ts) - 3),"
+            " i -> concat(ts[i], ' ', ts[i + 1], ' ', ts[i + 2]))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("ts"))))
+    return toks.select(
+        "doc_id", F.array_sort(F.array_distinct(shingles)).alias("tset")
+    ).withColumn("n", F.size("tset").cast("long"))
+
+
 def minhash_signatures(tokens: DataFrame) -> DataFrame:
     """One row per doc with m0..m{H-1} minhash columns."""
     aggs = [
@@ -77,6 +106,20 @@ def minhash_signatures(tokens: DataFrame) -> DataFrame:
         for i in range(N_HASHES)
     ]
     return tokens.groupBy("doc_id").agg(*aggs)
+
+
+def signatures_from_sets(tsets: DataFrame) -> DataFrame:
+    """Signature columns computed from the per-doc shingle ARRAY — a
+    narrow projection (array_min over transform), no aggregation: the
+    min over md5('i:'||t) of the same element set `minhash_signatures`
+    reduces with a groupBy, without the exchange."""
+    cols = [
+        F.expr(
+            f"array_min(transform(tset, t -> md5(concat('{i}:', t))))"
+        ).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return tsets.select("doc_id", *cols)
 
 
 def band_keys(sigs: DataFrame) -> DataFrame:
@@ -133,13 +176,23 @@ def verified_pairs(
     mode at 100 TB. Small corpora keep AQE's broadcast plan. Streaming
     callers pass n_docs=0: a micro-batch is bounded by the trigger
     interval, so the broadcast verify is the right plan there."""
-    from data_ingestion_system_spark.tables import _should_pin
-
-    big = _should_pin(tokens, n_docs)
     tsets = tokens.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("token")).alias("tset"),
         F.count("*").alias("n"),
     )
+    return verified_pairs_from_sets(tsets, cand, threshold, n_docs=n_docs)
+
+
+def verified_pairs_from_sets(
+    tsets: DataFrame, cand: DataFrame, threshold: float, n_docs: int | None = None
+) -> DataFrame:
+    """`verified_pairs` taking the pre-built (doc_id, tset, n) relation
+    (token_set_arrays) directly — batch callers build the set arrays
+    once, checkpoint 1 row/doc, and skip the exploded-relation groupBy
+    entirely."""
+    from data_ingestion_system_spark.tables import _should_pin
+
+    big = _should_pin(tsets, n_docs)
     if big:
         tsets = tsets.hint("merge")
         cand = cand.hint("merge")
@@ -234,14 +287,15 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pairs with exact Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # parquet footer statistics — no scan
-    # checkpoint materializes the shingle sets once for the three
-    # consumers (signatures, verify join ×2); DISK_ONLY because the
-    # relation is corpus-sized (scale-failure class #5 —
-    # tables.bulk_checkpoint) and its consumers are sequential scans
-    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
-    sigs = minhash_signatures(tokens)
-    cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
-    pairs = verified_pairs(tokens, cand, JACCARD_THRESHOLD, n_docs=n_docs)
+    # checkpoint materializes the per-doc shingle ARRAYS once for the
+    # three consumers (signatures, verify join ×2): 1 row/doc instead of
+    # the r9 exploded (doc_id, token) relation, built with no shuffle
+    # (token_set_arrays); DISK_ONLY because the relation is corpus-sized
+    # (scale-failure class #5 — tables.bulk_checkpoint) and its
+    # consumers are sequential scans
+    tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
+    cand = candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs)
+    pairs = verified_pairs_from_sets(tsets, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     return pairs.select(
         "doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
@@ -802,10 +856,10 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a sources²-bounded aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
-    pairs = verified_pairs(
-        tokens,
-        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+    tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
+    pairs = verified_pairs_from_sets(
+        tsets,
+        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
         JACCARD_THRESHOLD,
         n_docs=n_docs,
     )
@@ -856,10 +910,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescans of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
-    jacs = verified_pairs(
-        tokens,
-        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+    tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
+    jacs = verified_pairs_from_sets(
+        tsets,
+        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
         0.0,
         n_docs=n_docs,
     )
@@ -921,10 +975,10 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate row out."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = token_sets(docs)
-    sigs = minhash_signatures(tokens)
+    tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
+    sigs = signatures_from_sets(tsets)
     cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
-    exact = verified_pairs(tokens, cand, 0.0, n_docs=n_docs)  # all candidates, unfiltered
+    exact = verified_pairs_from_sets(tsets, cand, 0.0, n_docs=n_docs)  # all candidates
     matches = sum(
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
         for i in range(N_HASHES)

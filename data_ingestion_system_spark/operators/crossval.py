@@ -130,17 +130,17 @@ def fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_THRESHOLD,
         band_keys,
         candidate_pairs,
-        minhash_signatures,
-        token_sets,
-        verified_pairs,
+        signatures_from_sets,
+        token_set_arrays,
+        verified_pairs_from_sets,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
-    tokens = bulk_checkpoint(token_sets(docs), eager=False, n_rows=n_docs)
-    pairs = verified_pairs(
-        tokens,
-        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+    tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
+    pairs = verified_pairs_from_sets(
+        tsets,
+        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
         JACCARD_THRESHOLD,
         n_docs=n_docs,
     )

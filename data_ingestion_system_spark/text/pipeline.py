@@ -41,13 +41,12 @@ from data_ingestion_system_spark.dedup.minhash import (
     PAIR_CTES,
     band_keys,
     candidate_pairs,
-    minhash_signatures,
-    token_sets,
-    verified_pairs,
+    signatures_from_sets,
+    token_set_arrays,
+    verified_pairs_from_sets,
 )
 from data_ingestion_system_spark.registry import query
 from data_ingestion_system_spark.tables import corpus_checkpoint, load_table
-from data_ingestion_system_spark.text.chunking import chunk_documents
 from data_ingestion_system_spark.text.classifier import (
     CLASSIFIER_CTES,
     hashed_weight_table,
@@ -193,10 +192,12 @@ def stage_dup_drop(
     from data_ingestion_system_spark.tables import bulk_checkpoint
 
     # corpus-sized (every doc's sorted shingle array) → DISK_ONLY
-    tokens = bulk_checkpoint(token_sets(docs, toks=toks), eager=False, n_rows=n_docs)
-    pairs = verified_pairs(
-        tokens,
-        candidate_pairs(band_keys(minhash_signatures(tokens)), n_docs=n_docs),
+    tsets = bulk_checkpoint(
+        token_set_arrays(docs, toks=toks), eager=False, n_rows=n_docs
+    )
+    pairs = verified_pairs_from_sets(
+        tsets,
+        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
         JACCARD_THRESHOLD,
         n_docs=n_docs,
     )
@@ -292,32 +293,49 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_drop = _ckpt(stage_dup_drop(docs, toks=toks, n_docs=n_docs))
 
     candidates = docs.filter(~(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0))
-    # materialize the filtered corpus once: survivors feeds the kept
-    # aggregate AND both sides of the chunk join, and without a checkpoint
-    # each consumer would re-run the quality + dedup-closure + decontam
-    # pipelines above (exchange reuse does not cover the iterative
-    # connected-components lineage)
     survivors = (
-        candidates.join(quality_ids, "doc_id", "left_semi")
+        candidates.select("doc_id", "source")
+        .join(quality_ids, "doc_id", "left_semi")
         .join(clf_keep_ids, "doc_id", "left_semi")
         .join(dup_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
     )
-    # corpus-sized (full text of every kept doc) → DISK_ONLY like toks
-    survivors = bulk_checkpoint(survivors, eager=False, n_rows=n_docs)
 
-    # stage 5: chunk survivors, report yield per source
-    chunks = chunk_documents(survivors.select("doc_id", "text")).join(
-        survivors.select("doc_id", "source"), "doc_id"
+    # stage 5: yield report per source. The chunk/token counts the report
+    # needs are CLOSED-FORM integer arithmetic over each doc's word count
+    # L (guide §2.4 — remove the shuffle/pass outright): the window
+    # explode in chunk_documents emits floor((L-1)/STRIDE)+1 rows whose
+    # n_tokens are min(CHUNK_TOKENS, L - s) for s in sequence(0, L-1,
+    # STRIDE), so `size(sequence(...))` and an `aggregate()` over the
+    # same sequence reproduce COUNT(*) and SUM(n_tokens) per doc exactly
+    # (same integers, engines agree) without materializing the kept
+    # corpus text, exploding windows, or re-joining source — the r9
+    # shape checkpointed every kept doc's full text (DISK_ONLY) and ran
+    # the explode + join + two groupBys the counts never needed. L comes
+    # from the ALREADY-shared word-count relation (sum of per-word
+    # counts == size(ts), empty docs included: split('') = ['']), so the
+    # final pass never touches text at all — at 100 TB the yield report
+    # is now metadata-scale end to end.
+    from data_ingestion_system_spark.text.chunking import CHUNK_TOKENS, STRIDE
+
+    doc_len = wcounts.groupBy("doc_id").agg(F.sum("c").alias("L"))
+    starts = f"sequence(0, CAST(L AS INT) - 1, {STRIDE})"
+    per_doc = survivors.join(doc_len, "doc_id").select(
+        "source",
+        F.expr(f"CAST(size({starts}) AS BIGINT)").alias("n_chunks"),
+        F.expr(
+            f"aggregate({starts}, CAST(0 AS BIGINT),"
+            f" (acc, s) -> acc + least({CHUNK_TOKENS}, CAST(L AS INT) - s))"
+        ).alias("n_tokens"),
     )
     cand_agg = candidates.groupBy("source").agg(F.count("*").alias("n_candidates"))
-    kept_agg = survivors.groupBy("source").agg(F.count("*").alias("n_kept"))
-    chunk_agg = chunks.groupBy("source").agg(
-        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_tokens")
+    kept_agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
     )
     return (
         cand_agg.join(kept_agg, "source", "left")
-        .join(chunk_agg, "source", "left")
         .select(
             "source",
             "n_candidates",
