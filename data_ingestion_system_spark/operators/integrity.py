@@ -213,25 +213,50 @@ def validated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Above this child-row count the anti-join pre-aggregates per FK value
+# (guide §2.3 "aggregate before you shuffle"): the join only needs each
+# DISTINCT value once, so the shuffle carries the partial-agg-compacted
+# value set instead of every child row — at fact-table scale that is the
+# difference between shuffling billions of rows and millions of values.
+# Below the floor the extra groupBy is pure fixed cost: interleaved A/B
+# at sf0.1 (600k-row lineitem, local[32]) measured the pre-agg arm
+# consistently ~0.35 s SLOWER (1.6 -> 2.0 s median) because seven more
+# aggregation passes dominate the byte savings there. Floor sits above
+# every shipped bench SF and below the first scale where shuffle bytes
+# measurably bound the audit (sf1.0 lineitem is 6M rows).
+ORPHAN_PREAGG_MIN_ROWS = 2_000_000
+
+
 def orphan_count(child: DataFrame, fk: str, parent: DataFrame, pk: str,
                  broadcast_parent: bool = False,
-                 n_rows: DataFrame | None = None) -> DataFrame:
+                 n_rows: DataFrame | None = None,
+                 child_rows: int | None = None) -> DataFrame:
     """1-row (n_rows, n_orphans): child rows whose FK value has no parent.
     NULL FKs are not orphans (SQL FK semantics: NULL never violates).
     The anti-join shuffles on the key for big parents; pass
     ``broadcast_parent`` for dimension-sized ones. Pass a precomputed
     1-row ``n_rows`` when auditing several FK edges of the same child so
-    the (possibly 100-TB) table is counted once, not once per edge."""
+    the (possibly 100-TB) table is counted once, not once per edge.
+    ``child_rows`` (a footer-statistics count) size-dispatches the
+    anti-join input (§4d two-physical-plans): above
+    ORPHAN_PREAGG_MIN_ROWS the join consumes per-value counts and the
+    orphan count is the sum of unmatched multiplicities — identical
+    integers, NULL-FK semantics unchanged (filtered before either arm)."""
     keys = parent.select(F.col(pk).alias(fk)).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)
     if n_rows is None:
         n_rows = child.agg(F.count(F.lit(1)).alias("n_rows"))
-    orphans = (
-        child.filter(F.col(fk).isNotNull())
-        .join(keys, fk, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_orphans"))
-    )
+    base = child.filter(F.col(fk).isNotNull())
+    if child_rows is not None and child_rows >= ORPHAN_PREAGG_MIN_ROWS:
+        vals = base.groupBy(fk).agg(F.count(F.lit(1)).alias("_c"))
+        orphans = vals.join(keys, fk, "left_anti").agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_orphans")
+        )
+    else:
+        orphans = base.join(keys, fk, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
     return n_rows.crossJoin(orphans)
 
 
@@ -306,13 +331,17 @@ def orphan_check_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one count per DISTINCT child table (lineitem has three FK edges —
     # at audit scale two redundant full-table count scans would dwarf
     # the anti-joins, which at least prune to the FK column)
+    children = {c[0]: c[3] for c in edges}
     counts = {
         cname: child.agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=False)
-        for cname, child in {c[0]: c[3] for c in edges}.items()
+        for cname, child in children.items()
     }
+    # footer-statistics counts pick the per-edge anti-join arm
+    footer_rows = {cname: child.count() for cname, child in children.items()}
     parts = [
         orphan_count(child, fk, parent, pk, broadcast_parent=bc,
-                     n_rows=counts[cname]).select(
+                     n_rows=counts[cname],
+                     child_rows=footer_rows[cname]).select(
             F.lit(cname).alias("child_table"),
             F.lit(fk).alias("fk_column"),
             F.lit(pname).alias("parent_table"),

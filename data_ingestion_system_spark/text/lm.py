@@ -108,7 +108,11 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("a").alias("v")
     )
     cab = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ca = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    # c(a) = Σ_b c(a,b): reduce the vocab²-bounded model table instead
+    # of re-scanning the corpus-sized bigram relation (guide §2.4 —
+    # the r9 shape paid a second full explode-relation aggregate for
+    # integers the first aggregate already contains)
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     lp = (
         cab.join(ca, "a")
         .crossJoin(F.broadcast(vocab))

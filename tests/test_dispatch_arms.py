@@ -22,7 +22,7 @@ from conftest import assert_df_matches_oracle
 
 from data_ingestion_system_spark import tables
 from data_ingestion_system_spark.dedup import clusters, minhash, semdedup, simhash
-from data_ingestion_system_spark.operators import statistics
+from data_ingestion_system_spark.operators import integrity, statistics
 from data_ingestion_system_spark.similarity import ivf
 from data_ingestion_system_spark.registry import load_all
 from data_ingestion_system_spark.tables import TABLE_NAMES
@@ -100,6 +100,15 @@ DISPATCHED = [
         [(pipeline, "PIPELINE_PARALLEL_MAX_DOCS")],
         {"serial": [0], "stage_parallel": [HUGE]},
         id="pipeline-stage-parallelism",
+    ),
+    pytest.param(
+        # r10 anti-join input dispatch: per-FK-value pre-aggregation
+        # (shuffle the value set, sum unmatched multiplicities) vs the
+        # plain row-level anti-join must report identical orphan counts
+        "orphan_check_matrix",
+        [(integrity, "ORPHAN_PREAGG_MIN_ROWS")],
+        {"preagg": [0], "row_level": [HUGE]},
+        id="orphan-antijoin-preagg",
     ),
     pytest.param(
         # r9 assignment-shape dispatch: the fat single-pass scoring vs
