@@ -458,10 +458,47 @@ def make_gif_decoder():
             blocks.append(chunk)
             pos += sz
         data = b"".join(blocks)
-        if b"\x3b" not in payload[pos:]:
-            # only frame 1 is decoded, but a file with no trailer byte
-            # anywhere after it was cut mid-stream — fail loudly
-            raise ValueError("truncated GIF: no trailer")
+        # only frame 1 is decoded, but the file must still END properly:
+        # walk the remaining blocks STRUCTURALLY (extension / image /
+        # trailer) until the trailer is the block introducer reached. The
+        # old substring scan for a 0x3B byte accepted any stray trailer
+        # byte inside a later block's data, so a file cut mid-stream
+        # after frame 1 could pass the fail-loudly contract (ADVICE r9).
+
+        def _skip_subblocks(p: int) -> int:
+            while True:
+                if p >= len(payload):
+                    raise ValueError("truncated GIF: sub-blocks unterminated")
+                sz = payload[p]
+                p += 1
+                if sz == 0:
+                    return p
+                if p + sz > len(payload):
+                    raise ValueError("truncated GIF: sub-block cut short")
+                p += sz
+
+        wpos = pos
+        while True:
+            if wpos >= len(payload):
+                raise ValueError("truncated GIF: no trailer")
+            intro = payload[wpos]
+            if intro == 0x3B:
+                break  # structural trailer reached
+            if intro == 0x21:  # extension: label, then sub-blocks
+                if wpos + 2 > len(payload):
+                    raise ValueError("truncated GIF: extension header")
+                wpos = _skip_subblocks(wpos + 2)
+            elif intro == 0x2C:  # later frame: descriptor, LCT, LZW
+                if wpos + 10 > len(payload):
+                    raise ValueError("truncated GIF: image descriptor cut short")
+                fpacked = payload[wpos + 9]
+                wpos += 10
+                if fpacked & 0x80:
+                    wpos += 3 * (2 << (fpacked & 7))
+                wpos += 1  # LZW minimum code size
+                wpos = _skip_subblocks(wpos)
+            else:
+                raise ValueError(f"GIF: unexpected block 0x{intro:02X}")
 
         # --- LZW decode (variable width, LSB-first, 12-bit cap) ---
         clear = 1 << mcs

@@ -24,6 +24,7 @@ Python id-set.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,12 +97,66 @@ def evaluate_batch_health(
         alerts.append("insert_drop")
     if avg_duration5 is not None and duration_seconds > DURATION_SPIKE_FACTOR * avg_duration5:
         alerts.append("duration_spike")
+    _migrate_legacy_flat_alerts(spark, paths.alerts_dir)
     if alerts:
         spark.createDataFrame(
             [(int(batch_id), a) for a in alerts], "batch_id long, alert string"
         ).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch_id").parquet(paths.alerts_dir)
+    else:
+        # replay must fully SUPERSEDE a crashed attempt: dynamic
+        # partition overwrite only replaces partitions PRESENT in the
+        # written data, so when the replay computes no alerts (e.g. a
+        # nondeterministic duration_spike fired pre-crash) the stale
+        # partition would survive and be committed by the audit marker
+        # as if real (ADVICE r9). Healthy evaluation = no partition.
+        stale = os.path.join(paths.alerts_dir, f"batch_id={int(batch_id)}")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
+
+def _migrate_legacy_flat_alerts(spark: SparkSession, alerts_dir: str) -> None:
+    """One layout for the alerts store (ADVICE r9): a dir written by the
+    pre-partitioned (flat append) code would mix root-level part files
+    with batch_id=N subdirs after the first partitioned write —
+    unreadable by Spark. Unlike the near-dup state store's rename-only
+    migration, flat alert files CONTAIN the batch_id column, so a rename
+    into one partition dir would corrupt every row's batch id; instead
+    the (metadata-tiny by construction: alert rows only) legacy files
+    are rewritten once into their true per-batch partitions and the flat
+    files removed. Idempotent under a crash mid-migration: the rewrite
+    derives entirely from the flat files, prior `legacy-*` outputs are
+    cleared before moving, and the flat files are deleted LAST."""
+    if not os.path.isdir(alerts_dir):
+        return
+    flat = [f for f in os.listdir(alerts_dir) if f.endswith(".parquet")]
+    if not flat:
+        return
+    legacy = spark.read.parquet(
+        *[os.path.join(alerts_dir, f) for f in flat]
+    ).select("batch_id", "alert")
+    tmp = alerts_dir.rstrip("/") + ".__legacy_migration__"
+    legacy.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    for d in os.listdir(tmp):
+        if not d.startswith("batch_id="):
+            continue
+        dest = os.path.join(alerts_dir, d)
+        os.makedirs(dest, exist_ok=True)
+        for stale in os.listdir(dest):
+            if stale.startswith("legacy-"):
+                os.remove(os.path.join(dest, stale))
+        for f in os.listdir(os.path.join(tmp, d)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, d, f), os.path.join(dest, "legacy-" + f)
+                )
+    shutil.rmtree(tmp)
+    for f in flat:
+        os.remove(os.path.join(alerts_dir, f))
+        crc = os.path.join(alerts_dir, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
 
 
 def dedup_insert_batch(

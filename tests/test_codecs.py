@@ -527,3 +527,30 @@ def test_gif_background_comes_from_global_table():
     out = decode_gif(bytes(p[:ioff]) + gce + bytes(p[ioff:]))
     assert (out[0, 0] == (7, 77, 177)).all()  # GCT background
     assert (out[0, 1] == pal_local[2]).all()  # LCT pixels
+
+
+def test_gif_trailer_check_is_structural():
+    """ADVICE r9: a stray 0x3B byte inside a later block's DATA must not
+    satisfy the trailer check — the walk is structural, so a file cut
+    mid-extension after frame 1 fails loudly even when the cut region
+    happens to contain semicolons; the same blocks properly terminated
+    and trailed still decode."""
+    from data_ingestion_system_spark.multimodal.codecs import decode_gif, encode_gif
+
+    pal = _gif_pal()
+    idx = np.zeros((4, 5), np.uint8)
+    good = encode_gif(idx, pal)
+    assert good[-1] == 0x3B
+    body = good[:-1]  # frame 1 complete, trailer stripped
+    # comment extension whose data bytes are semicolons (0x3B), then CUT
+    cut_mid_ext = body + b"\x21\xfe\x05;;;;;"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(cut_mid_ext)
+    # same extension, properly 0-terminated and trailed: decodes
+    ok = body + b"\x21\xfe\x05;;;;;\x00\x3b"
+    out = decode_gif(ok)
+    assert out.shape == (4, 5, 3)
+    # junk block introducer after frame 1 is structural garbage, not
+    # silently scanned past
+    with pytest.raises(ValueError, match="unexpected block"):
+        decode_gif(body + b"\x99\x3b")

@@ -451,3 +451,76 @@ def test_alerts_are_pre_marker_writes(spark, sf_dir, tmp_path, monkeypatch):
         == 1
     )
     assert spark.read.parquet(paths.audit_dir).filter(F.col("batch_id") == 1).count() == 1
+
+
+def test_alert_replay_supersedes_stale_partition(spark, tmp_path):
+    """ADVICE r9: a replay that computes NO alerts for a batch must
+    remove the crashed attempt's stale alerts partition — dynamic
+    overwrite alone only replaces partitions present in the written
+    data, which an empty alert set never is."""
+    from data_ingestion_system_spark.streaming.ingest import (
+        IngestPaths, evaluate_batch_health)
+
+    paths = IngestPaths(
+        source_dir=str(tmp_path / "src"),
+        target_dir=str(tmp_path / "t"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        alerts_dir=str(tmp_path / "alerts"),
+    )
+    # crashed attempt: dedup ceiling fired for batch 5
+    evaluate_batch_health(spark, paths, 5, inserted=1, dedup_rate=1.0,
+                          duration_seconds=0.1)
+    stale = os.path.join(paths.alerts_dir, "batch_id=5")
+    assert os.path.isdir(stale)
+    # replay computes a healthy batch 5: the stale partition must go
+    evaluate_batch_health(spark, paths, 5, inserted=100, dedup_rate=0.0,
+                          duration_seconds=0.1)
+    assert not os.path.isdir(stale)
+
+
+def test_alerts_dir_legacy_flat_migrates(spark, tmp_path):
+    """ADVICE r9: an alerts dir written by the flat-append code must be
+    migrated into per-batch partitions (preserving each row's REAL
+    batch_id — the flat files carry the column) before the first
+    partitioned write, or the mixed layout is unreadable."""
+    from data_ingestion_system_spark.streaming.ingest import (
+        IngestPaths, evaluate_batch_health)
+
+    alerts_dir = tmp_path / "alerts"
+    staging = tmp_path / "staging"
+    (
+        spark.createDataFrame(
+            [(1, "dedup_rate_ceiling"), (2, "insert_drop")],
+            "batch_id long, alert string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(staging))
+    )
+    os.makedirs(alerts_dir)
+    part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    os.rename(staging / part, alerts_dir / part)  # the legacy flat layout
+    paths = IngestPaths(
+        source_dir=str(tmp_path / "src"),
+        target_dir=str(tmp_path / "t"),
+        audit_dir=str(tmp_path / "audit"),
+        provenance_dir=str(tmp_path / "prov"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        alerts_dir=str(alerts_dir),
+    )
+    evaluate_batch_health(spark, paths, 7, inserted=1, dedup_rate=1.0,
+                          duration_seconds=0.1)
+    rows = {(r.batch_id, r.alert) for r in spark.read.parquet(str(alerts_dir)).collect()}
+    assert rows == {
+        (1, "dedup_rate_ceiling"),
+        (2, "insert_drop"),
+        (7, "dedup_rate_ceiling"),
+    }
+    assert not any(f.endswith(".parquet") for f in os.listdir(alerts_dir))
+    # idempotent: running again on the migrated store changes nothing
+    evaluate_batch_health(spark, paths, 7, inserted=1, dedup_rate=1.0,
+                          duration_seconds=0.1)
+    rows2 = {(r.batch_id, r.alert) for r in spark.read.parquet(str(alerts_dir)).collect()}
+    assert rows2 == rows
