@@ -34,9 +34,7 @@ from pyspark.sql import functions as F
 from data_ingestion_system_spark.dedup.minhash import (
     JACCARD_THRESHOLD,
     PAIR_CTES,
-    band_keys,
-    candidate_pairs,
-    signatures_from_sets,
+    lsh_candidate_pairs,
     token_set_arrays,
     verified_pairs_from_sets,
 )
@@ -293,7 +291,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # footer statistics
     tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
-    cand = candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs)
+    cand = lsh_candidate_pairs(tsets, n_docs=n_docs)
     pairs = verified_pairs_from_sets(tsets, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     comp = connected_components(pairs)
     csizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))

@@ -37,6 +37,30 @@ N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 JACCARD_THRESHOLD = 0.5
 
+# ---- band/row ladder (r9 VERDICT ask #5; CONVENTIONS §4b + §4d) ----
+# On a SATURATED shingle space the 2-row band buckets fill up and the
+# in-bucket pair expansion goes quadratic in the corpus (measured on the
+# uniform-vocab 31-word stress family, Σ C(occ,2) over 4x2 band buckets
+# per doc: sf1 0.95, sf3 2.68, sf10 ~9 — candidates grew 8.9x on 3x docs
+# sf1→sf3; the natural-Zipf twin measures 0.39 at sf3 and stays linear).
+# Above BOTH floors the chain switches to the wide rung of the ladder —
+# 2 bands of 4 rows over the SAME 8-hash signatures — whose bucket
+# collision probability is j^4 per band: the uniform corpus' moderate-j
+# collision flood collapses ~100x (sf3: 392,233 → 3,780 candidates)
+# while high-j true dups keep colliding. The dispatch is part of the
+# query DEFINITION and is mirrored in PAIR_CTES (a scalar CASE over the
+# same two exact integers, §4b), so Spark and DuckDB pick the same arm
+# at every scale; the size floor sits above every shipped SF (sf1.0 =
+# 50k docs), so small corpora never pay the occupancy probe and the
+# driver-checked results are byte-identical to the unladdered chain.
+# Saturation is a CONTENT property — n_docs alone can't see it — hence
+# the two-stage gate: size floor first (free), occupancy probe second
+# (one aggregate over the n_docs x 4 band relation, linear).
+BAND_LADDER_MIN_DOCS = 100_000
+BAND_SATURATION_JV_PER_DOC = 2  # wide when Σ C(occ,2) >= 2 * n_docs
+WIDE_ROWS = 4  # rows per band on the wide rung
+N_WIDE_BANDS = N_HASHES // WIDE_ROWS
+
 
 def token_sets(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — 3-word shingle sets.
@@ -129,6 +153,57 @@ def band_keys(sigs: DataFrame) -> DataFrame:
         for b in range(N_BANDS)
     ]
     return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def band_keys_wide(sigs: DataFrame) -> DataFrame:
+    """Wide rung of the band/row ladder: (doc_id, band_key) rows with
+    WIDE_ROWS (4) hashes per band over the same 8-hash signatures —
+    collision probability j^4 per band, the saturated-space layout."""
+    bands = [
+        F.concat(
+            F.lit(f"b{b}:"),
+            *[F.col(f"m{WIDE_ROWS * b + r}") for r in range(WIDE_ROWS)],
+        )
+        for b in range(N_WIDE_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def band_join_volume(bands: DataFrame) -> int:
+    """Exact in-bucket pair-expansion volume Σ C(occ, 2) of a band
+    relation — the candidate join's match-row count, the quantity that
+    goes quadratic on a saturated shingle space. One linear aggregate
+    (same probe idiom as `_ngram_scheme_probe`)."""
+    row = (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("jv"))
+        .first()
+    )
+    return int(row.jv or 0)
+
+
+def lsh_candidate_pairs(
+    tsets: DataFrame, n_docs: int | None = None, force_wide: bool | None = None
+) -> DataFrame:
+    """Ladder-dispatched LSH candidate pairs from the (doc_id, tset, n)
+    relation: classic 4x2 banding below the floors, 2x4 wide banding on
+    a measured-saturated space (see the BAND_LADDER_* constants — the
+    dispatch is mirrored in PAIR_CTES so every embedding oracle agrees).
+    Wide candidates are a strict SUBSET of classic ones (a 4-row band
+    match implies both 2-row halves match). `force_wide` pins an arm
+    for the dual-arm oracle tests."""
+    sigs = signatures_from_sets(tsets)
+    wide = force_wide
+    if wide is None:
+        wide = (
+            n_docs is not None
+            and n_docs >= BAND_LADDER_MIN_DOCS
+            and band_join_volume(band_keys(sigs))
+            >= BAND_SATURATION_JV_PER_DOC * n_docs
+        )
+    bands = band_keys_wide(sigs) if wide else band_keys(sigs)
+    return candidate_pairs(bands, n_docs=n_docs)
 
 
 def candidate_pairs(bands: DataFrame, n_docs: int | None = None) -> DataFrame:
@@ -233,12 +308,41 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
     f"SELECT doc_id, 'b{b}:' || m{2 * b} || m{2 * b + 1} AS band_key FROM sigs"
     for b in range(N_BANDS)
 )
+_BAND_SELECTS_WIDE = "\n  UNION ALL ".join(
+    "SELECT doc_id, 'b{b}:' || {cols} AS band_key FROM sigs".format(
+        b=b,
+        cols=" || ".join(f"m{WIDE_ROWS * b + r}" for r in range(WIDE_ROWS)),
+    )
+    for b in range(N_WIDE_BANDS)
+)
 
-# The full shingle→signature→band→verify chain as a reusable CTE body:
-# the pair query appends a SELECT over `jacs`, and the cluster query
-# (dedup/clusters.py) builds its transitive closure on top of the same
-# chain so both oracles verify one shared pipeline definition.
-PAIR_CTES = f"""toklists AS (
+
+def pair_ctes(force_wide: bool | None = None) -> str:
+    """The full shingle→signature→band→verify chain as a reusable CTE
+    body: the pair query appends a SELECT over `jacs`, and the cluster
+    query (dedup/clusters.py) builds its transitive closure on top of
+    the same chain so both oracles verify one shared pipeline
+    definition.
+
+    The band/row ladder dispatch is part of the chain's DEFINITION:
+    `satd` evaluates the EXACT two integers the Spark side reads
+    (corpus row count and the 4x2 band-bucket pair-expansion volume
+    Σ C(occ,2)) against the same BAND_LADDER_MIN_DOCS /
+    BAND_SATURATION_JV_PER_DOC constants (§4b — integer arithmetic
+    only, both engines derive the identical arm at every scale), and
+    `cand` unions the two mutually-exclusive band joins gated on it.
+    `force_wide` pins `satd` to a constant for the dual-arm tests."""
+    if force_wide is None:
+        satd = f"""satd AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM documents) >= {BAND_LADDER_MIN_DOCS}
+              AND COALESCE((SELECT SUM((c * (c - 1)) // 2) FROM (
+                    SELECT COUNT(*) AS c FROM bands GROUP BY band_key) occ), 0)
+                  >= {BAND_SATURATION_JV_PER_DOC} * (SELECT COUNT(*) FROM documents)
+         THEN 1 ELSE 0 END AS wide
+)"""
+    else:
+        satd = f"satd AS (SELECT {1 if force_wide else 0} AS wide)"
+    return f"""toklists AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 ), tokens AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS token
@@ -251,12 +355,22 @@ PAIR_CTES = f"""toklists AS (
   SELECT doc_id,
     {_HASH_COLS}
   FROM tokens GROUP BY doc_id
-), bands AS (
+), bands AS MATERIALIZED (
   {_BAND_SELECTS}
-), cand AS (
+), bandsw AS (
+  {_BAND_SELECTS_WIDE}
+), {satd}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-), sizes AS (
+  WHERE (SELECT wide FROM satd) = 0
+  UNION
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsw a JOIN bandsw b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE (SELECT wide FROM satd) = 1
+), sizes AS ({_PAIR_CTES_TAIL}"""
+
+
+_PAIR_CTES_TAIL = """
   SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id
 ), common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -271,6 +385,9 @@ PAIR_CTES = f"""toklists AS (
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
 )"""
+
+# the production (dispatch) form — what every embedding oracle composes
+PAIR_CTES = pair_ctes()
 
 _MINHASH_ORACLE = f"""
 WITH {PAIR_CTES}
@@ -294,7 +411,7 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scale-failure class #5 — tables.bulk_checkpoint) and its
     # consumers are sequential scans
     tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
-    cand = candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs)
+    cand = lsh_candidate_pairs(tsets, n_docs=n_docs)
     pairs = verified_pairs_from_sets(tsets, cand, JACCARD_THRESHOLD, n_docs=n_docs)
     return pairs.select(
         "doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard")
@@ -859,7 +976,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
     pairs = verified_pairs_from_sets(
         tsets,
-        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
+        lsh_candidate_pairs(tsets, n_docs=n_docs),
         JACCARD_THRESHOLD,
         n_docs=n_docs,
     )
@@ -913,7 +1030,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
     jacs = verified_pairs_from_sets(
         tsets,
-        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
+        lsh_candidate_pairs(tsets, n_docs=n_docs),
         0.0,
         n_docs=n_docs,
     )
@@ -977,7 +1094,7 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()  # footer statistics
     tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
     sigs = signatures_from_sets(tsets)
-    cand = candidate_pairs(band_keys(sigs), n_docs=n_docs)
+    cand = lsh_candidate_pairs(tsets, n_docs=n_docs)
     exact = verified_pairs_from_sets(tsets, cand, 0.0, n_docs=n_docs)  # all candidates
     matches = sum(
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)

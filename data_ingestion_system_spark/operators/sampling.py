@@ -330,9 +330,7 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_system_spark.dedup.clusters import connected_components
     from data_ingestion_system_spark.dedup.minhash import (
         JACCARD_THRESHOLD,
-        band_keys,
-        candidate_pairs,
-        signatures_from_sets,
+        lsh_candidate_pairs,
         token_set_arrays,
         verified_pairs_from_sets,
     )
@@ -345,7 +343,7 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsets = bulk_checkpoint(token_set_arrays(docs), eager=False, n_rows=n_docs)
     pairs = verified_pairs_from_sets(
         tsets,
-        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
+        lsh_candidate_pairs(tsets, n_docs=n_docs),
         JACCARD_THRESHOLD,
         n_docs=n_docs,
     )

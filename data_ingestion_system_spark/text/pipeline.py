@@ -39,9 +39,7 @@ from data_ingestion_system_spark.dedup.clusters import connected_components
 from data_ingestion_system_spark.dedup.minhash import (
     JACCARD_THRESHOLD,
     PAIR_CTES,
-    band_keys,
-    candidate_pairs,
-    signatures_from_sets,
+    lsh_candidate_pairs,
     token_set_arrays,
     verified_pairs_from_sets,
 )
@@ -197,7 +195,7 @@ def stage_dup_drop(
     )
     pairs = verified_pairs_from_sets(
         tsets,
-        candidate_pairs(band_keys(signatures_from_sets(tsets)), n_docs=n_docs),
+        lsh_candidate_pairs(tsets, n_docs=n_docs),
         JACCARD_THRESHOLD,
         n_docs=n_docs,
     )

@@ -165,3 +165,77 @@ def test_dispatch_arm_matches_oracle(
         spec.spark(spark, DISPATCH_SF_DIR), duck01, spec.oracle
     )
     tables.release_session_checkpoints(spark)
+
+
+# --- band/row ladder (r10): the two banding arms CHANGE the defined
+# candidate set (unlike the §4d dispatches above, which pick a physical
+# plan for one answer), so each arm is verified against ITS OWN oracle
+# form — pair_ctes(force_wide=...) pins `satd` to that arm's constant,
+# exactly what the production dispatch CTE evaluates to on a corpus
+# that picks that arm.
+
+
+def _ladder_pairs(spark, force_wide):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_system_spark.functions.scalar import round_port
+
+    docs = tables.load_table(spark, DISPATCH_SF_DIR, "documents")
+    n_docs = docs.count()
+    tsets = tables.bulk_checkpoint(
+        minhash.token_set_arrays(docs), eager=False, n_rows=n_docs
+    )
+    pairs = minhash.verified_pairs_from_sets(
+        tsets,
+        minhash.lsh_candidate_pairs(tsets, n_docs=n_docs, force_wide=force_wide),
+        minhash.JACCARD_THRESHOLD,
+        n_docs=n_docs,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", round_port(F.col("jac"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_band_ladder_arm_matches_oracle(spark, duck01, wide):
+    oracle = f"""
+WITH {minhash.pair_ctes(force_wide=wide)}
+SELECT doc_a, doc_b, ROUND(jac * 1000000.0) / 1000000.0 AS jaccard
+FROM jacs
+WHERE jac >= {minhash.JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+    assert_df_matches_oracle(_ladder_pairs(spark, wide), duck01, oracle)
+    tables.release_session_checkpoints(spark)
+
+
+def test_band_ladder_dispatch_flips_on_measured_saturation(spark, monkeypatch):
+    """The production dispatch (floors un-pinned via monkeypatch so the
+    sf0.01 fixture crosses them) must produce the SAME pairs as the
+    forced wide arm; with an unreachable occupancy threshold it must
+    stay on the classic arm. Also pins (a) wide candidates ⊂ classic
+    candidates — the 4-row band key is the concatenation of its two
+    2-row halves — and (b) the Python/SQL constant lockstep, so nobody
+    retunes the Spark-side ladder without the PAIR_CTES mirror."""
+    # constant lockstep first (before the monkeypatches below): the SQL
+    # mirror embeds the same two integers the Python dispatch reads
+    assert str(minhash.BAND_LADDER_MIN_DOCS) in minhash.PAIR_CTES
+    assert f">= {minhash.BAND_SATURATION_JV_PER_DOC} * (SELECT COUNT(*)" in minhash.PAIR_CTES
+    docs = tables.load_table(spark, DISPATCH_SF_DIR, "documents")
+    n_docs = docs.count()
+    tsets = tables.bulk_checkpoint(
+        minhash.token_set_arrays(docs), eager=False, n_rows=n_docs
+    )
+
+    def cand_set(df):
+        return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+    classic = cand_set(minhash.lsh_candidate_pairs(tsets, n_docs=n_docs, force_wide=False))
+    wide = cand_set(minhash.lsh_candidate_pairs(tsets, n_docs=n_docs, force_wide=True))
+    assert wide <= classic  # strict band ⊂ loose band candidates
+    monkeypatch.setattr(minhash, "BAND_LADDER_MIN_DOCS", 0)
+    monkeypatch.setattr(minhash, "BAND_SATURATION_JV_PER_DOC", 0)
+    assert cand_set(minhash.lsh_candidate_pairs(tsets, n_docs=n_docs)) == wide
+    monkeypatch.setattr(minhash, "BAND_SATURATION_JV_PER_DOC", 10**12)
+    assert cand_set(minhash.lsh_candidate_pairs(tsets, n_docs=n_docs)) == classic
+    tables.release_session_checkpoints(spark)
