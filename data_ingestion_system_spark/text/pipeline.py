@@ -268,10 +268,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with ThreadPoolExecutor(max_workers=4) as pool:
             dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs, n_docs=n_docs)))
             toks = _toks()
+            # quality is row-local over toks since r10 (no wcounts
+            # dependency), so it overlaps the wcounts build too
+            q_fut = pool.submit(lambda: _ckpt(stage_quality_ids(docs, toks=toks)))
             wcounts = _ckpt(word_counts(toks, "source"))
-            q_fut = pool.submit(
-                lambda: _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
-            )
             clf_fut = pool.submit(
                 lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
             )
@@ -284,7 +284,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         toks = _toks()
         wcounts = _ckpt(word_counts(toks, "source"))
-        quality_ids = _ckpt(stage_quality_ids(docs, toks=toks, wcounts=wcounts))
+        quality_ids = _ckpt(stage_quality_ids(docs, toks=toks))
         clf_keep_ids = _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
         contaminated = _ckpt(stage_contaminated(docs, toks=toks, n_docs=n_docs))
         # heaviest stage last, reusing the disk-resident token relation
