@@ -206,10 +206,23 @@ def main() -> None:
     # deltas are then code-caused, box-corrected. The anchor stays for
     # the BASELINE.md comparison only — it no longer normalizes anything.
     boxcal = _box_factor(times, registry, sf)
+    # r11 (VERDICT r10 ask #2, after two consecutive self-stamped-noisy
+    # official sessions): the primary `value` is the box-CALIBRATED total
+    # — raw total divided by the untouched-query median ratio vs the
+    # previous round's BENCH file — whenever that calibration exists
+    # (same SF, >= 5 untouched queries). The raw sum stays alongside as
+    # `raw_total`, and `queries` remain the raw per-query medians, so
+    # every historical per-query comparison is unaffected; only the
+    # headline number stops being box-weather-confounded. Sessions with
+    # no same-SF predecessor (e.g. the sf1.0 sidecar run) keep raw.
+    value = total
+    if boxcal:
+        value = round(total / boxcal["factor"], 3)
     full = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": value,
         "unit": "sec",
+        "raw_total": total,
         "queries": times,
         "sf": sf,
         "reps": REPS,
@@ -234,8 +247,9 @@ def main() -> None:
         pass
     lean = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": value,
         "unit": "sec",
+        "raw_total": total,
         "queries": times,
         "sf": sf,
         "reps": REPS,
@@ -266,10 +280,13 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
     """Session box-speed factor vs the previous round's bench: median of
     per-query time ratios over code-untouched headline queries.
 
-    Untouched = the query's implementing module file (where its
-    registered callable is defined) has no diff since the commit that
-    last touched the previous BENCH_r{N}.json. Shared-infrastructure
-    edits (session/tables) are NOT excluded — a change that shifts every
+    Untouched = neither the query's implementing module file (where its
+    registered callable is defined) NOR any package-internal module it
+    transitively imports (r11: a query registered in simhash.py rides
+    clusters.py's component loop — an edit there must not read as box
+    drift) has a diff since the commit that last touched the previous
+    BENCH_r{N}.json. Shared-infrastructure edits (session/tables/
+    registry/functions) are NOT excluded — a change that shifts every
     query uniformly is indistinguishable from box drift by this
     estimator and lands in the factor; per-query module edits are the
     ones that must not contaminate the box estimate, and those are
@@ -338,6 +355,7 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
         pass  # no git → no exclusions; the median is still skew-robust
     # a timing-convention flip (collect → sink write) is not box signal
     convention_flip = {n for n, since in _CONVENTION_CHANGED.items() if prev_n < since}
+    dep_cache: dict[str, set] = {}
     ratios: dict[str, float] = {}
     excluded: list[str] = []
     for name, t in times.items():
@@ -348,7 +366,8 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
             mod = os.path.relpath(inspect.getfile(registry[name].spark), _REPO)
         except (TypeError, OSError):
             mod = None
-        if mod in changed or name in convention_flip:
+        deps = _internal_deps(mod, dep_cache) if mod else set()
+        if mod in changed or (deps & changed) or name in convention_flip:
             excluded.append(name)
             continue
         ratios[name] = t / pt
@@ -371,6 +390,53 @@ def _box_factor(times: dict, registry: dict, sf: float | None) -> dict | None:
         # run must not be cited as performance evidence.
         "noisy_box": bool(p75 > 1.15 * med or p25 < 0.85 * med),
     }
+
+
+# Modules whose edits shift every query roughly uniformly (the factor
+# docstring's rationale for keeping shared infrastructure IN the box
+# estimate) — the transitive dependency walk stops at them.
+_DEP_INFRA = {
+    "data_ingestion_system_spark/session.py",
+    "data_ingestion_system_spark/tables.py",
+    "data_ingestion_system_spark/registry.py",
+}
+
+
+def _internal_deps(mod: str | None, cache: dict) -> set:
+    """Transitive package-internal imports of a repo-relative module file
+    (regex over the source, so function-level imports count), with the
+    uniform-shift infra modules (and functions/*) excluded from the walk.
+    Used by _box_factor: a query whose DEPENDENCY changed is touched."""
+    import re
+
+    if not mod or not mod.startswith("data_ingestion_system_spark"):
+        return set()
+    if mod in cache:
+        return cache[mod]
+    cache[mod] = set()  # cycle guard
+    deps: set = set()
+    try:
+        with open(os.path.join(_REPO, mod)) as f:
+            src = f.read()
+    except OSError:
+        return deps
+    pat = re.compile(
+        r"^\s*(?:from|import)\s+(data_ingestion_system_spark(?:\.\w+)*)", re.M
+    )
+    for m in pat.finditer(src):
+        rel = m.group(1).replace(".", "/")
+        for cand in (rel + ".py", rel + "/__init__.py"):
+            if os.path.exists(os.path.join(_REPO, cand)):
+                if cand in _DEP_INFRA or cand.startswith(
+                    "data_ingestion_system_spark/functions/"
+                ):
+                    break
+                if cand != mod:
+                    deps.add(cand)
+                    deps |= _internal_deps(cand, cache)
+                break
+    cache[mod] = deps
+    return deps
 
 
 # The r4 session's ref_anchor total — kept ONLY as historical context

@@ -77,6 +77,22 @@ CC_CONTRACT_MIN_EDGES = 1_000_000
 # oracle-forced in tests/test_dispatch_arms.py.
 CC_DRIVER_MAX_EDGES = 262_144
 
+# r11 (§4d): in the contract arm, when the graph's NODE count (counted
+# once from the materialized node relation — an exact number, not a
+# Catalyst estimate) is at or below this, the per-round relabel table —
+# bounded by the node count and shrinking every contraction — is
+# BROADCAST into the two endpoint-relabel joins and the mapping compose
+# instead of shuffle-joined. Round 1 then never exchanges the full edge
+# relation at all (the r10 shape shuffled it twice: once by src, once by
+# dst — the dominant per-round bytes on the sf1.0 simhash value graph,
+# 3.08M doubled edges over ~40k nodes). 4M nodes × 2 longs ≈ 64 MB
+# serialized (the session's autoBroadcastJoinThreshold), far under the
+# 8 GB broadcast cap; above the floor the shuffle joins are unchanged,
+# preserving the never-broadcast-corpus-scale-relations posture.
+# Saturating value graphs (the keeper family) stay under the floor at
+# every scale; doc-keyed graphs outgrow it and take the shuffle arm.
+CC_BCAST_MAX_NODES = 4_000_000
+
 # Diagnostics from the most recent connected_components call on this
 # driver: (arm, rounds, initial edge count). Scale probes read it to
 # verify the contraction loop's round count stays O(log) as the value
@@ -115,9 +131,11 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .transform(corpus_checkpoint)
+        .transform(corpus_checkpoint_lazy)
     )
-    n_edges = edges.count()  # scan of the materialized ckpt
+    # the count MATERIALIZES the lazy checkpoint — one scheduled job
+    # where the r10 shape paid two (eager ckpt job + cached count scan)
+    n_edges = edges.count()
     LAST_CC_STATS.clear()
     LAST_CC_STATS["n_edges"] = n_edges
     if n_edges <= CC_DRIVER_MAX_EDGES:
@@ -130,13 +148,17 @@ def connected_components(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .transform(corpus_checkpoint)
+        .transform(corpus_checkpoint_lazy)  # materialized by its first consumer
     )
     if n_edges < CC_CONTRACT_MIN_EDGES:
         LAST_CC_STATS["arm"] = "propagate"
         return _cc_propagate(edges, mapping, max_iters)
     LAST_CC_STATS["arm"] = "contract"
-    return _cc_contract(edges, mapping, max_iters)
+    # exact node count (materializes the lazy mapping checkpoint, which
+    # its consumers needed anyway) dispatches the relabel-join strategy
+    n_nodes = mapping.count()
+    LAST_CC_STATS["n_nodes"] = n_nodes
+    return _cc_contract(edges, mapping, max_iters, bcast=n_nodes <= CC_BCAST_MAX_NODES)
 
 
 def _cc_driver(edges: DataFrame) -> DataFrame:
@@ -214,43 +236,69 @@ def _cc_propagate(edges: DataFrame, labels: DataFrame, max_iters: int) -> DataFr
     raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
 
-def _cc_contract(edges: DataFrame, mapping: DataFrame, max_iters: int) -> DataFrame:
+def _cc_contract(
+    edges: DataFrame, mapping: DataFrame, max_iters: int, bcast: bool = False
+) -> DataFrame:
     """Min-label round + graph contraction; convergence is the
     contracted edge relation going empty (the plain loop's label-sum
-    scalar is meaningless across contractions)."""
+    scalar is meaningless across contractions).
+
+    ONE scheduled job per round (r11; guide §2.4 — fixed per-job driver
+    overhead was the measured #1 residual of the keeper query at sf1.0):
+    `relabel` and the contracted `edges` are LAZY checkpoints and the
+    round's single action is `edges.count()`, which materializes both
+    (relabel's persisted blocks are computed once inside that job and
+    shared by the two join branches and the mapping compose) and doubles
+    as the emptiness probe. The r10 shape scheduled three jobs per round
+    — eager relabel ckpt, eager edges ckpt, isEmpty probe — whose
+    driver/scheduler round-trips (~0.15-0.3 s each on local[32]) cost
+    more than the shrinking post-round-1 graphs they computed."""
     for rnd in range(max_iters):
         # min over the closed neighborhood, in the CURRENT contracted
         # space (a contracted node's label is itself)
-        # eager checkpoint: relabel feeds THREE subtrees (both contraction
-        # sides + the mapping compose); without it the edge-wide groupBy
-        # — the round's expensive op — would run three times
+        # checkpoint (lazy): relabel feeds THREE subtrees (both
+        # contraction sides + the mapping compose); without it the
+        # edge-wide groupBy — the round's expensive op — would run
+        # three times
         relabel = corpus_checkpoint(
             edges.groupBy(F.col("dst").alias("node"))
             .agg(F.min("src").alias("nmin"))
-            .select("node", F.least("node", "nmin").alias("newlab"))
+            .select("node", F.least("node", "nmin").alias("newlab")),
+            eager=False,
         )
         # contract: both endpoints into the new label space; self-loops
         # vanish, parallel edges merge. Nodes missing from `relabel`
         # have no edges left — their components are finished.
-        rs = relabel.select(F.col("node").alias("src"), F.col("newlab").alias("ls"))
-        rd = relabel.select(F.col("node").alias("dst"), F.col("newlab").alias("ld"))
+        # relabel is node-bounded and shrinks every round: with `bcast`
+        # (node count ≤ CC_BCAST_MAX_NODES, measured at dispatch) both
+        # endpoint joins and the mapping compose take it as a BROADCAST
+        # — the edge relation is never exchanged, only probed map-side;
+        # the identical broadcast subtree is built once (ReuseExchange).
+        # Above the floor the r10 shuffle joins stand.
+        rel = F.broadcast(relabel) if bcast else relabel
+        rs = rel.select(F.col("node").alias("src"), F.col("newlab").alias("ls"))
+        rd = rel.select(F.col("node").alias("dst"), F.col("newlab").alias("ld"))
         edges = (
             edges.join(rs, "src")
             .join(rd, "dst")
             .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .transform(corpus_checkpoint)
+            .transform(corpus_checkpoint_lazy)
         )
         # compose the original-vertex mapping through this contraction
         mapping = (
             mapping.join(
-                relabel.withColumnRenamed("node", "label"), "label", "left"
+                rel.withColumnRenamed("node", "label"), "label", "left"
             )
             .select("doc_id", F.coalesce("newlab", "label").alias("label"))
             .transform(corpus_checkpoint_lazy)
         )
-        if edges.isEmpty():  # reads the just-checkpointed relation
+        # materializes relabel + edges (full scan, so the lazy local
+        # checkpoints persist completely — a limit-style isEmpty would
+        # leave partitions unmaterialized and re-derive them from
+        # lineage next round) and probes convergence in the same job
+        if edges.count() == 0:
             LAST_CC_STATS["rounds"] = rnd + 1
             return mapping.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected components did not converge in {max_iters} rounds")

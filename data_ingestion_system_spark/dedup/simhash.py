@@ -100,18 +100,31 @@ ORDER BY doc_a, doc_b
 
 def simhash_fingerprints(docs: DataFrame, n_bits: int = N_BITS) -> DataFrame:
     """doc_id → n_bits-wide simhash fingerprint (bits from the md5 hex
-    prefix, n_bits // 4 hex digits)."""
+    prefix, n_bits // 4 hex digits).
+
+    Spark side (r11, guide §1.2 per-task work): the token hash is parsed
+    ONCE with conv() into an n_bits-wide integer and each bit vote is a
+    div/mod on it — the r10 shape projected n_bits/4 nibble columns via
+    substr+instr pairs per token (the same 13-term pattern
+    scalar.U52_SPARK_SQL replaced; measured ~3x cheaper per evaluation).
+    Bit b (msb-first) of the hex prefix == bit (n_bits-1-b) of the parsed
+    integer, so every vote SUM sees the identical ±1 terms; the DuckDB
+    oracles keep the strpos nibble sums (no conv() there) and the hash
+    parity is pinned by the oracle gates."""
     tokens = fan_out(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
     hashed = tokens.select(
-        "doc_id", F.expr(f"substr(md5(token), 1, {n_bits // 4})").alias("h")
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(token), 1, {n_bits // 4}), 16, 10) AS BIGINT)"
+        ).alias("u"),
     )
-    nibbled = hashed.selectExpr("doc_id", *_nibble_projs("instr", n_bits // 4))
     vote_exprs = [
-        F.expr(f"SUM(2 * {_bit_expr(b, 'div')} - 1)").alias(f"s{b}") for b in range(n_bits)
+        F.expr(f"SUM(2 * ((u div {2 ** (n_bits - 1 - b)}) % 2) - 1)").alias(f"s{b}")
+        for b in range(n_bits)
     ]
-    votes = nibbled.groupBy("doc_id").agg(*vote_exprs)
+    votes = hashed.groupBy("doc_id").agg(*vote_exprs)
     return votes.select(
         "doc_id", F.expr(f"CAST({_simhash_value(n_bits)} AS BIGINT)").alias("simhash")
     )

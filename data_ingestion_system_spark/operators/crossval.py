@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import (
+    U52_SPARK_SQL,
     det_rank_key,
     oracle_round,
     round_port,
@@ -36,7 +37,7 @@ def with_fold(docs: DataFrame, key: F.Column, k: int = K_FOLDS, seed: int = FOLD
     """Attach a deterministic fold id in [0, k) from the row key."""
     hashed = docs.withColumn("h", det_rank_key(key, seed=seed))
     return hashed.withColumn(
-        "fold", F.expr(f"CAST(({u52_terms_sql('instr')}) % {k} AS INT)")
+        "fold", F.expr(f"CAST(({U52_SPARK_SQL}) % {k} AS INT)")
     ).drop("h")
 
 

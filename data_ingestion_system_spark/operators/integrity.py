@@ -330,14 +330,28 @@ def orphan_check_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # one count per DISTINCT child table (lineitem has three FK edges —
     # at audit scale two redundant full-table count scans would dwarf
-    # the anti-joins, which at least prune to the FK column)
+    # the anti-joins, which at least prune to the FK column), and ONE
+    # scheduled job for all of them (r11; guide §2.4): the r10 shape ran
+    # four separate child.count() jobs for the arm pick ON TOP of four
+    # in-plan count subtrees for the n_rows column — the union below
+    # counts every child once and the collected integers feed BOTH the
+    # arm dispatch and the n_rows literals (the 1-row relations keep the
+    # crossJoin shape the oracle's scalar subqueries mirror)
     children = {c[0]: c[3] for c in edges}
+    counted = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            child.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(cname).alias("child"), "n_rows"
+            )
+            for cname, child in children.items()
+        ],
+    ).collect()
+    footer_rows = {r["child"]: int(r["n_rows"]) for r in counted}
     counts = {
-        cname: child.agg(F.count(F.lit(1)).alias("n_rows")).localCheckpoint(eager=False)
-        for cname, child in children.items()
+        cname: spark.range(1).select(F.lit(n).cast("long").alias("n_rows"))
+        for cname, n in footer_rows.items()
     }
-    # footer-statistics counts pick the per-edge anti-join arm
-    footer_rows = {cname: child.count() for cname, child in children.items()}
     parts = [
         orphan_count(child, fk, parent, pk, broadcast_parent=bc,
                      n_rows=counts[cname],

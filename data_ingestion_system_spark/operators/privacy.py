@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_system_spark.functions.scalar import (
     U52_DENOM,
+    U52_SPARK_SQL,
     oracle_round,
     round_port,
     u52_terms_sql,
@@ -97,7 +98,7 @@ def dp_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     uni = keyed.withColumn(
-        "u", F.expr(f"({u52_terms_sql('instr')} + 0.5) / {U52_DENOM}")
+        "u", F.expr(f"({U52_SPARK_SQL} + 0.5) / {U52_DENOM}")
     )
     released = F.greatest(
         F.col("n") + laplace_noise(F.col("u"), 1.0 / EPSILON), F.lit(0.0)

@@ -229,7 +229,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(), whose last-ulp differences cannot realistically reorder
     md5-separated keys. One shuffle (the per-stratum window); at scale
     this is the same plan as any grouped top-k."""
-    from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+    from data_ingestion_system_spark.functions.scalar import U52_DENOM, U52_SPARK_SQL
 
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -241,7 +241,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = hashed.withColumn(
         "es_key",
-        F.expr(f"ln(({u52_terms_sql('instr')} + 0.5) / {U52_DENOM})") / F.col("l_quantity"),
+        F.expr(f"ln(({U52_SPARK_SQL} + 0.5) / {U52_DENOM})") / F.col("l_quantity"),
     )
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("es_key"), F.asc("l_orderkey"), F.asc("l_linenumber")
@@ -334,7 +334,7 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_set_arrays,
         verified_pairs_from_sets,
     )
-    from data_ingestion_system_spark.functions.scalar import U52_DENOM, u52_terms_sql
+    from data_ingestion_system_spark.functions.scalar import U52_DENOM, U52_SPARK_SQL
     from data_ingestion_system_spark.tables import bulk_checkpoint
     from data_ingestion_system_spark.tables import load_table as _lt
 
@@ -351,7 +351,7 @@ def cluster_aware_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("unit_id")
     )
-    u_expr = f"(({u52_terms_sql('instr')}) + 0.5) / {U52_DENOM}"
+    u_expr = f"(({U52_SPARK_SQL}) + 0.5) / {U52_DENOM}"
     unit_split = (
         units.select("unit_id")
         .distinct()

@@ -125,16 +125,24 @@ ORDER BY c.source
 def stage_quality_ids(
     docs: DataFrame,
     toks: DataFrame | None = None,
-    wcounts: DataFrame | None = None,
+    with_len: bool = False,
 ) -> DataFrame:
-    """Stage 1: doc_ids passing the Gopher repetition filters."""
-    m = repetition_metrics(docs, toks=toks, wcounts=wcounts)
+    """Stage 1: doc_ids passing the Gopher repetition filters.
+
+    ``with_len`` additionally emits the doc's token count ``n_words``
+    (= size(ts), the row-local metric the filter computed anyway) — the
+    yield report's closed-form chunk arithmetic consumes it, so the
+    pipeline never needs a per-word count relation just to recover L
+    (r11; the r10 shape aggregated the word-count relation back into a
+    per-doc sum the quality stage had already computed)."""
+    m = repetition_metrics(docs, toks=toks)
     rep_keep = (
         (F.col("top_word_frac") <= TOP_WORD_MAX)
         & F.coalesce(F.col("top_bigram_frac") <= TOP_BIGRAM_MAX, F.lit(True))
         & F.coalesce(F.col("dup_trigram_frac") <= DUP_TRIGRAM_MAX, F.lit(True))
     )
-    return m.filter(rep_keep).select("doc_id")
+    cols = ["doc_id", "n_words"] if with_len else ["doc_id"]
+    return m.filter(rep_keep).select(*cols)
 
 
 def stage_clf_keep_ids(
@@ -240,14 +248,20 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Java-heap OOM while every stage completes comfortably alone.
     #
     # Within the token-based stages the corpus is tokenized ONCE
-    # (fan_out + split, checkpointed) and the unigram explode+count is
-    # shared between the repetition filters and the classifier's
-    # feature stream (the round-3 bench showed the classifier stage
-    # re-tokenizing what stage 1 had already tokenized).
+    # (fan_out + split, checkpointed) and every stage consumes that one
+    # relation: the repetition filters row-locally, the classifier by
+    # exploding it into its feature stream (the round-3 bench showed the
+    # classifier stage re-tokenizing what stage 1 had already
+    # tokenized). The r10 shape additionally built a per-(doc, word)
+    # count relation (word_counts) for the classifier and the yield
+    # report's doc lengths; r11 removes it — the classifier's
+    # token-stream path is one corpus pass with a map-side-compacted
+    # per-doc aggregate (vs explode + vocabulary groupBy + decimal
+    # c·w aggregate, measured the heaviest sf1.0 stage), and the yield
+    # report takes L from the quality stage's row-local n_words.
     from concurrent.futures import ThreadPoolExecutor
 
     from data_ingestion_system_spark.tables import bulk_checkpoint, fan_out
-    from data_ingestion_system_spark.text.repetition import word_counts
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return corpus_checkpoint(df, eager=True)
@@ -268,13 +282,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with ThreadPoolExecutor(max_workers=4) as pool:
             dup_fut = pool.submit(lambda: _ckpt(stage_dup_drop(docs, n_docs=n_docs)))
             toks = _toks()
-            # quality is row-local over toks since r10 (no wcounts
-            # dependency), so it overlaps the wcounts build too
-            q_fut = pool.submit(lambda: _ckpt(stage_quality_ids(docs, toks=toks)))
-            wcounts = _ckpt(word_counts(toks, "source"))
-            clf_fut = pool.submit(
-                lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
+            q_fut = pool.submit(
+                lambda: _ckpt(stage_quality_ids(docs, toks=toks, with_len=True))
             )
+            clf_fut = pool.submit(lambda: _ckpt(stage_clf_keep_ids(docs, toks=toks)))
             contam_fut = pool.submit(lambda: _ckpt(stage_contaminated(docs, toks=toks, n_docs=n_docs)))
 
             quality_ids = q_fut.result()
@@ -283,17 +294,18 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_drop = dup_fut.result()
     else:
         toks = _toks()
-        wcounts = _ckpt(word_counts(toks, "source"))
-        quality_ids = _ckpt(stage_quality_ids(docs, toks=toks))
-        clf_keep_ids = _ckpt(stage_clf_keep_ids(docs, toks=toks, wcounts=wcounts))
+        quality_ids = _ckpt(stage_quality_ids(docs, toks=toks, with_len=True))
+        clf_keep_ids = _ckpt(stage_clf_keep_ids(docs, toks=toks))
         contaminated = _ckpt(stage_contaminated(docs, toks=toks, n_docs=n_docs))
         # heaviest stage last, reusing the disk-resident token relation
         dup_drop = _ckpt(stage_dup_drop(docs, toks=toks, n_docs=n_docs))
 
     candidates = docs.filter(~(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0))
+    # the quality join is INNER (one row per doc in quality_ids), so it
+    # filters exactly like the r10 left_semi AND attaches n_words
     survivors = (
         candidates.select("doc_id", "source")
-        .join(quality_ids, "doc_id", "left_semi")
+        .join(quality_ids, "doc_id")
         .join(clf_keep_ids, "doc_id", "left_semi")
         .join(dup_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
@@ -309,21 +321,21 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same integers, engines agree) without materializing the kept
     # corpus text, exploding windows, or re-joining source — the r9
     # shape checkpointed every kept doc's full text (DISK_ONLY) and ran
-    # the explode + join + two groupBys the counts never needed. L comes
-    # from the ALREADY-shared word-count relation (sum of per-word
-    # counts == size(ts), empty docs included: split('') = ['']), so the
-    # final pass never touches text at all — at 100 TB the yield report
-    # is now metadata-scale end to end.
+    # the explode + join + two groupBys the counts never needed. L is
+    # the quality stage's row-local n_words (= size(ts); the r10 shape
+    # recovered the same integer as sum(c) over the word-count relation,
+    # empty docs included: split('') = ['']), already riding on
+    # `survivors` — the final pass never touches text at all, and at
+    # 100 TB the yield report is metadata-scale end to end.
     from data_ingestion_system_spark.text.chunking import CHUNK_TOKENS, STRIDE
 
-    doc_len = wcounts.groupBy("doc_id").agg(F.sum("c").alias("L"))
-    starts = f"sequence(0, CAST(L AS INT) - 1, {STRIDE})"
-    per_doc = survivors.join(doc_len, "doc_id").select(
+    starts = f"sequence(0, CAST(n_words AS INT) - 1, {STRIDE})"
+    per_doc = survivors.select(
         "source",
         F.expr(f"CAST(size({starts}) AS BIGINT)").alias("n_chunks"),
         F.expr(
             f"aggregate({starts}, CAST(0 AS BIGINT),"
-            f" (acc, s) -> acc + least({CHUNK_TOKENS}, CAST(L AS INT) - s))"
+            f" (acc, s) -> acc + least({CHUNK_TOKENS}, CAST(n_words AS INT) - s))"
         ).alias("n_tokens"),
     )
     cand_agg = candidates.groupBy("source").agg(F.count("*").alias("n_candidates"))

@@ -78,7 +78,6 @@ _TRIGRAMS = (
 def repetition_metrics(
     docs: DataFrame,
     toks: DataFrame | None = None,
-    wcounts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_words, top_word_frac, top_bigram_frac, dup_trigram_frac),
     fractions unrounded; n-gram fractions NULL when the doc is too short
@@ -87,11 +86,12 @@ def repetition_metrics(
     `toks` optionally supplies a pre-tokenized (doc_id, ts) relation so a
     composed pipeline can tokenize the corpus ONCE and share the relation
     across stages (text/pipeline.py checkpoints it); when None the corpus
-    is tokenized here. `wcounts` is accepted for call-site compatibility
-    but no longer consumed: the r10 row-local form computes the word
-    statistics from the token array directly (max(c) over the per-word
-    counts == the longest run in the sorted array; sum(c) == size(ts)),
-    so this stage has no shuffle to share."""
+    is tokenized here. The r10 `wcounts` parameter is REMOVED (r10 ADVICE:
+    it was accepted but silently unconsumed once the row-local form
+    computed the word statistics from the token array directly — max(c)
+    over per-word counts == the longest run in the sorted array, sum(c)
+    == size(ts)); a caller still passing it now fails loudly instead of
+    silently changing nothing."""
     from data_ingestion_system_spark.tables import fan_out
 
     # fan_out so a single-file scan still parallelizes the projection
